@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the TPU-analog of the reference's
+dask LocalCluster testing strategy, SURVEY.md §4: parametrize over {1 device,
+N-device mesh} and assert sharded == single-device).  float64 is enabled so
+golden-value comparisons against numpy oracles are exact.
+"""
+
+import os
+
+# Must be set before jax initialises.  Assign (not setdefault): the CI image
+# pre-sets JAX_PLATFORMS=axon (the remote TPU), which would route every test
+# op through the device tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(42)

@@ -1,0 +1,112 @@
+"""A minimal Dataset container for grid construction.
+
+The reference consumes ``xarray.Dataset`` for grid metadata (dimension sizes,
+coordinate variables with COMODO/SGRID attrs, metric variables — reference
+``grid.py:60-137``).  xgcm_tpu keeps that role but in a dependency-free,
+JAX-friendly container: dims are plain sizes, variables are
+:class:`~xgcm_tpu.core.dataarray.GriddedArray`.  When xarray is installed the
+adapter in :mod:`xgcm_tpu.adapters.xarray_adapter` converts both ways.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Union
+
+import numpy as np
+
+from .dataarray import GriddedArray
+
+__all__ = ["Dataset"]
+
+
+class Dataset:
+    """Holds dimension sizes, coordinate variables, and data variables.
+
+    Parameters
+    ----------
+    coords : mapping name -> GriddedArray | (dims, data) | 1-d array
+        Coordinate variables.  A bare 1-d array is taken as a dimension
+        coordinate for the dimension of the same name.
+    data_vars : mapping name -> GriddedArray | (dims, data)
+        Data variables (e.g. metrics).
+    dims : mapping str -> int, optional
+        Extra dimensions not spanned by any variable.
+    attrs : dict, optional
+        Global attributes (used for convention detection, e.g. SGRID
+        ``Conventions`` attr — reference ``sgrid.py:6-26``).
+    """
+
+    def __init__(
+        self,
+        coords: Optional[Mapping[str, Any]] = None,
+        data_vars: Optional[Mapping[str, Any]] = None,
+        dims: Optional[Mapping[str, int]] = None,
+        attrs: Optional[Mapping[str, Any]] = None,
+    ):
+        self.coords: Dict[str, GriddedArray] = {}
+        self.data_vars: Dict[str, GriddedArray] = {}
+        self.attrs: Dict[str, Any] = dict(attrs) if attrs else {}
+        self._dims: Dict[str, int] = dict(dims) if dims else {}
+
+        for name, v in (coords or {}).items():
+            self.coords[name] = self._coerce(name, v, is_coord=True)
+        for name, v in (data_vars or {}).items():
+            self.data_vars[name] = self._coerce(name, v, is_coord=False)
+
+        for var in list(self.coords.values()) + list(self.data_vars.values()):
+            for d, s in var.sizes.items():
+                if d in self._dims and self._dims[d] != s:
+                    raise ValueError(
+                        f"conflicting sizes for dimension {d!r}: "
+                        f"{self._dims[d]} vs {s}"
+                    )
+                self._dims.setdefault(d, s)
+
+    @staticmethod
+    def _coerce(name: str, v: Any, is_coord: bool) -> GriddedArray:
+        if isinstance(v, GriddedArray):
+            return v.rename(name) if v.name != name else v
+        if isinstance(v, tuple) and len(v) in (2, 3):
+            dims, data = v[0], v[1]
+            attrs = v[2] if len(v) == 3 else None
+            if isinstance(dims, str):
+                dims = (dims,)
+            return GriddedArray(data, dims, name=name, attrs=attrs)
+        arr = np.asarray(v)
+        if is_coord and arr.ndim == 1:
+            return GriddedArray(arr, (name,), name=name)
+        raise TypeError(
+            f"Cannot interpret variable {name!r}: pass a GriddedArray or a "
+            f"(dims, data) tuple"
+        )
+
+    # -- mapping-ish access ------------------------------------------------
+    @property
+    def dims(self) -> Dict[str, int]:
+        return dict(self._dims)
+
+    @property
+    def sizes(self) -> Dict[str, int]:
+        return dict(self._dims)
+
+    @property
+    def variables(self) -> Dict[str, GriddedArray]:
+        out = dict(self.coords)
+        out.update(self.data_vars)
+        return out
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.coords or name in self.data_vars
+
+    def __getitem__(self, name: str) -> GriddedArray:
+        if name in self.data_vars:
+            return self.data_vars[name]
+        if name in self.coords:
+            return self.coords[name]
+        raise KeyError(name)
+
+    def __repr__(self):
+        return (
+            f"<xgcm_tpu.Dataset dims={self._dims} coords={list(self.coords)} "
+            f"data_vars={list(self.data_vars)}>"
+        )

@@ -1,0 +1,763 @@
+"""The Grid: user-facing API over multiple staggered axes.
+
+Reimplements the complete public surface of reference ``grid.py:49-1608``
+(construction with metadata auto-parsing, per-axis kwarg promotion, face
+connection validation, the metric registry with find-or-derive resolution,
+the 1D grid-ufunc dispatch, cumsum's special path, metric-weighted calculus
+ops, vector ops, and vertical-coordinate transform) for the JAX-native data
+model.  A Grid is static metadata plus a registry of (dynamic) metric arrays;
+every operator method lowers to pure ``jnp`` and is jit-/shard-transparent.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import itertools
+import operator
+import warnings
+from collections import OrderedDict
+from typing import (
+    Any,
+    Callable,
+    Dict,
+    Iterable,
+    List,
+    Mapping,
+    Optional,
+    Sequence,
+    Tuple,
+    Union,
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import gridops
+from .axis import Axis
+from .dataarray import GriddedArray
+from .dataset import Dataset
+from .grid_ufunc import (
+    GridUFunc,
+    GridUFuncSignature,
+    _check_data_input,
+    _maybe_unpack_vector_component,
+    apply_as_grid_ufunc,
+)
+from .metrics import iterate_axis_combinations
+from .padding import pad
+
+__all__ = ["Grid"]
+
+
+def _maybe_promote_str_to_list(a):
+    if isinstance(a, str):
+        return [a]
+    return a
+
+
+class Grid:
+    """An object with multiple :class:`~xgcm_tpu.core.axis.Axis` objects
+    representing different independent staggered directions."""
+
+    def __init__(
+        self,
+        ds: Dataset,
+        coords: Optional[Mapping[str, Mapping[str, str]]] = None,
+        periodic: Union[bool, List[str], None] = None,
+        fill_value: Optional[Union[float, Mapping[str, float]]] = None,
+        default_shifts: Optional[Mapping[str, Any]] = None,
+        boundary: Optional[Union[str, Mapping[str, str]]] = None,
+        face_connections: Optional[Dict[str, Any]] = None,
+        metrics: Optional[Mapping[Tuple[str, ...], List[str]]] = None,
+        autoparse_metadata: bool = True,
+    ):
+        """Create a Grid from a Dataset (or xarray.Dataset via the adapter).
+
+        Parameters follow reference ``grid.py:60-131``: ``coords`` maps axis
+        name -> {position: dim name}; ``periodic``/``boundary``/``fill_value``
+        take scalars or per-axis dicts; ``face_connections`` specifies multi-
+        face topology; ``metrics`` maps axis tuples to metric variable names.
+        """
+        if not isinstance(ds, Dataset):
+            # transparently accept xarray datasets when xarray is installed
+            from ..adapters.xarray_adapter import maybe_from_xarray
+
+            converted = maybe_from_xarray(ds)
+            if converted is None:
+                raise TypeError(
+                    f"ds argument to Grid must be an xgcm_tpu.Dataset (or "
+                    f"xarray.Dataset), but is of type {type(ds)}"
+                )
+            ds = converted
+
+        self._ds = ds
+
+        if autoparse_metadata:
+            from ..parsers import metadata
+
+            ds, parsed_kwargs = metadata.parse_metadata(ds)
+            user_kwargs = {
+                "coords": coords,
+                "fill_value": fill_value,
+                "default_shifts": default_shifts,
+                "boundary": boundary,
+                "face_connections": face_connections,
+                "metrics": metrics,
+            }
+            duplicates = [
+                key
+                for key in parsed_kwargs
+                if key in user_kwargs and user_kwargs[key] is not None
+            ]
+            if "coords" in parsed_kwargs and coords is None:
+                coords = parsed_kwargs["coords"]
+            if "fill_value" in parsed_kwargs and fill_value is None:
+                fill_value = parsed_kwargs["fill_value"]
+            if "default_shifts" in parsed_kwargs and default_shifts is None:
+                default_shifts = parsed_kwargs["default_shifts"]
+            if "boundary" in parsed_kwargs and boundary is None:
+                boundary = parsed_kwargs["boundary"]
+            if "face_connections" in parsed_kwargs and face_connections is None:
+                face_connections = parsed_kwargs["face_connections"]
+            if "metrics" in parsed_kwargs and metrics is None:
+                metrics = parsed_kwargs["metrics"]
+            if duplicates:
+                raise ValueError(
+                    f"Autoparsed Grid kwargs: '{', '.join(duplicates)}' conflict "
+                    f"with user-supplied kwargs. Run with "
+                    f"'autoparse_metadata=False', or autoparse and amend kwargs "
+                    f"before calling Grid constructer."
+                )
+
+        if coords is None:
+            raise ValueError(
+                "Could not determine Axis names - please provide them in the "
+                "coords kwarg or provide a dataset from which they can be parsed"
+            )
+
+        all_axes = list(coords.keys())
+
+        boundary_dict = self._map_kwargs_over_axes(boundary, axes=all_axes)
+
+        # `periodic` survives for backwards compatibility; None = legacy
+        # default True without triggering the deprecation path
+        # (reference grid.py:194-237).
+        if periodic is not None:
+            warnings.warn(
+                "The `periodic` argument will be deprecated. "
+                "To preserve previous behavior supply `boundary = 'periodic'.",
+                category=DeprecationWarning,
+            )
+        effective_periodic = True if periodic is None else periodic
+        if isinstance(effective_periodic, list):
+            periodic_dict: Dict[str, Any] = {ax: True for ax in effective_periodic}
+            for ax in all_axes:
+                periodic_dict.setdefault(ax, False)
+        else:
+            periodic_dict = self._map_kwargs_over_axes(
+                effective_periodic, axes=all_axes
+            )
+        for ax in all_axes:
+            if boundary_dict.get(ax) is None:
+                boundary_dict[ax] = (
+                    "periodic" if periodic_dict.get(ax, False) else "fill"
+                )
+
+        default_shifts_dict = self._map_kwargs_over_axes(default_shifts, axes=all_axes)
+        fill_value_dict = self._map_kwargs_over_axes(fill_value, axes=all_axes)
+
+        if face_connections:
+            self._facedim = list(face_connections.keys())[0]
+            self._face_connections = face_connections
+        else:
+            self._facedim = None
+            self._face_connections = None
+
+        self.axes: "OrderedDict[str, Axis]" = OrderedDict()
+        for axis_name in all_axes:
+            self.axes[axis_name] = Axis(
+                ds,
+                axis_name,
+                coords=coords[axis_name],
+                default_shifts=default_shifts_dict.get(axis_name, None),
+                boundary=boundary_dict.get(axis_name, None),
+                fill_value=fill_value_dict.get(axis_name, None),
+            )
+
+        if face_connections is not None:
+            self._assign_face_connections(face_connections)
+
+        self._metrics: Dict[frozenset, List[GriddedArray]] = {}
+        if metrics is not None:
+            for key, value in metrics.items():
+                self.set_metrics(key, value)
+
+    # ------------------------------------------------------------------ kwargs
+    def _map_kwargs_over_axes(
+        self,
+        kwargs: Union[Any, Dict[str, Any]],
+        axes: Optional[Iterable[str]] = None,
+    ) -> Dict[str, Any]:
+        """Promote a scalar kwarg to a per-axis dict
+        (reference grid.py:275-297)."""
+        if axes is None:
+            axes = self.axes
+        if isinstance(kwargs, dict):
+            return dict(kwargs)
+        return {ax: kwargs for ax in axes}
+
+    def _complete_user_kwargs_using_axis_defaults(
+        self, user_kwargs: Union[Any, Dict[str, Any]], property: str
+    ) -> Dict[str, Any]:
+        """Per-call kwarg > per-axis default resolution
+        (reference grid.py:299-316)."""
+        defaults = {ax: getattr(self.axes[ax], property) for ax in self.axes}
+        if user_kwargs is None:
+            return defaults
+        user_kwargs = self._map_kwargs_over_axes(user_kwargs)
+        return {**defaults, **user_kwargs}
+
+    # -------------------------------------------------------- face connections
+    def _assign_face_connections(self, fc):
+        """Verify mutual consistency of every face link
+        (reference grid.py:318-393)."""
+        if len(fc) > 1:
+            raise ValueError(
+                "Only one face dimension is supported for now. "
+                f"Instead found {list(fc.keys())!r}"
+            )
+        facedim = list(fc.keys())[0]
+        if facedim not in self._ds.dims:
+            raise ValueError(
+                f"Face dimension {facedim} does not exist in the dataset. "
+                f"Found {list(self._ds.dims)} instead"
+            )
+
+        face_links = fc[facedim]
+        n_faces = self._ds.dims[facedim]
+        valid_face_ids = set(range(n_faces))
+        axis_connections: Dict[str, Dict[int, Tuple]] = {}
+
+        for fidx, face_axis_links in face_links.items():
+            for axis, axis_links in face_axis_links.items():
+                axis_connections.setdefault(axis, {})
+                link_left, link_right = axis_links
+
+                def check_neighbor(link, position):
+                    if link is None:
+                        return None
+                    idx, ax, rev = link
+                    correct_position = int(not position) if rev else position
+                    try:
+                        neighbor_link = face_links[idx][ax][correct_position]
+                    except (KeyError, IndexError):
+                        raise KeyError(
+                            f"Couldn't find a face link for face {idx!r}"
+                            f"in axis {ax!r} at position {correct_position!r}"
+                        )
+                    idx_n, ax_n, rev_n = neighbor_link
+                    if ax not in self.axes:
+                        raise KeyError(f"axis {ax!r} is not a valid axis")
+                    if ax_n not in self.axes:
+                        raise KeyError(f"axis {ax_n!r} is not a valid axis")
+                    if idx not in valid_face_ids:
+                        raise IndexError(
+                            f"{idx!r} is not a valid index for face"
+                            f"dimension {facedim!r}"
+                        )
+                    if idx_n not in valid_face_ids:
+                        raise IndexError(
+                            f"{idx!r} is not a valid index for face"
+                            f"dimension {facedim!r}"
+                        )
+                    if (idx_n != fidx) or (ax_n != axis) or (rev_n != rev):
+                        raise ValueError(
+                            "Face link mismatch: neighbor doesn't"
+                            " correctly link back to this face. "
+                            f"face: {fidx!r}, axis: {axis!r}, "
+                            f"position: {position!r}, rev: {rev!r}, "
+                            f"link: {link!r}, neighbor_link: {neighbor_link!r}"
+                        )
+                    return idx, self.axes[ax], rev
+
+                left = check_neighbor(link_left, 1)
+                right = check_neighbor(link_right, 0)
+                axis_connections[axis][fidx] = (left, right)
+
+        for axis, links in axis_connections.items():
+            self.axes[axis]._facedim = facedim
+            self.axes[axis]._face_connections = links
+
+    # ----------------------------------------------------------------- metrics
+    def set_metrics(self, key, value, overwrite=False):
+        """Register metric variables for a set of axes
+        (reference grid.py:395-437)."""
+        metric_axes = frozenset(_maybe_promote_str_to_list(key))
+        not_found = [ma for ma in metric_axes if ma not in self.axes]
+        if not_found:
+            raise KeyError(
+                f"Metric axes {not_found!r} not compatible with grid axes "
+                f"{tuple(self.axes)!r}"
+            )
+
+        metric_values = _maybe_promote_str_to_list(value)
+        for name in metric_values:
+            if name not in self._ds:
+                raise KeyError(f"Metric variable {name} not found in dataset.")
+
+        if metric_axes in self._metrics:
+            existing = self._metrics[metric_axes]
+            for name in metric_values:
+                new_var = self._ds[name]
+                did_overwrite = False
+                for idx, ve in enumerate(existing):
+                    if set(new_var.dims) == set(ve.dims):
+                        if overwrite:
+                            existing[idx] = new_var
+                            did_overwrite = True
+                        else:
+                            raise ValueError(
+                                f"Metric variable {ve.name} with dimensions "
+                                f"{ve.dims} already assigned in metrics. "
+                                f"Overwrite {ve.name} with {name} by setting "
+                                f"overwrite=True."
+                            )
+                if not did_overwrite:
+                    existing.append(new_var)
+        else:
+            self._metrics[metric_axes] = [self._ds[name] for name in metric_values]
+
+    def _get_dims_from_axis(
+        self, da: Union[GriddedArray, Dict[str, GriddedArray]], axis
+    ) -> List[str]:
+        da = _maybe_unpack_vector_component(da)
+        dims = []
+        for ax in _maybe_promote_str_to_list(axis):
+            if ax not in self.axes:
+                raise KeyError(f"Did not find axis {ax} from data array {da.name}")
+            all_dims = self.axes[ax].coords.values()
+            matching = [d for d in all_dims if d in da.dims]
+            if len(matching) != 1:
+                raise ValueError(
+                    f"Did not find single matching dimension {da.dims} from "
+                    f"{da.name} corresponding to axis {ax}, got {matching}."
+                )
+            dims.append(matching[0])
+        return dims
+
+    def get_metric(self, array: GriddedArray, axes) -> GriddedArray:
+        """Find or derive the metric for `axes` that broadcasts against
+        `array` (4-condition resolution, reference grid.py:457-538):
+
+        1. exact axes + dims match;
+        2. axes match at wrong position -> auto interp_like with warning;
+        3. product of lower-order metrics with matching dims;
+        4. product with interpolation.
+        """
+        metric_vars = None
+        array_dims = set(array.dims)
+
+        self._get_dims_from_axis(array, frozenset(axes))
+
+        possible_metric_keys = set(tuple(k) for k in self._metrics)
+        possible_combos = set(itertools.permutations(tuple(axes)))
+        overlap = possible_metric_keys & possible_combos
+
+        if overlap:
+            key = frozenset(*overlap)
+            candidates = self._metrics[key]
+            mv = None
+            for mv in candidates:
+                if set(mv.dims).issubset(array_dims):
+                    metric_vars = mv
+                    break
+            if metric_vars is None:
+                warnings.warn(
+                    f"Metric at {array.dims} being interpolated from metrics at "
+                    f"dimensions {mv.dims}. Boundary value set to 'extend'."
+                )
+                metric_vars = self.interp_like(mv, array, "extend", None)
+        else:
+            for axis_combinations in iterate_axis_combinations(axes):
+                try:
+                    possible_sets = [self._metrics[ac] for ac in axis_combinations]
+                    for combo in itertools.product(*possible_sets):
+                        metric_dims = set(d for mv in combo for d in mv.dims)
+                        if metric_dims.issubset(array_dims):
+                            metric_vars = combo
+                            break
+                        else:
+                            possible_dims = [mv.dims for mv in combo]
+                            warnings.warn(
+                                f"Metric at {array.dims} being interpolated from "
+                                f"metrics at dimensions {possible_dims}. Boundary "
+                                f"value set to 'extend'."
+                            )
+                            metric_vars = tuple(
+                                self.interp_like(mv, array, "extend", None)
+                                for mv in combo
+                            )
+                    if metric_vars is not None:
+                        metric_vars = functools.reduce(operator.mul, metric_vars, 1)
+                        break
+                except KeyError:
+                    pass
+        if metric_vars is None:
+            raise KeyError(
+                f"Unable to find any combinations of metrics for array dims "
+                f"{array_dims!r} and axes {axes!r}"
+            )
+        return metric_vars
+
+    def interp_like(self, array, like, boundary=None, fill_value=None):
+        """Interpolate `array` to the grid positions of `like`
+        (reference grid.py:540-591)."""
+        interp_axes = []
+        for axname, axis in self.axes.items():
+            try:
+                pos_array, _ = axis._get_position_name(array)
+                pos_like, _ = axis._get_position_name(like)
+            except KeyError:
+                continue
+            if pos_like != pos_array:
+                interp_axes.append(axname)
+        if not interp_axes:
+            return array
+        return self.interp(
+            array, interp_axes, fill_value=fill_value, boundary=boundary
+        )
+
+    def __repr__(self):
+        lines = ["<xgcm_tpu.Grid>"]
+        for name, axis in self.axes.items():
+            state = "periodic" if axis.periodic else "not periodic"
+            lines.append(f"{name} Axis ({state}, boundary={axis.boundary!r}):")
+            lines += axis._coord_desc()
+        return "\n".join(lines)
+
+    # --------------------------------------------------------------- dispatch
+    def _1d_grid_ufunc_dispatch(
+        self,
+        funcname: str,
+        data: Union[GriddedArray, Dict[str, GriddedArray]],
+        axis,
+        to=None,
+        keep_coords: bool = False,
+        metric_weighted=None,
+        other_component: Optional[Dict[str, GriddedArray]] = None,
+        **kwargs,
+    ):
+        """Select and apply the right 1D grid ufunc per axis, sequentially
+        (reference grid.py:603-706)."""
+        if isinstance(axis, str):
+            axis = [axis]
+
+        data = _check_data_input(data, self)
+        data_unpacked = _maybe_unpack_vector_component(data)
+
+        to = self._map_kwargs_over_axes(to)
+        if isinstance(metric_weighted, str):
+            metric_weighted = (metric_weighted,)
+        metric_weighted = self._map_kwargs_over_axes(metric_weighted)
+
+        signatures = self._create_1d_grid_ufunc_signatures(
+            data_unpacked, axis=axis, to=to
+        )
+
+        array: Any = dict(data) if isinstance(data, dict) else data
+
+        for signature_1d, ax_name in zip(signatures, axis):
+            grid_ufunc, remaining_kwargs = _select_grid_ufunc(
+                funcname, signature_1d, module=gridops, **kwargs
+            )
+            ax_metric_weighted = metric_weighted.get(ax_name)
+
+            if ax_metric_weighted:
+                metric = self.get_metric(array, ax_metric_weighted)
+                array = array * metric
+
+            array = grid_ufunc(
+                self,
+                array,
+                axis=[(ax_name,)],
+                keep_coords=keep_coords,
+                other_component=other_component,
+                **remaining_kwargs,
+            )
+
+            if ax_metric_weighted:
+                metric = self.get_metric(array, ax_metric_weighted)
+                array = array / metric
+
+        return array
+
+    def _create_1d_grid_ufunc_signatures(
+        self, da: GriddedArray, axis, to
+    ) -> List[GridUFuncSignature]:
+        """One "(ax:from)->(ax:to)" signature per requested axis
+        (reference grid.py:708-734)."""
+        signatures = []
+        for ax_name in axis:
+            ax = self.axes[ax_name]
+            from_pos, _ = ax._get_position_name(da)
+            to_pos = to.get(ax_name)
+            if to_pos is None:
+                to_pos = ax.default_shifts[from_pos]
+            signatures.append(
+                GridUFuncSignature.from_string(
+                    f"({ax_name}:{from_pos})->({ax_name}:{to_pos})"
+                )
+            )
+        return signatures
+
+    def apply_as_grid_ufunc(
+        self,
+        func: Callable,
+        *args,
+        axis=None,
+        signature="",
+        boundary_width=None,
+        boundary=None,
+        fill_value=None,
+        **kwargs,
+    ):
+        """Apply a custom kernel in a grid-aware manner (see
+        :func:`xgcm_tpu.apply_as_grid_ufunc`)."""
+        return apply_as_grid_ufunc(
+            func,
+            *args,
+            axis=axis,
+            grid=self,
+            signature=signature,
+            boundary_width=boundary_width,
+            boundary=boundary,
+            fill_value=fill_value,
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------ op methods
+    def interp(self, da, axis, **kwargs):
+        """Interpolate neighbouring points to the intermediate position
+        (reference grid.py:826-878)."""
+        return self._1d_grid_ufunc_dispatch("interp", da, axis, **kwargs)
+
+    def diff(self, da, axis, **kwargs):
+        """Difference neighbouring points onto the intermediate position
+        (reference grid.py:880-930)."""
+        return self._1d_grid_ufunc_dispatch("diff", da, axis, **kwargs)
+
+    def min(self, da, axis, **kwargs):
+        """Minimum of neighbouring points (reference grid.py:932-983)."""
+        return self._1d_grid_ufunc_dispatch("min", da, axis, **kwargs)
+
+    def max(self, da, axis, **kwargs):
+        """Maximum of neighbouring points (reference grid.py:985-1036)."""
+        return self._1d_grid_ufunc_dispatch("max", da, axis, **kwargs)
+
+    def cumsum(
+        self,
+        da: GriddedArray,
+        axis,
+        to=None,
+        boundary=None,
+        fill_value=None,
+        metric_weighted=None,
+        keep_coords: bool = False,
+    ) -> GriddedArray:
+        """Cumulative sum with position shift (reference grid.py:1038-1190).
+
+        Computed with ``jnp.cumsum`` (XLA parallel scan) followed by the
+        position-dependent trim/pad table; the dask-era restriction that
+        cumsum cannot be chunked does not apply here."""
+        if isinstance(axis, str):
+            axis = [axis]
+        to = self._map_kwargs_over_axes(to)
+        if isinstance(metric_weighted, str):
+            metric_weighted = (metric_weighted,)
+        metric_weighted = self._map_kwargs_over_axes(metric_weighted)
+
+        data = da
+        for ax_name in axis:
+            ax = self.axes[ax_name]
+            pos, dim = ax._get_position_name(data)
+
+            ax_metric_weighted = metric_weighted.get(ax_name)
+            if ax_metric_weighted:
+                metric = self.get_metric(data, ax_metric_weighted)
+                data = data * metric
+
+            data = data.cumsum(dim)
+
+            ax_to = to.get(ax_name)
+            if ax_to is None:
+                ax_to = ax.default_shifts[pos]
+
+            # trim/pad per valid position pair (reference grid.py:1131-1154)
+            if (pos == "center" and ax_to == "right") or (
+                pos == "left" and ax_to == "center"
+            ):
+                bw = {ax_name: (0, 0)}
+            elif (pos == "center" and ax_to == "left") or (
+                pos == "right" and ax_to == "center"
+            ):
+                data = data.isel({dim: slice(0, -1)})
+                bw = {ax_name: (1, 0)}
+            elif (pos == "center" and ax_to == "inner") or (
+                pos == "outer" and ax_to == "center"
+            ):
+                data = data.isel({dim: slice(0, -1)})
+                bw = {ax_name: (0, 0)}
+            elif (pos == "center" and ax_to == "outer") or (
+                pos == "inner" and ax_to == "center"
+            ):
+                bw = {ax_name: (1, 0)}
+            else:
+                raise ValueError(
+                    f"From `{pos}` to `{ax_to}` is not a valid position "
+                    f"shift for cumsum operation along axis {ax}."
+                )
+
+            padded = pad(
+                data=data,
+                grid=self,
+                boundary_width=bw,
+                boundary=boundary,
+                fill_value=fill_value,
+            )
+
+            new_dim = ax.coords[ax_to]
+            data = padded.rename_dims({dim: new_dim})
+
+            if ax_metric_weighted:
+                metric = self.get_metric(data, ax_metric_weighted)
+                data = data / metric
+
+        return data
+
+    # ----------------------------------------------------------- vector ops
+    def _apply_vector_function(self, function, vector, **kwargs):
+        """(reference grid.py:1192-1246)"""
+        if not (len(vector) == 2 and isinstance(vector, dict)):
+            raise ValueError(
+                "Input is expected to be a dictionary with two key/value pairs "
+                "which map grid axis to the vector component parallel to that axis"
+            )
+        warnings.warn(
+            "`interp_2d_vector` and `diff_2d_vector` will be removed from future "
+            "releases. The same functionality will be accessible under the "
+            "`Grid.diff` and `Grid.interp` methods.",
+            category=DeprecationWarning,
+        )
+
+        to = kwargs.get("to", "center")
+        if to != "center":
+            raise NotImplementedError(
+                "Only vector interpolation to cell center is implemented, "
+                f"but got to={to!r}"
+            )
+        for axis_name, component in vector.items():
+            position, _ = self.axes[axis_name]._get_position_name(component)
+            if position == "center":
+                raise NotImplementedError(
+                    "Only vector interpolation to cell center is implemented, "
+                    f"but vector {axis_name} component is defined at center "
+                    f"(dims: {component.dims!r})"
+                )
+
+        x_axis_name, y_axis_name = list(vector)
+        x_component = function(
+            {x_axis_name: vector[x_axis_name]},
+            x_axis_name,
+            other_component={y_axis_name: vector[y_axis_name]},
+            **kwargs,
+        )
+        y_component = function(
+            {y_axis_name: vector[y_axis_name]},
+            y_axis_name,
+            other_component={x_axis_name: vector[x_axis_name]},
+            **kwargs,
+        )
+        return {x_axis_name: x_component, y_axis_name: y_component}
+
+    def diff_2d_vector(self, vector, **kwargs):
+        """Difference a C-grid 2D vector (reference grid.py:1248-1267)."""
+        return self._apply_vector_function(self.diff, vector, **kwargs)
+
+    def interp_2d_vector(self, vector, **kwargs):
+        """Interpolate a C-grid 2D vector (reference grid.py:1269-1306)."""
+        return self._apply_vector_function(self.interp, vector, **kwargs)
+
+    # ----------------------------------------------- metric-weighted calculus
+    def derivative(self, da, axis, **kwargs):
+        """diff / metric (reference grid.py:1308-1352)."""
+        diff = self.diff(da, axis, **kwargs)
+        dx = self.get_metric(diff, (axis,))
+        return diff / dx
+
+    def integrate(self, da, axis, **kwargs):
+        """sum(da * metric) over the axis dims (reference grid.py:1354-1379).
+
+        NaNs in floating data are skipped, matching xarray's default
+        ``skipna=True`` sum semantics."""
+        weight = self.get_metric(da, axis)
+        weighted = da * weight
+        dim = self._get_dims_from_axis(da, axis)
+        if jnp.issubdtype(weighted.dtype, jnp.floating):
+            weighted = weighted.with_data(jnp.nan_to_num(weighted.data, nan=0.0))
+        return weighted.sum(dim, **kwargs)
+
+    def cumint(self, da, axis, **kwargs):
+        """cumsum(da * metric) (reference grid.py:1381-1426)."""
+        weight = self.get_metric(da, axis)
+        weighted = da * weight
+        return self.cumsum(weighted, axis, **kwargs)
+
+    def average(self, da, axis, **kwargs):
+        """NaN-aware weighted mean, matching xarray's ``weighted.mean``
+        semantics (reference grid.py:1428-1451)."""
+        weight = self.get_metric(da, axis)
+        dims = self._get_dims_from_axis(da, axis)
+        nan_mask = jnp.isnan(da.data)
+        da_filled = da.with_data(jnp.where(nan_mask, 0.0, da.data))
+        valid = da.with_data(jnp.where(nan_mask, 0.0, 1.0))
+        num = (da_filled * weight).sum(dims)
+        den = (valid * weight).sum(dims)
+        return num / den
+
+    # ----------------------------------------------------------- transform
+    def transform(self, da, axis, target, **kwargs):
+        """Vertical coordinate transform: linear / log / conservative remap
+        (reference grid.py:1453-1542 -> transform.py:279-512)."""
+        from ..ops.transform import transform
+
+        return transform(self, axis, da, target, **kwargs)
+
+
+def _select_grid_ufunc(funcname, signature: GridUFuncSignature, module, **kwargs):
+    """Pick the predefined GridUFunc by name prefix + signature equivalence
+    (reference grid.py:1545-1590)."""
+
+    def is_grid_ufunc(obj):
+        return isinstance(obj, GridUFunc)
+
+    all_predefined = inspect.getmembers(module, is_grid_ufunc)
+
+    name_matching = [f for name, f in all_predefined if name.startswith(funcname)]
+    if not name_matching:
+        raise NotImplementedError(
+            f"Could not find any pre-defined {funcname} grid ufuncs"
+        )
+
+    sig_matching = [f for f in name_matching if f.signature.equivalent(signature)]
+    if not sig_matching:
+        raise NotImplementedError(
+            f"Could not find any pre-defined {funcname} grid ufuncs with "
+            f"signature {signature}"
+        )
+    if len(sig_matching) > 1:
+        raise ValueError(
+            f"Function {funcname} with signature='{signature}' and "
+            f"kwargs={kwargs} is an ambiguous selection"
+        )
+    return sig_matching[0], kwargs

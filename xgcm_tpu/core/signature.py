@@ -1,0 +1,183 @@
+"""Grid-ufunc signatures: ``"(X:center)->(X:left)"``.
+
+Parses and compares gufunc-style signatures whose entries carry an xgcm axis
+*position* alongside a dummy axis name, reproducing the grammar and dummy-axis
+equivalence semantics of reference ``grid_ufunc.py:34-44`` and
+``grid_ufunc.py:148-363`` (string + ``typing.Annotated`` type-hint parsing,
+``equivalent()`` via canonical dummy renaming).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+__all__ = ["GridUFuncSignature", "parse_signature_string", "parse_signature_type_hints"]
+
+_POSITIONS = ("center", "left", "right", "inner", "outer")
+_AXIS_NAME = r"\w+"
+_AXIS_POSITION = "(?:" + "|".join(_POSITIONS) + ")"
+_PAIR = f"{_AXIS_NAME}:{_AXIS_POSITION}"
+_PAIR_LIST = f"(?:{_PAIR}(?:,{_PAIR})*,?)*"
+_ARGUMENT = rf"\({_PAIR_LIST}\)"
+_ARGUMENT_LIST = f"{_ARGUMENT}(?:,{_ARGUMENT})*"
+_SIGNATURE = f"^{_ARGUMENT_LIST}->{_ARGUMENT_LIST}$"
+
+AxPosList = List[Tuple[str, ...]]
+
+
+class GridUFuncSignature:
+    """Axes-and-positions signature of a grid ufunc.
+
+    Axis names in a signature are dummy variables bound to real grid axes at
+    call time; positions are literal.
+    """
+
+    def __init__(
+        self,
+        in_ax_names: AxPosList,
+        in_ax_positions: AxPosList,
+        out_ax_names: AxPosList,
+        out_ax_positions: AxPosList,
+    ):
+        if not in_ax_names or not in_ax_positions:
+            raise ValueError(
+                "At least one input argument of the Grid UFunc signature must "
+                "have axis names and positions"
+            )
+        self.in_ax_names = in_ax_names
+        self.in_ax_positions = in_ax_positions
+        self.out_ax_names = out_ax_names
+        self.out_ax_positions = out_ax_positions
+
+    @classmethod
+    def from_string(cls, signature: str) -> "GridUFuncSignature":
+        return cls(*parse_signature_string(signature))
+
+    @classmethod
+    def from_type_hints(cls, hints: Dict[str, Any]) -> "GridUFuncSignature":
+        return cls(*parse_signature_type_hints(hints))
+
+    def __str__(self) -> str:
+        def side(names: AxPosList, positions: AxPosList) -> str:
+            return ",".join(
+                "(" + ",".join(f"{n}:{p}" for n, p in zip(ns, ps)) + ")"
+                for ns, ps in zip(names, positions)
+            )
+
+        return (
+            side(self.in_ax_names, self.in_ax_positions)
+            + "->"
+            + side(self.out_ax_names, self.out_ax_positions)
+        )
+
+    def __repr__(self) -> str:
+        return f"GridUFuncSignature('{self}')"
+
+    def _canonical(self) -> str:
+        """Rewrite with dummy axis names replaced, in order of first
+        appearance, by a canonical enumeration — making equivalence an exact
+        string comparison."""
+        seen: Dict[str, str] = {}
+
+        def canon(names: AxPosList) -> AxPosList:
+            out = []
+            for arg in names:
+                new = []
+                for n in arg:
+                    if n not in seen:
+                        seen[n] = f"__ax{len(seen)}"
+                    new.append(seen[n])
+                out.append(tuple(new))
+            return out
+
+        c_in = canon(self.in_ax_names)
+        c_out = canon(self.out_ax_names)
+        return str(
+            GridUFuncSignature(c_in, self.in_ax_positions, c_out, self.out_ax_positions)
+        )
+
+    def equivalent(self, other: "GridUFuncSignature") -> bool:
+        """True if the signatures match up to a renaming of dummy axes
+        (positions must match exactly) — reference ``grid_ufunc.py:231-264``."""
+        return self._canonical() == other._canonical()
+
+    def __eq__(self, other):
+        if not isinstance(other, GridUFuncSignature):
+            return NotImplemented
+        return self.equivalent(other)
+
+    def __hash__(self):
+        return hash(self._canonical())
+
+
+def _parse_side(txt: str) -> Tuple[AxPosList, AxPosList]:
+    names: AxPosList = []
+    positions: AxPosList = []
+    for arg in re.findall(_ARGUMENT, txt):
+        pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", arg)
+        names.append(tuple(n for n, _ in pairs))
+        positions.append(tuple(p for _, p in pairs))
+    return names, positions
+
+
+def parse_signature_string(
+    signature: str,
+) -> Tuple[AxPosList, AxPosList, AxPosList, AxPosList]:
+    """Parse a string signature.  Axis names equal to a position name
+    (e.g. 'center') are not representable, same restriction as the
+    reference parser (grid_ufunc.py:267-275)."""
+    signature = signature.replace(" ", "")
+    if not re.match(_SIGNATURE, signature):
+        raise ValueError(f"Not a valid grid ufunc signature: {signature}")
+    in_txt, out_txt = signature.split("->")
+    in_names, in_pos = _parse_side(in_txt)
+    out_names, out_pos = _parse_side(out_txt)
+    return in_names, in_pos, out_names, out_pos
+
+
+def _unpack_return_hints(return_hint) -> list:
+    """A Tuple[...] return annotation means multiple outputs."""
+    if getattr(return_hint, "_name", None) == "Tuple":
+        return list(return_hint.__args__)
+    return [return_hint]
+
+
+def parse_signature_type_hints(
+    hints: Dict[str, Any],
+) -> Tuple[AxPosList, AxPosList, AxPosList, AxPosList]:
+    """Parse a signature from ``Annotated[np.ndarray, "X:center"]``-style type
+    hints, as obtained via ``typing.get_type_hints(f, include_extras=True)``
+    (reference ``grid_ufunc.py:305-363``)."""
+    hints = dict(hints)
+    return_hint = hints.pop("return", None)
+    if return_hint is None:
+        out_names: AxPosList = [()]
+        out_pos: AxPosList = [()]
+    else:
+        annotations = [
+            h.__metadata__[0]
+            for h in _unpack_return_hints(return_hint)
+            if hasattr(h, "__metadata__")
+        ]
+        out_names, out_pos = _parse_annotations(annotations)
+
+    in_annotations = [
+        h.__metadata__[0] for h in hints.values() if hasattr(h, "__metadata__")
+    ]
+    in_names, in_pos = _parse_annotations(in_annotations)
+
+    sig_str = str(GridUFuncSignature(in_names, in_pos, out_names, out_pos))
+    if not re.match(_SIGNATURE, sig_str):
+        raise ValueError(f"Not a valid grid ufunc signature: {sig_str}")
+    return in_names, in_pos, out_names, out_pos
+
+
+def _parse_annotations(annotations: List[str]) -> Tuple[AxPosList, AxPosList]:
+    names: AxPosList = []
+    positions: AxPosList = []
+    for arg in annotations:
+        pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", arg)
+        names.append(tuple(n for n, _ in pairs))
+        positions.append(tuple(p for _, p in pairs))
+    return names, positions

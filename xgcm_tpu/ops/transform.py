@@ -1,0 +1,407 @@
+"""Vertical coordinate transformation (depth -> density etc.).
+
+Replaces reference ``transform.py:15-512``.  The reference implements the two
+column kernels as numba ``@guvectorize`` loops; here they are vectorized JAX:
+
+* linear / log remap: per-column monotonicity flip + ``jnp.interp`` under
+  ``vmap`` (reference ``transform.py:15-85``);
+* conservative remap: the O(n*m) per-column accumulation loop
+  (reference ``transform.py:88-142``) is reformulated as a dense overlap-
+  weight tensor ``alpha[..., n, m]`` contracted against ``phi[..., n]`` with
+  an einsum — a batched matrix-vector product that XLA maps onto the MXU,
+  with identical NaN semantics (all-NaN cells skipped, single-NaN cells
+  treated as homogeneous, NaN phi excluded, untouched bins stay NaN).
+
+Everything is jit-/vmap-/shard-compatible; no per-column Python loops.
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dataarray import GriddedArray
+
+__all__ = [
+    "interp_1d_linear",
+    "interp_1d_conservative",
+    "linear_interpolation",
+    "conservative_interpolation",
+    "transform",
+]
+
+
+# ---------------------------------------------------------------------------
+# Low level kernels (raw arrays, act along the last axis)
+# ---------------------------------------------------------------------------
+
+
+def _column_flip(phi, theta):
+    """Flip columns whose theta decreases (first vs last non-NaN value),
+    branchlessly — reference transform.py:27-31."""
+    valid = ~jnp.isnan(theta)
+    n = theta.shape[-1]
+    first_idx = jnp.argmax(valid, axis=-1)
+    last_idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
+    first_val = jnp.take_along_axis(theta, first_idx[..., None], axis=-1)[..., 0]
+    last_val = jnp.take_along_axis(theta, last_idx[..., None], axis=-1)[..., 0]
+    flip = (last_val < first_val)[..., None]
+    theta = jnp.where(flip, theta[..., ::-1], theta)
+    phi = jnp.where(flip, phi[..., ::-1], phi)
+    return phi, theta
+
+
+def interp_1d_linear(
+    phi,
+    theta,
+    target_theta_levels,
+    mask_edges: bool = False,
+    bypass_checks: bool = False,
+    logarithmic: bool = False,
+):
+    """Vectorized interpolation of phi onto isosurfaces of theta along the
+    last axis (reference transform.py:44-85).
+
+    phi, theta : (..., n); target_theta_levels : (m,) or (..., m).
+    Returns (..., m).
+    """
+    phi = jnp.asarray(phi)
+    theta = jnp.asarray(theta)
+    target = jnp.asarray(target_theta_levels)
+
+    if logarithmic:
+        theta = jnp.log(theta)
+        target = jnp.log(target)
+
+    if not bypass_checks:
+        phi, theta = _column_flip(phi, theta)
+
+    lead_shape = jnp.broadcast_shapes(
+        phi.shape[:-1], theta.shape[:-1], target.shape[:-1]
+    )
+    n = phi.shape[-1]
+    m = target.shape[-1]
+    phi_b = jnp.broadcast_to(phi, lead_shape + (n,)).reshape(-1, n)
+    theta_b = jnp.broadcast_to(theta, lead_shape + (n,)).reshape(-1, n)
+    target_b = jnp.broadcast_to(target, lead_shape + (m,)).reshape(-1, m)
+
+    out = jax.vmap(jnp.interp)(target_b, theta_b, phi_b)
+
+    if mask_edges:
+        theta_max = jnp.nanmax(theta_b, axis=-1, keepdims=True)
+        theta_min = jnp.nanmin(theta_b, axis=-1, keepdims=True)
+        out = jnp.where(
+            (target_b < theta_min) | (target_b > theta_max), jnp.nan, out
+        )
+
+    return out.reshape(lead_shape + (m,))
+
+
+def _conservative_weights(theta_1, theta_2, theta_hat_1, theta_hat_2, phi_valid):
+    """Overlap-weight tensor alpha[..., n, m] plus contribution mask.
+
+    Reproduces the per-(cell, bin) logic of reference transform.py:96-142:
+    cell bounds sorted; a single-NaN bound makes the cell homogeneous at the
+    other bound; zero-thickness cells deposit their full phi into every bin
+    whose range contains them.
+    """
+    t1n = jnp.isnan(theta_1)
+    t2n = jnp.isnan(theta_2)
+    cell_empty = t1n & t2n
+    theta_min = jnp.where(t1n, theta_2, jnp.where(t2n, theta_1, jnp.minimum(theta_1, theta_2)))
+    theta_max = jnp.where(t1n, theta_2, jnp.where(t2n, theta_1, jnp.maximum(theta_1, theta_2)))
+
+    # broadcast cells (..., n, 1) against bins (m,)
+    tmin = theta_min[..., :, None]
+    tmax = theta_max[..., :, None]
+    th1 = theta_hat_1
+    th2 = theta_hat_2
+
+    no_overlap = (th1 > tmax) | (th2 < tmin)
+    degenerate = tmax == tmin
+
+    upper = jnp.minimum(tmax, th2)
+    lower = jnp.maximum(tmin, th1)
+    denom = jnp.where(degenerate, 1.0, tmax - tmin)
+    alpha = jnp.where(degenerate, 1.0, (upper - lower) / denom)
+
+    contributes = (
+        (~cell_empty[..., :, None]) & (~no_overlap) & phi_valid[..., :, None]
+    )
+    return jnp.where(contributes, alpha, 0.0), contributes
+
+
+def interp_1d_conservative(phi, theta, target_theta_bins):
+    """Conservatively rebin extensive quantity phi into theta bins along the
+    last axis (reference transform.py:145-191).
+
+    phi : (..., n); theta : (..., n+1) on cell bounds;
+    target_theta_bins : (m,) monotonic bin edges.  Returns (..., m-1).
+    """
+    phi = jnp.asarray(phi)
+    theta = jnp.asarray(theta)
+    target = np.asarray(target_theta_bins)
+
+    if phi.shape[-1] != theta.shape[-1] - 1:
+        raise ValueError(
+            "theta must be given on cell bounds: expected "
+            f"theta.shape[-1] == phi.shape[-1] + 1, got {theta.shape[-1]} "
+            f"vs {phi.shape[-1]}"
+        )
+    if target.ndim != 1:
+        raise ValueError("target_theta_bins must be 1D")
+
+    # flip decreasing targets (reference transform.py:173-181)
+    target_diff = np.diff(target)
+    if np.all(target_diff < 0):
+        flip_switch = True
+        target = target[::-1]
+    elif np.all(target_diff > 0):
+        flip_switch = False
+    else:
+        raise ValueError("Target values are not monotonic")
+
+    theta_1 = theta[..., :-1]
+    theta_2 = theta[..., 1:]
+    theta_hat_1 = jnp.asarray(target[:-1])
+    theta_hat_2 = jnp.asarray(target[1:])
+
+    phi_valid = ~jnp.isnan(phi)
+    alpha, contributes = _conservative_weights(
+        theta_1, theta_2, theta_hat_1, theta_hat_2, phi_valid
+    )
+
+    phi_filled = jnp.where(phi_valid, phi, 0.0)
+    # batched mat-vec: out[..., m] = sum_n alpha[..., n, m] * phi[..., n]
+    out = jnp.einsum(
+        "...nm,...n->...m", alpha, phi_filled, preferred_element_type=jnp.float32
+    ).astype(phi.dtype)
+    any_contrib = jnp.any(contributes, axis=-2)
+    out = jnp.where(any_contrib, out, jnp.nan)
+
+    if flip_switch:
+        out = out[..., ::-1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mid level: named-dimension wrappers
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_columns(grid, da: GriddedArray, theta: GriddedArray, dim, theta_dim):
+    """Align phi and theta over their shared non-core dims; core dim last."""
+    phi = da.move_dims_last([dim])
+    th = theta.move_dims_last([theta_dim])
+    lead = [d for d in phi.dims if d != dim]
+    th_lead = [d for d in th.dims if d != theta_dim]
+    # expand theta's data to phi's lead order (theta lead dims must be subset)
+    shape = []
+    for d in lead:
+        shape.append(th.sizes[d] if d in th_lead else 1)
+    ordered = [d for d in lead if d in th_lead] + [theta_dim]
+    th_t = th.transpose(*ordered)
+    theta_data = th_t.data.reshape(shape + [th.sizes[theta_dim]])
+    return phi, lead, theta_data
+
+
+def linear_interpolation(
+    phi: GriddedArray,
+    theta: GriddedArray,
+    target: GriddedArray,
+    phi_dim: str,
+    theta_dim: str,
+    target_dim: str,
+    grid=None,
+    suffix: str = "",
+    **kwargs,
+) -> GriddedArray:
+    """Named-dim wrapper for linear/log remap (reference transform.py:233-249)."""
+    phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
+
+    tgt = target.move_dims_last([target_dim])
+    tgt_lead = [d for d in tgt.dims if d != target_dim]
+    shape = [tgt.sizes[d] if d in tgt_lead else 1 for d in lead]
+    ordered = [d for d in lead if d in tgt_lead] + [target_dim]
+    tgt_data = tgt.transpose(*ordered).data.reshape(shape + [tgt.sizes[target_dim]])
+
+    out = interp_1d_linear(phi_t.data, theta_data, tgt_data, **kwargs)
+    name = (phi.name + suffix) if phi.name else None
+    return GriddedArray(out, lead + [target_dim], name=name)
+
+
+def conservative_interpolation(
+    phi: GriddedArray,
+    theta: GriddedArray,
+    target: GriddedArray,
+    phi_dim: str,
+    theta_dim: str,
+    target_dim: str,
+    grid=None,
+    suffix: str = "",
+) -> GriddedArray:
+    """Named-dim wrapper for conservative remap (reference
+    transform.py:252-276).  The output has ``len(target) - 1`` cells along
+    ``target_dim`` whose centres are the midpoints of the target bins."""
+    phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
+    out = interp_1d_conservative(phi_t.data, theta_data, np.asarray(target.data))
+    name = (phi.name + suffix) if phi.name else None
+    return GriddedArray(out, lead + [target_dim], name=name)
+
+
+# ---------------------------------------------------------------------------
+# High level: Grid.transform implementation (reference transform.py:279-512)
+# ---------------------------------------------------------------------------
+
+
+def transform(
+    grid,
+    axis_name: str,
+    da: GriddedArray,
+    target,
+    target_data: Optional[GriddedArray] = None,
+    target_dim: Optional[str] = None,
+    method: str = "linear",
+    mask_edges: bool = True,
+    bypass_checks: bool = False,
+    suffix: str = "_transformed",
+) -> GriddedArray:
+    """Convert an array of data to new 1D coordinates along `axis_name`.
+
+    Methods: ``linear`` (target = new cell centres; requires monotonic
+    target_data, auto-flipped), ``log`` (linear in log space), and
+    ``conservative`` (target = cell bounds, integral-conserving; requires
+    ``outer`` coordinates on the axis).  Semantics follow reference
+    ``transform.py:279-512``.
+    """
+    axis = grid.axes[axis_name]
+
+    if axis.boundary == "periodic":
+        raise ValueError(
+            "`transform` can only be used on axes that are non-periodic. Pass "
+            "`periodic=False` to `xgcm_tpu.Grid`."
+        )
+
+    for var_name, variable, allowed in [
+        ("da", da, (GriddedArray,)),
+        ("target", target, (GriddedArray, np.ndarray, jax.Array)),
+        ("target_data", target_data, (GriddedArray,)),
+    ]:
+        if not (isinstance(variable, allowed) or variable is None):
+            raise ValueError(
+                f"`{var_name}` needs to be a "
+                f"{' or '.join(str(a) for a in allowed)}. "
+                f"Found {type(variable)}"
+            )
+
+    def _handle_nameless_target_data(td):
+        if td.name is None:
+            warnings.warn(
+                "Input `target_data` has no name, but we need a name for the "
+                "transformed dimension. The name `TRANSFORMED_DIMENSION` will "
+                "be used. To avoid this warning, rename `target_data` before "
+                "calling `transform`."
+            )
+            return td.rename("TRANSFORMED_DIMENSION")
+        return td
+
+    def _check_other_dims(target_da):
+        da_other = set(da.dims) - set(axis.coords.values())
+        target_other = set(target_da.dims) - set(axis.coords.values())
+        if not target_other.issubset(da_other):
+            raise ValueError(
+                f"Found additional dimensions [{target_other - da_other}]"
+                "in `target_data` not found in `da`. This could mean that the "
+                "target array is not on the same position along other axes. "
+                "If the additional dimensions are associated with a staggered "
+                "axis, use grid.interp() to move values to other grid "
+                "position. If additional dimensions are not related to the "
+                "grid (e.g. climate model ensemble members or similar), "
+                "broadcast arrays before using transform."
+            )
+
+    def _parse_target(target, target_dim, target_data_dim, target_data):
+        if target_data is None:
+            target_data = grid._ds.coords.get(target_data_dim) or grid._ds[
+                target_data_dim
+            ]
+        if target_dim is None:
+            if isinstance(target, GriddedArray):
+                if len(target.dims) == 1:
+                    target_dim = target.dims[0]
+            else:
+                target_data = _handle_nameless_target_data(target_data)
+                target_dim = target_data.name
+        if not isinstance(target, GriddedArray):
+            target = GriddedArray(jnp.asarray(target), (target_dim,), name=target_dim)
+        if target_dim is None:
+            raise ValueError(
+                "`target_dim` must be given explicitly for multi-dimensional "
+                "targets."
+            )
+        _check_other_dims(target_data)
+        return target, target_dim, target_data
+
+    _, dim = axis._get_position_name(da)
+
+    if method in ("linear", "log"):
+        target, target_dim, target_data = _parse_target(
+            target, target_dim, dim, target_data
+        )
+        out = linear_interpolation(
+            da,
+            target_data,
+            target,
+            dim,
+            axis._get_position_name(target_data)[1],
+            target_dim,
+            grid=grid,
+            suffix=suffix,
+            mask_edges=mask_edges,
+            bypass_checks=bypass_checks,
+            logarithmic=(method == "log"),
+        )
+    elif method == "conservative":
+        if isinstance(target, GriddedArray) and len(target.dims) > 1:
+            raise NotImplementedError(
+                "Conservative transformation is not yet supported for "
+                "multi-dimensional targets."
+            )
+        try:
+            target_data_dim = axis.coords["outer"]
+        except KeyError:
+            raise RuntimeError(
+                "In order to use the method `conservative` the grid object "
+                "needs to have `outer` coordinates."
+            )
+        target, target_dim, target_data = _parse_target(
+            target, target_dim, target_data_dim, target_data
+        )
+        if target_data_dim not in target_data.dims:
+            warnings.warn(
+                "The `target data` input is not located on the cell bounds. "
+                "This method will continue with linear interpolation with "
+                "repeated boundary values. For most accurate results provide "
+                "values on cell bounds.",
+                UserWarning,
+            )
+            target_data = grid.interp(target_data, axis_name, boundary="extend")
+        out = conservative_interpolation(
+            da,
+            target_data,
+            target,
+            dim,
+            target_data_dim,
+            target_dim,
+            grid=grid,
+            suffix=suffix,
+        )
+    else:
+        raise ValueError(f"Unknown transform method {method!r}")
+
+    return out
