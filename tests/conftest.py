@@ -8,10 +8,6 @@ golden-value comparisons against numpy oracles are exact.
 
 import os
 
-# Must be set before jax initialises.  Assign (not setdefault): the CI image
-# pre-sets JAX_PLATFORMS=axon (the remote TPU), which would route every test
-# op through the device tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The CI image's sitecustomize imports jax and registers the remote-TPU
+# ("axon") backend before any user code runs, so JAX_PLATFORMS env settings
+# are too late — the config update below is the only thing that actually
+# forces tests onto the (8-virtual-device) CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,224 @@
+"""Multi-face topology tests, porting the behavioural expectations of
+reference test_faceconnections.py (2-face same-axis, rotated x->y, vector
+sign flips, cubed-sphere neighbour differences and halo contents)."""
+
+import numpy as np
+import pytest
+
+from xgcm_tpu import Dataset, Grid, GriddedArray
+from xgcm_tpu.core.padding import pad
+
+from .datasets import cubed_sphere_dataset
+
+N = 8
+
+
+@pytest.fixture()
+def ds():
+    return Dataset(
+        coords={
+            "x": ("x", np.arange(N, dtype=float), {"axis": "X"}),
+            "xl": (
+                "xl",
+                np.arange(N) - 0.5,
+                {"axis": "X", "c_grid_axis_shift": -0.5},
+            ),
+            "y": ("y", np.arange(N, dtype=float), {"axis": "Y"}),
+            "yl": (
+                "yl",
+                np.arange(N) - 0.5,
+                {"axis": "Y", "c_grid_axis_shift": -0.5},
+            ),
+            "face": ("face", np.arange(2)),
+        },
+        data_vars={
+            "data_c": (("face", "y", "x"), np.random.rand(2, N, N)),
+            "u": (("face", "xl", "y"), np.random.rand(2, N, N)),
+            "v": (("face", "x", "yl"), np.random.rand(2, N, N)),
+        },
+    )
+
+
+FC_XX = {"face": {0: {"X": (None, (1, "X", False))}, 1: {"X": ((0, "X", False), None)}}}
+FC_XY = {"face": {0: {"X": (None, (1, "Y", False))}, 1: {"Y": ((0, "X", False), None)}}}
+
+
+class TestConnectedGridCreation:
+    def test_create(self, ds):
+        grid = Grid(ds, face_connections=FC_XX)
+        xaxis = grid.axes["X"]
+        assert xaxis._facedim == "face"
+        assert xaxis._face_connections[0][1][0] == 1
+        assert xaxis._face_connections[0][1][1] is xaxis
+        assert xaxis._face_connections[1][0][0] == 0
+        assert xaxis._face_connections[1][0][1] is xaxis
+
+    def test_wrong_facedim(self, ds):
+        fc = {"notface": FC_XX["face"]}
+        with pytest.raises(ValueError, match="does not exist in the dataset"):
+            Grid(ds, face_connections=fc)
+
+    def test_inconsistent_link(self, ds):
+        fc = {
+            "face": {
+                0: {"X": (None, (1, "X", False))},
+                1: {"X": ((0, "X", True), None)},  # rev mismatch
+            }
+        }
+        with pytest.raises(ValueError, match="Face link mismatch"):
+            Grid(ds, face_connections=fc)
+
+
+class TestDiffInterpConnected:
+    def test_x_to_x(self, ds):
+        grid = Grid(ds, face_connections=FC_XX, periodic=False)
+        c = np.asarray(ds["data_c"].data)
+        diff_x = np.asarray(grid.diff(ds["data_c"], "X", boundary="fill").data)
+        interp_x = np.asarray(grid.interp(ds["data_c"], "X", boundary="fill").data)
+
+        # face1's left halo is face0's last column
+        np.testing.assert_allclose(diff_x[1, :, 0], c[1, :, 0] - c[0, :, -1])
+        np.testing.assert_allclose(
+            interp_x[1, :, 0], 0.5 * (c[1, :, 0] + c[0, :, -1])
+        )
+        # face0's left edge uses the fill BC
+        np.testing.assert_allclose(diff_x[0, :, 0], c[0, :, 0] - 0.0)
+        np.testing.assert_allclose(interp_x[0, :, 0], 0.5 * (c[0, :, 0] + 0.0))
+
+    def test_x_to_y_rotated(self, ds):
+        grid = Grid(ds, face_connections=FC_XY)
+        c = np.asarray(ds["data_c"].data)
+        diff_y = np.asarray(grid.diff(ds["data_c"], "Y", boundary="fill").data)
+        interp_y = np.asarray(grid.interp(ds["data_c"], "Y", boundary="fill").data)
+
+        # face1 bottom halo is face0's last column, reversed
+        np.testing.assert_allclose(
+            diff_y[1, 0, :].ravel(), c[1, 0, :].ravel() - c[0, ::-1, -1].ravel()
+        )
+        np.testing.assert_allclose(
+            interp_y[1, 0, :].ravel(),
+            0.5 * (c[1, 0, :].ravel() + c[0, ::-1, -1].ravel()),
+        )
+
+
+class TestVectorConnected:
+    @pytest.mark.parametrize("boundary", ["periodic", "fill"])
+    def test_tangential_sign_flip(self, ds, boundary):
+        """Reference test_faceconnections.py:206-240: v = +1 everywhere and
+        u = (-2, -1) per face; interpolating {Y: v} along X across the
+        swapped-axis connection must negate the partner u so all outputs
+        are exactly 1."""
+        grid = Grid(
+            ds,
+            face_connections=FC_XY,
+            boundary=boundary,
+            fill_value=1,
+            periodic=False,
+        )
+        u_mod = np.array([-2.0, -1.0])[:, None, None]
+        v_mod = np.array([1.0, 1.0])[:, None, None]
+        u = ds["u"].with_data(np.zeros((2, N, N)) + u_mod)
+        v = ds["v"].with_data(np.zeros((2, N, N)) + v_mod)
+
+        v_out = grid.interp({"Y": v}, "X", other_component={"X": u})
+        np.testing.assert_allclose(np.asarray(v_out.data), 1.0)
+
+    def test_vector_2d_interp_diff(self, ds):
+        grid = Grid(ds, face_connections=FC_XY)
+        u = np.asarray(ds["u"].data)
+        v = np.asarray(ds["v"].data)
+
+        vector_center = grid.interp_2d_vector(
+            {"X": ds["u"], "Y": ds["v"]}, to="center", boundary="fill",
+            fill_value=100,
+        )
+        u_c_interp = np.asarray(vector_center["X"].data)
+
+        vector_diff = grid.diff_2d_vector(
+            {"X": ds["u"], "Y": ds["v"]}, to="center", boundary="fill",
+            fill_value=100,
+        )
+        u_c_diff = np.asarray(vector_diff["X"].data)
+
+        # u dims are (face, xl, y); result (face, x, y)
+        # first point normal
+        np.testing.assert_allclose(
+            u_c_interp[0, 0, :], 0.5 * (u[0, 0, :] + u[0, 1, :])
+        )
+        np.testing.assert_allclose(u_c_diff[0, 0, :], u[0, 1, :] - u[0, 0, :])
+        # last point picks up the rotated partner component
+        np.testing.assert_allclose(
+            u_c_interp[0, -1, :], 0.5 * (u[0, -1, :] + v[1, ::-1, 0])
+        )
+        np.testing.assert_allclose(u_c_diff[0, -1, :], -u[0, -1, :] + v[1, ::-1, 0])
+
+    def test_vector_to_left_not_implemented(self, ds):
+        grid = Grid(ds, face_connections=FC_XY)
+        with pytest.raises(NotImplementedError):
+            grid.interp_2d_vector(
+                {"X": ds["v"], "Y": ds["u"]}, to="left", boundary="fill"
+            )
+
+    def test_missing_other_component(self, ds):
+        grid = Grid(ds, face_connections=FC_XY)
+        with pytest.raises(
+            ValueError, match="requires `other_component` input"
+        ):
+            grid.diff({"X": ds["u"]}, "X", other_component=None)
+
+
+class TestCubedSphere:
+    def test_create(self):
+        ds, fc = cubed_sphere_dataset()
+        Grid(ds, face_connections=fc)
+
+    def test_face_index_diff(self):
+        """Reference test_faceconnections.py:412-422: differencing the face
+        index across every connection gives hand-computed neighbour values."""
+        ds, fc = cubed_sphere_dataset(n=4)
+        grid = Grid(ds, face_connections=fc)
+        n = 4
+        face_field = GriddedArray(
+            np.broadcast_to(
+                np.arange(6, dtype=float)[:, None, None], (6, n, n)
+            ).copy(),
+            ("face", "y", "x"),
+        )
+        face_diff_x = np.asarray(grid.diff(face_field, "X").data)
+        np.testing.assert_allclose(face_diff_x[:, 0, 0], [-3, 1, 1, 1, 1, 2])
+        np.testing.assert_allclose(face_diff_x[:, -1, 0], [-3, 1, 1, 1, 1, 2])
+
+        face_diff_y = np.asarray(grid.diff(face_field, "Y").data)
+        np.testing.assert_allclose(face_diff_y[:, 0, 0], [-4, -3, -2, -1, 2, 5])
+        np.testing.assert_allclose(face_diff_y[:, 0, -1], [-4, -3, -2, -1, 2, 5])
+
+    def test_halo_contents_every_edge(self):
+        """Reference test_faceconnections.py:425-458 (GH #712 regression):
+        every connected halo cell must read the face the connection table
+        declares."""
+        ds, fc = cubed_sphere_dataset(n=4)
+        grid = Grid(ds, face_connections=fc)
+        nf, n = 6, 4
+        face_field = GriddedArray(
+            np.broadcast_to(
+                np.arange(nf, dtype=float)[:, None, None], (nf, n, n)
+            ).copy(),
+            ("face", "y", "x"),
+        )
+        padded = np.asarray(
+            pad(
+                face_field,
+                grid,
+                {"X": (1, 1), "Y": (1, 1)},
+                boundary={"X": "fill", "Y": "fill"},
+                fill_value=np.nan,
+            ).data
+        )
+        assert padded.shape == (nf, n + 2, n + 2)
+        for f in range(nf):
+            conn = fc["face"][f]
+            (left_x, right_x), (down_y, up_y) = conn["X"], conn["Y"]
+            np.testing.assert_array_equal(padded[f, 1:-1, 0], left_x[0])
+            np.testing.assert_array_equal(padded[f, 1:-1, -1], right_x[0])
+            np.testing.assert_array_equal(padded[f, 0, 1:-1], down_y[0])
+            np.testing.assert_array_equal(padded[f, -1, 1:-1], up_y[0])
