@@ -1,0 +1,265 @@
+"""Explicit halo exchange over a device mesh: shard_map + ppermute.
+
+This is the TPU-native replacement for the reference's
+``dask.array.map_overlap`` core-dim parallelism (reference
+``grid_ufunc.py:990-1066``): the spatial dimension is sharded over a mesh
+axis, each step exchanges a fixed-width halo with ring neighbours via
+``jax.lax.ppermute`` (nearest-neighbour traffic that maps directly onto the
+ICI ring), and the stencil kernel runs on the local block.
+
+Global boundary conditions are applied only on the edge shards, selected
+branchlessly by ``lax.axis_index``:
+
+* periodic — nothing special: the ppermute ring *is* the periodic BC;
+* fill     — edge shard overwrites its incoming halo with ``fill_value``;
+* extend   — edge shard overwrites it with its own edge value.
+
+Like the reference's map_overlap path (grid_ufunc.py:1069-1092), only
+length-preserving position pairs (center/left/right) are supported when the
+core dim is sharded; inner/outer change the array length and would break the
+uniform-shard invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax import shard_map
+
+from ..core.dataarray import GriddedArray
+from ..core.grid import Grid, _select_grid_ufunc
+from ..core import gridops
+from .mesh import partition_spec
+
+__all__ = ["ring_halo_pad", "sharded_op", "sharded_cumsum"]
+
+# position pairs that keep the array length (shardable), with their pad widths
+_SHARDABLE_WIDTHS = {
+    ("center", "left"): (1, 0),
+    ("left", "center"): (0, 1),
+    ("center", "right"): (0, 1),
+    ("right", "center"): (1, 0),
+}
+
+
+def ring_halo_pad(
+    x: jax.Array,
+    axis: int,
+    widths: Tuple[int, int],
+    mesh_axis: str,
+    boundary: Optional[str],
+    fill_value: float = 0.0,
+) -> jax.Array:
+    """Pad a locally-sharded block with halos from ring neighbours.
+
+    Must be called inside ``shard_map``.  ``x`` is the local block; the
+    returned block has ``widths[0] + n_local + widths[1]`` elements along
+    ``axis``.
+    """
+    lw, rw = widths
+    if lw == 0 and rw == 0:
+        return x
+    n = lax.axis_size(mesh_axis)
+    idx = lax.axis_index(mesh_axis)
+    parts = []
+
+    def take(arr, sl):
+        index = [slice(None)] * arr.ndim
+        index[axis] = sl
+        return arr[tuple(index)]
+
+    if lw:
+        my_right_edge = take(x, slice(-lw, None))
+        # left halo <- left neighbour's right edge: shift data rightwards
+        from_left = lax.ppermute(
+            my_right_edge, mesh_axis, [(i, (i + 1) % n) for i in range(n)]
+        )
+        if boundary in ("periodic", None):
+            halo_l = from_left
+        elif boundary == "fill":
+            halo_l = jnp.where(idx == 0, jnp.full_like(from_left, fill_value), from_left)
+        elif boundary == "extend":
+            edge = take(x, slice(0, 1))
+            repeat = jnp.broadcast_to(edge, from_left.shape)
+            halo_l = jnp.where(idx == 0, repeat, from_left)
+        else:
+            raise ValueError(f"unknown boundary {boundary!r}")
+        parts.append(halo_l)
+
+    parts.append(x)
+
+    if rw:
+        my_left_edge = take(x, slice(0, rw))
+        from_right = lax.ppermute(
+            my_left_edge, mesh_axis, [(i, (i - 1) % n) for i in range(n)]
+        )
+        if boundary in ("periodic", None):
+            halo_r = from_right
+        elif boundary == "fill":
+            halo_r = jnp.where(
+                idx == n - 1, jnp.full_like(from_right, fill_value), from_right
+            )
+        elif boundary == "extend":
+            edge = take(x, slice(-1, None))
+            repeat = jnp.broadcast_to(edge, from_right.shape)
+            halo_r = jnp.where(idx == n - 1, repeat, from_right)
+        else:
+            raise ValueError(f"unknown boundary {boundary!r}")
+        parts.append(halo_r)
+
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _resolve(grid: Grid, da: GriddedArray, axis_name: str, to, boundary, fill_value):
+    ax = grid.axes[axis_name]
+    from_pos, dim = ax._get_position_name(da)
+    to_pos = to or ax.default_shifts[from_pos]
+    if (from_pos, to_pos) not in _SHARDABLE_WIDTHS:
+        raise NotImplementedError(
+            f"Cannot shard along a core dimension for the position shift "
+            f"{from_pos}->{to_pos}; only length-preserving shifts "
+            f"(center/left/right) are supported, like the reference's "
+            f"map_overlap restriction (grid_ufunc.py:1069-1092)."
+        )
+    widths = _SHARDABLE_WIDTHS[(from_pos, to_pos)]
+    bc = boundary if boundary is not None else ax.boundary
+    fv = fill_value if fill_value is not None else ax.fill_value
+    out_dim = ax.coords[to_pos]
+    return from_pos, to_pos, dim, out_dim, widths, bc, fv
+
+
+def _stencil(funcname: str, a: jax.Array, axis: int) -> jax.Array:
+    """Apply the 2-point stencil along `axis` of a padded block."""
+    lo = lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)
+    hi = lax.slice_in_dim(a, 1, a.shape[axis], axis=axis)
+    if funcname == "diff":
+        return hi - lo
+    if funcname == "interp":
+        return (hi + lo) * 0.5
+    if funcname == "min":
+        return jnp.minimum(hi, lo)
+    if funcname == "max":
+        return jnp.maximum(hi, lo)
+    raise ValueError(funcname)
+
+
+def sharded_op(
+    grid: Grid,
+    funcname: str,
+    da: GriddedArray,
+    axis_name: str,
+    mesh: Mesh,
+    dim_to_mesh_axis: Mapping[str, str],
+    to: Optional[str] = None,
+    boundary: Optional[str] = None,
+    fill_value: Optional[float] = None,
+) -> GriddedArray:
+    """Apply a 1D grid op with the core dim sharded over the mesh.
+
+    ``dim_to_mesh_axis`` maps array dims to mesh axes; the core dim's entry
+    selects the mesh axis used for the halo ring.  Dims not in the mapping
+    are replicated.  Result equals the single-device ``grid.<funcname>``.
+    """
+    from_pos, to_pos, dim, out_dim, widths, bc, fv = _resolve(
+        grid, da, axis_name, to, boundary, fill_value
+    )
+    axis_num = da.get_axis_num(dim)
+    mesh_axis = dim_to_mesh_axis.get(dim)
+
+    in_spec = partition_spec(da.dims, dim_to_mesh_axis)
+    out_dims = tuple(out_dim if d == dim else d for d in da.dims)
+    out_spec = partition_spec(
+        out_dims, {**dim_to_mesh_axis, out_dim: dim_to_mesh_axis.get(dim)}
+    )
+
+    if mesh_axis is None:
+        # core dim not sharded: plain jit does the right thing already
+        result = getattr(grid, funcname)(
+            da, axis_name, to=to, boundary=boundary, fill_value=fill_value
+        )
+        return result
+
+    def local(block):
+        padded = ring_halo_pad(block, axis_num, widths, mesh_axis, bc, fv)
+        return _stencil(funcname, padded, axis_num)
+
+    f = shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    return GriddedArray(f(da.data), out_dims, name=da.name)
+
+
+def sharded_cumsum(
+    grid: Grid,
+    da: GriddedArray,
+    axis_name: str,
+    mesh: Mesh,
+    dim_to_mesh_axis: Mapping[str, str],
+    to: Optional[str] = None,
+    boundary: Optional[str] = None,
+    fill_value: Optional[float] = None,
+) -> GriddedArray:
+    """Sharded position-shifting cumsum.
+
+    The local prefix sum runs per shard; shard offsets come from an
+    ``all_gather`` of block totals (log-depth over ICI).  The position
+    trim/pad (reference grid.py:1131-1154) becomes a one-element halo shift.
+    The reference could not parallelise cumsum at all (grid.py:682-684).
+    """
+    ax = grid.axes[axis_name]
+    from_pos, dim = ax._get_position_name(da)
+    to_pos = to or ax.default_shifts[from_pos]
+    if (from_pos, to_pos) not in (
+        ("center", "right"),
+        ("left", "center"),
+        ("center", "left"),
+        ("right", "center"),
+    ):
+        raise NotImplementedError(
+            f"sharded cumsum supports only length-preserving shifts, "
+            f"got {from_pos}->{to_pos}"
+        )
+    bc = boundary if boundary is not None else ax.boundary
+    fv = fill_value if fill_value is not None else ax.fill_value
+    axis_num = da.get_axis_num(dim)
+    mesh_axis = dim_to_mesh_axis.get(dim)
+    out_dim = ax.coords[to_pos]
+    out_dims = tuple(out_dim if d == dim else d for d in da.dims)
+
+    if mesh_axis is None:
+        return grid.cumsum(
+            da, axis_name, to=to, boundary=boundary, fill_value=fill_value
+        )
+
+    in_spec = partition_spec(da.dims, dim_to_mesh_axis)
+    out_spec = partition_spec(
+        out_dims, {**dim_to_mesh_axis, out_dim: dim_to_mesh_axis.get(dim)}
+    )
+    shift = (from_pos, to_pos) in (("center", "left"), ("right", "center"))
+
+    def local(block):
+        idx = lax.axis_index(mesh_axis)
+        n = lax.axis_size(mesh_axis)
+        local_cs = jnp.cumsum(block, axis=axis_num)
+        total = lax.slice_in_dim(
+            local_cs, local_cs.shape[axis_num] - 1, local_cs.shape[axis_num],
+            axis=axis_num,
+        )
+        totals = lax.all_gather(total, mesh_axis)  # (n, ..., 1, ...)
+        ranks = jnp.arange(n)
+        mask = (ranks < idx).astype(block.dtype)
+        offset = jnp.tensordot(mask, totals, axes=(0, 0))
+        data = local_cs + offset
+        if shift:
+            # result = [bc-element, global_cumsum[:-1]]: shift right by one
+            padded = ring_halo_pad(data, axis_num, (1, 0), mesh_axis, bc, fv)
+            data = lax.slice_in_dim(
+                padded, 0, padded.shape[axis_num] - 1, axis=axis_num
+            )
+        return data
+
+    f = shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    return GriddedArray(f(da.data), out_dims, name=da.name)

@@ -1,0 +1,66 @@
+"""Device-mesh helpers.
+
+The reference's distribution model is dask chunking (SURVEY.md §2 #16-#19);
+xgcm_tpu distributes through ``jax.sharding``: build a Mesh, shard gridded
+arrays by mapping *dimension names* to mesh axes, and either
+
+* just ``jit`` the grid ops — XLA's SPMD partitioner inserts the halo
+  collectives automatically (the "broadcast-dim parallel" and simple
+  domain-decomposition cases), or
+* use :mod:`xgcm_tpu.parallel.halo` for the explicit ``shard_map`` +
+  ``ppermute`` fast path over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..core.dataarray import GriddedArray
+
+__all__ = ["make_mesh", "partition_spec", "shard_gridded", "replicate"]
+
+
+def make_mesh(axes: Mapping[str, int], devices=None) -> Mesh:
+    """Create a Mesh with named axes, e.g. ``make_mesh({"x": 4, "batch": 2})``.
+
+    Uses all available devices by default; total mesh size must divide the
+    device count evenly (trailing devices are dropped if needed).
+    """
+    if devices is None:
+        devices = jax.devices()
+    size = int(np.prod(list(axes.values())))
+    if size > len(devices):
+        raise ValueError(
+            f"mesh {dict(axes)} needs {size} devices but only "
+            f"{len(devices)} available"
+        )
+    dev_array = np.array(devices[:size]).reshape(tuple(axes.values()))
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def partition_spec(
+    dims: Sequence[str], dim_to_mesh_axis: Mapping[str, str]
+) -> PartitionSpec:
+    """PartitionSpec for an array with named dims, given a dim->mesh-axis map."""
+    return PartitionSpec(*(dim_to_mesh_axis.get(d) for d in dims))
+
+
+def shard_gridded(
+    garr: GriddedArray,
+    mesh: Mesh,
+    dim_to_mesh_axis: Mapping[str, str],
+) -> GriddedArray:
+    """Place a GriddedArray onto the mesh, sharding the named dims."""
+    spec = partition_spec(garr.dims, dim_to_mesh_axis)
+    sharding = NamedSharding(mesh, spec)
+    return garr.with_data(jax.device_put(garr.data, sharding))
+
+
+def replicate(garr: GriddedArray, mesh: Mesh) -> GriddedArray:
+    """Fully replicate a GriddedArray over the mesh."""
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return garr.with_data(jax.device_put(garr.data, sharding))
