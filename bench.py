@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""xgcm_tpu benchmark harness.
+
+Measures the BASELINE.json headline workload — C-grid relative vorticity
+(diff + metric ops) — plus the vertical transform, on the default JAX
+backend (the real TPU under the driver), and compares against a single-core
+numpy implementation of the identical arithmetic (the reference xgcm's
+compute core is numpy slice arithmetic; xarray/dask are not installed in
+this image, so the numpy path stands in for the reference per BASELINE.md).
+
+Timing methodology: K applications are chained inside one jitted
+``lax.fori_loop`` (each iteration's input depends on the previous output),
+so a single dispatch covers K kernel executions — per-call host/tunnel RPC
+latency does not pollute the measurement.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "detail": ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+K = 30  # chained iterations per timed dispatch
+
+
+def numpy_vorticity(u, v, inv_dx, inv_dy):
+    """Reference-equivalent numpy path: two padded diffs + arithmetic,
+    mirroring xgcm's diff_center_to_left kernel (gridops.py:23-29) with
+    periodic padding."""
+    vp = np.concatenate([v[:, -1:], v], axis=1)
+    dvdx = vp[:, 1:] - vp[:, :-1]
+    up = np.concatenate([u[-1:, :], u], axis=0)
+    dudy = up[1:, :] - up[:-1, :]
+    return dvdx * inv_dx[None, :] - dudy * inv_dy[:, None]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import xgcm_tpu as xt
+    from xgcm_tpu.ops import pallas_stencils as ps
+
+    backend = jax.default_backend()
+
+    ny, nx = 4096, 4096
+    rng = np.random.RandomState(0)
+    u_np = rng.rand(ny, nx).astype(np.float32)
+    v_np = rng.rand(ny, nx).astype(np.float32)
+    inv_dx_np = (rng.rand(nx) + 1.0).astype(np.float32)
+    inv_dy_np = (rng.rand(ny) + 1.0).astype(np.float32)
+
+    u = jnp.asarray(u_np)
+    v = jnp.asarray(v_np)
+    inv_dx = jnp.asarray(inv_dx_np)
+    inv_dy = jnp.asarray(inv_dy_np)
+
+    # --- framework path: vorticity through the public Grid API ---
+    ds = xt.Dataset(
+        coords={
+            "xc": ("xc", np.arange(nx, dtype=np.float32)),
+            "xg": ("xg", np.arange(nx, dtype=np.float32)),
+            "yc": ("yc", np.arange(ny, dtype=np.float32)),
+            "yg": ("yg", np.arange(ny, dtype=np.float32)),
+        }
+    )
+    grid = xt.Grid(
+        ds,
+        coords={
+            "X": {"center": "xc", "left": "xg"},
+            "Y": {"center": "yc", "left": "yg"},
+        },
+        autoparse_metadata=False,
+    )
+
+    def api_vorticity(u, v, ix, iy):
+        # C-grid velocities: u on (yc, xg), v on (yg, xc); both diffs land
+        # on the vorticity corner point (yg, xg)
+        uu = xt.GriddedArray(u, ("yc", "xg"))
+        vv = xt.GriddedArray(v, ("yg", "xc"))
+        dvdx = grid.diff(vv, "X")
+        dudy = grid.diff(uu, "Y")
+        gix = xt.GriddedArray(ix, ("xg",))
+        giy = xt.GriddedArray(iy, ("yg",))
+        return (dvdx * gix - dudy * giy).data
+
+    def chained(vort_fn):
+        @jax.jit
+        def run(u, v, ix, iy):
+            def body(_, uu):
+                z = vort_fn(uu, v, ix, iy)
+                return uu + jnp.float32(1e-20) * z
+            return jnp.sum(jax.lax.fori_loop(0, K, body, u))
+        return run
+
+    def time_chained(f, *args):
+        float(f(*args))  # compile + sync
+        t0 = time.perf_counter()
+        float(f(*args))
+        return (time.perf_counter() - t0) / K
+
+    t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy)
+
+    # --- fused Pallas kernel (TPU only) ---
+    t_pallas = None
+    if ps.supports_pallas(u, v):
+        try:
+            zp = ps.fused_vorticity(u, v, inv_dx, inv_dy)
+            za = jax.jit(api_vorticity)(u, v, inv_dx, inv_dy)
+            if float(jnp.max(jnp.abs(zp - za))) < 1e-4:
+                t_pallas = time_chained(
+                    chained(lambda a, b, c, d: ps.fused_vorticity(a, b, c, d)),
+                    u, v, inv_dx, inv_dy,
+                )
+        except Exception:
+            t_pallas = None
+
+    t_best = min(x for x in (t_api, t_pallas) if x is not None)
+    gps = ny * nx / t_best
+
+    # --- numpy baseline (reference-equivalent, this host's CPU) ---
+    n_base = 2048
+    ub, vb = u_np[:n_base, :n_base], v_np[:n_base, :n_base]
+    ixb, iyb = inv_dx_np[:n_base], inv_dy_np[:n_base]
+    numpy_vorticity(ub, vb, ixb, iyb)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        numpy_vorticity(ub, vb, ixb, iyb)
+    t_numpy = (time.perf_counter() - t0) / reps
+    gps_numpy = n_base * n_base / t_numpy
+
+    # --- secondary: vertical transform (linear, 50 -> 36 levels) ---
+    from xgcm_tpu.ops.transform import interp_1d_linear
+
+    nz, ncol = 50, 512 * 512
+    theta = jnp.asarray(
+        np.sort(rng.rand(ncol, nz).astype(np.float32), axis=-1) * 30
+    )
+    phi = jnp.asarray(rng.rand(ncol, nz).astype(np.float32))
+    targets = jnp.asarray(np.linspace(1, 29, 36).astype(np.float32))
+
+    @jax.jit
+    def tr_chained(p, t, tt):
+        def body(_, carry):
+            pp, acc = carry
+            out = interp_1d_linear(pp, t, tt, mask_edges=True)
+            return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
+        _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
+        return acc
+
+    float(tr_chained(phi, theta, targets))
+    t0 = time.perf_counter()
+    float(tr_chained(phi, theta, targets))
+    t_tr = (time.perf_counter() - t0) / K
+    transform_gps = ncol * nz / t_tr
+
+    result = {
+        "metric": (
+            "C-grid vorticity throughput, 4096x4096 f32, "
+            f"{backend} (best of Grid-API jit / fused Pallas)"
+        ),
+        "value": round(gps / 1e9, 3),
+        "unit": "Ggridpoints/s",
+        "vs_baseline": round(gps / gps_numpy, 2),
+        "detail": {
+            "api_ms_per_iter": round(t_api * 1e3, 4),
+            "pallas_ms_per_iter": (
+                round(t_pallas * 1e3, 4) if t_pallas else None
+            ),
+            "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
+            "transform_linear_Ggps": round(transform_gps / 1e9, 3),
+            "backend": backend,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Pallas kernel correctness in interpreter mode (compiled-mode equivalence
+with the XLA path is additionally checked on real TPU hardware by bench.py)."""
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import jax.numpy as jnp
+
+from xgcm_tpu.ops import pallas_stencils as ps
+
+
+def ref_vorticity(u, v, ix, iy):
+    return (v - np.roll(v, 1, 1)) * ix[None, :] - (u - np.roll(u, 1, 0)) * iy[:, None]
+
+
+class TestFusedVorticity:
+    @pytest.mark.parametrize("shape", [(16, 128), (64, 256), (40, 384)])
+    def test_matches_reference(self, shape):
+        ny, nx = shape
+        rng = np.random.RandomState(0)
+        u = rng.rand(ny, nx).astype(np.float32)
+        v = rng.rand(ny, nx).astype(np.float32)
+        ix = (rng.rand(nx) + 1).astype(np.float32)
+        iy = (rng.rand(ny) + 1).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            z = ps.fused_vorticity(
+                u, v, jnp.asarray(ix), jnp.asarray(iy), tile_rows=8
+            )
+        np.testing.assert_allclose(
+            np.asarray(z), ref_vorticity(u, v, ix, iy), atol=1e-5
+        )
+
+
+class TestShiftOp:
+    @pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
+    @pytest.mark.parametrize("bc", ["periodic", "fill", "extend"])
+    @pytest.mark.parametrize("direction", ["left", "right"])
+    def test_matches_reference(self, op, bc, direction):
+        ny, nx = 32, 256
+        rng = np.random.RandomState(1)
+        x = rng.rand(ny, nx).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(
+                ps.shift_op(
+                    x, op=op, direction=direction, bc=bc, fill_value=3.0,
+                    tile_rows=8,
+                )
+            )
+        if direction == "left":
+            nb = np.roll(x, 1, axis=1)
+            if bc == "fill":
+                nb[:, 0] = 3.0
+            if bc == "extend":
+                nb[:, 0] = x[:, 0]
+            expected = {
+                "diff": x - nb,
+                "interp": (x + nb) / 2,
+                "min": np.minimum(x, nb),
+                "max": np.maximum(x, nb),
+            }[op]
+        else:
+            nb = np.roll(x, -1, axis=1)
+            if bc == "fill":
+                nb[:, -1] = 3.0
+            if bc == "extend":
+                nb[:, -1] = x[:, -1]
+            expected = {
+                "diff": nb - x,
+                "interp": (x + nb) / 2,
+                "min": np.minimum(x, nb),
+                "max": np.maximum(x, nb),
+            }[op]
+        np.testing.assert_allclose(out, expected)
+
+
+def test_supports_pallas_gating():
+    x = jnp.zeros((16, 128), jnp.float32)
+    bad_lanes = jnp.zeros((16, 100), jnp.float32)
+    bad_dtype = jnp.zeros((16, 128), jnp.int32)
+    # on CPU backend everything is unsupported
+    assert not ps.supports_pallas(bad_lanes)
+    assert not ps.supports_pallas(bad_dtype)

@@ -1,0 +1,208 @@
+"""COMODO / SGRID metadata parser tests (mirrors reference
+test_metadata_parsers.py + parser behaviour embedded in test_grid.py)."""
+
+import numpy as np
+import pytest
+
+from xgcm_tpu import Dataset, Grid
+from xgcm_tpu.parsers import comodo, metadata, sgrid
+
+
+def comodo_ds():
+    n = 6
+    return Dataset(
+        coords={
+            "XC": ("XC", np.arange(n) + 0.5, {"axis": "X"}),
+            "XG": ("XG", np.arange(n) * 1.0, {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "YC": ("YC", np.arange(n) + 0.5, {"axis": "Y"}),
+            "YR": ("YR", np.arange(n) + 1.0, {"axis": "Y", "c_grid_axis_shift": 0.5}),
+            "ZC": ("ZC", np.arange(n) + 0.5, {"axis": "Z"}),
+            "ZO": ("ZO", np.arange(n + 1) * 1.0, {"axis": "Z", "c_grid_axis_shift": -0.5}),
+        }
+    )
+
+
+class TestComodo:
+    def test_get_all_axes(self):
+        assert comodo.get_all_axes(comodo_ds()) == {"X", "Y", "Z"}
+
+    def test_positions(self):
+        ds = comodo_ds()
+        assert comodo.get_axis_positions_and_coords(ds, "X") == {
+            "center": "XC",
+            "left": "XG",
+        }
+        assert comodo.get_axis_positions_and_coords(ds, "Y") == {
+            "center": "YC",
+            "right": "YR",
+        }
+        # length n+1 -> outer regardless of shift value
+        assert comodo.get_axis_positions_and_coords(ds, "Z") == {
+            "center": "ZC",
+            "outer": "ZO",
+        }
+
+    def test_inner_detection(self):
+        n = 6
+        ds = Dataset(
+            coords={
+                "ZC": ("ZC", np.arange(n) + 0.5, {"axis": "Z"}),
+                "ZI": (
+                    "ZI",
+                    np.arange(n - 1) + 1.0,
+                    {"axis": "Z", "c_grid_axis_shift": -0.5},
+                ),
+            }
+        )
+        assert comodo.get_axis_positions_and_coords(ds, "Z") == {
+            "center": "ZC",
+            "inner": "ZI",
+        }
+
+    def test_no_center_raises(self):
+        n = 4
+        ds = Dataset(
+            coords={
+                "XG": ("XG", np.arange(n) * 1.0, {"axis": "X", "c_grid_axis_shift": -0.5}),
+            }
+        )
+        with pytest.raises(ValueError, match="center coordinate"):
+            comodo.get_axis_positions_and_coords(ds, "X")
+
+    def test_two_centers_raises(self):
+        n = 4
+        ds = Dataset(
+            coords={
+                "A": ("A", np.arange(n) * 1.0, {"axis": "X"}),
+                "B": ("B", np.arange(n) * 1.0, {"axis": "X"}),
+            }
+        )
+        with pytest.raises(ValueError, match="two coordinates without"):
+            comodo.get_axis_positions_and_coords(ds, "X")
+
+    def test_grid_autoparse(self):
+        grid = Grid(comodo_ds())
+        assert set(grid.axes) == {"X", "Y", "Z"}
+        assert grid.axes["X"].coords == {"center": "XC", "left": "XG"}
+
+    def test_autoparse_conflict_with_user_coords(self):
+        with pytest.raises(ValueError, match="conflict with"):
+            Grid(comodo_ds(), coords={"X": {"center": "XC"}})
+
+
+def sgrid_2d_ds():
+    nx, ny = 5, 4
+    return Dataset(
+        coords={
+            "node_x": ("node_x", np.arange(nx + 1) * 1.0),
+            "node_y": ("node_y", np.arange(ny + 1) * 1.0),
+            "cell_x": ("cell_x", np.arange(nx) + 0.5),
+            "cell_y": ("cell_y", np.arange(ny) + 0.5),
+        },
+        data_vars={
+            "grid": (
+                (),
+                np.array(0),
+                {
+                    "cf_role": "grid_topology",
+                    "topology_dimension": 2,
+                    "node_dimensions": "node_x node_y",
+                    "face_dimensions": (
+                        "cell_x: node_x (padding: none) "
+                        "cell_y: node_y (padding: none)"
+                    ),
+                },
+            )
+        },
+        attrs={"Conventions": "SGRID-0.3.0"},
+    )
+
+
+class TestSgrid:
+    def test_detection(self):
+        assert sgrid.assert_valid_sgrid(sgrid_2d_ds())
+        assert not sgrid.assert_valid_sgrid(comodo_ds())
+
+    def test_get_grid_variable(self):
+        assert sgrid.get_sgrid_grid(sgrid_2d_ds()) == "grid"
+
+    def test_axes(self):
+        assert sgrid.get_all_axes(sgrid_2d_ds()) == {"X", "Y"}
+
+    def test_positions(self):
+        ds = sgrid_2d_ds()
+        assert sgrid.get_axis_positions_and_coords(ds, "X") == {
+            "center": "cell_x",
+            "outer": "node_x",
+        }
+        assert sgrid.get_axis_positions_and_coords(ds, "Y") == {
+            "center": "cell_y",
+            "outer": "node_y",
+        }
+
+    def test_padding_types(self):
+        for pad, pos, n_node in [
+            ("low", "right", 4),
+            ("high", "left", 4),
+            ("both", "inner", 3),
+            ("none", "outer", 5),
+        ]:
+            ds = Dataset(
+                coords={
+                    "nodes": ("nodes", np.arange(n_node) * 1.0),
+                    "cells": ("cells", np.arange(4) + 0.5),
+                },
+                data_vars={
+                    "grid": (
+                        (),
+                        np.array(0),
+                        {
+                            "cf_role": "grid_topology",
+                            "topology_dimension": 1,
+                            "node_dimensions": "nodes",
+                            "face_dimensions": f"cells: nodes (padding: {pad})",
+                        },
+                    )
+                },
+                attrs={"Conventions": "SGRID"},
+            )
+            assert sgrid.get_axis_positions_and_coords(ds, "X") == {
+                "center": "cells",
+                pos: "nodes",
+            }
+
+    def test_grid_autoparse_sgrid(self):
+        grid = Grid(sgrid_2d_ds())
+        assert set(grid.axes) == {"X", "Y"}
+        assert grid.axes["X"].coords["center"] == "cell_x"
+
+    def test_bad_topology_dimension(self):
+        ds = sgrid_2d_ds()
+        ds["grid"].attrs["topology_dimension"] = 4
+        with pytest.raises(ValueError, match="1-3 spatial dimensions"):
+            sgrid.get_all_axes(ds)
+
+    def test_vertical_dimensions(self):
+        ds = sgrid_2d_ds()
+        ds["grid"].attrs["vertical_dimensions"] = "zc: zo (padding: none)"
+        assert sgrid.get_all_axes(ds) == {"X", "Y", "Z"}
+        assert sgrid.get_axis_positions_and_coords(ds, "Z") == {
+            "center": "zc",
+            "outer": "zo",
+        }
+
+
+class TestDispatch:
+    def test_sgrid_takes_precedence(self):
+        ds = sgrid_2d_ds()
+        _, kwargs = metadata.parse_metadata(ds)
+        assert "coords" in kwargs and "X" in kwargs["coords"]
+
+    def test_comodo_fallback(self):
+        _, kwargs = metadata.parse_metadata(comodo_ds())
+        assert set(kwargs["coords"]) == {"X", "Y", "Z"}
+
+    def test_plain_dataset_empty_coords(self):
+        ds = Dataset(coords={"x": ("x", np.arange(4) * 1.0)})
+        _, kwargs = metadata.parse_metadata(ds)
+        assert kwargs == {"coords": {}}

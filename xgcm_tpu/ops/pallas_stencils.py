@@ -1,0 +1,190 @@
+"""Fused Pallas TPU kernels for the hot stencil ops.
+
+The XLA path (:mod:`xgcm_tpu.ops.stencils` under jit) is the always-correct
+reference; these kernels exist to hit HBM speed-of-light on the benchmark
+workloads by fusing whole multi-op expressions into a single pass:
+
+* :func:`fused_vorticity` — C-grid relative vorticity
+  ``zeta = (v - roll_x(v)) * inv_dx - (u - roll_y(u)) * inv_dy`` computed in
+  ONE kernel: reads u and v once, writes zeta once (3 arrays of HBM traffic,
+  the bandwidth lower bound).  The reference computes this as two separate
+  padded diffs plus arithmetic (4+ passes over memory).
+* :func:`shift_op` — single 1D stencil (diff/interp/min/max, center<->left/
+  right) along the last axis with the boundary condition applied in-kernel
+  via a lane roll + first/last-column select, so no padded intermediate is
+  ever materialised.
+
+Row tiles are DMA'd HBM->VMEM by hand (the y-neighbour row rides along in
+the same copy), following the Pallas TPU guide's double-buffer pattern.
+Kernels require the trailing dim to be a multiple of 128 lanes and f32
+inputs; callers fall back to the XLA path otherwise (see
+:func:`supports_pallas`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_vorticity", "shift_op", "supports_pallas"]
+
+
+def supports_pallas(*arrays, tile_rows: int = 128) -> bool:
+    """Whether these arrays meet the Pallas kernel constraints."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    for a in arrays:
+        if a.ndim != 2:
+            return False
+        if a.shape[-1] % 128 != 0:
+            return False
+        if a.dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Fused C-grid vorticity
+# ---------------------------------------------------------------------------
+
+
+def _vorticity_kernel(u_ref, u_up_ref, v_ref, inv_dx_ref, inv_dy_ref, out_ref):
+    """One row-tile of zeta = (v - roll_x v) * inv_dx - (u - roll_y u) * inv_dy.
+
+    Periodic in both directions.  The x-neighbour is a lane roll; the
+    y-neighbour of the tile's first row comes from ``u_up_ref`` — an 8-row
+    block whose index map points at the 8 rows ending just above this tile
+    (wrapping to the array's last rows for the first tile).  The pipeline
+    double-buffers all blocks automatically; no manual DMA.
+    """
+    v_blk = v_ref[:, :]
+    u_blk = u_ref[:, :]
+
+    dvdx = v_blk - pltpu.roll(v_blk, 1, 1)  # periodic x-neighbour via lane roll
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, u_blk.shape, 0)
+    u_shift = pltpu.roll(u_blk, 1, 0)  # u[j-1] within the tile
+    # neighbour row of row 0 = last row of the 8-row block above; rotate it
+    # onto sublane 0 so it reads as an aligned (1, nx) slice
+    prev_row_vec = pltpu.roll(u_up_ref[:, :], 1, 0)[0:1, :]
+    u_prev = jnp.where(rows == 0, prev_row_vec, u_shift)
+    dudy = u_blk - u_prev
+
+    out_ref[:, :] = dvdx * inv_dx_ref[0:1, :] - dudy * inv_dy_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def fused_vorticity(
+    u: jax.Array,
+    v: jax.Array,
+    inv_dx: jax.Array,
+    inv_dy: jax.Array,
+    tile_rows: int = 128,
+) -> jax.Array:
+    """zeta[j,i] = (v[j,i]-v[j,i-1])*inv_dx[i] - (u[j,i]-u[j-1,i])*inv_dy[j],
+    periodic in x and y; u, v shaped (ny, nx) with ny a multiple of 8."""
+    ny, nx = u.shape
+    T = min(tile_rows, ny)
+    while ny % T:
+        T //= 2
+    n_tiles = ny // T
+    blocks_per_tile = T // 8
+
+    inv_dx_b = jnp.broadcast_to(inv_dx.reshape(1, nx), (8, nx))
+    inv_dy_row = inv_dy.reshape(ny, 1)
+
+    def up_index(t):
+        # 8-row block ending at row t*T - 1 (wrapping for t == 0), in units
+        # of 8-row blocks
+        return (((t - 1) % n_tiles) * blocks_per_tile + blocks_per_tile - 1, 0)
+
+    return pl.pallas_call(
+        _vorticity_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), up_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+    )(u, u, v, inv_dx_b, inv_dy_row)
+
+
+# ---------------------------------------------------------------------------
+# Generic fused 1D shift stencil
+# ---------------------------------------------------------------------------
+
+
+def _shift_kernel(x_ref, out_ref, *, op, direction, bc, fill_value):
+    """out = op(x, neighbour) where neighbour is x shifted by one along the
+    last axis; BC fixes the wrapped column in-register."""
+    x = x_ref[:, :]
+    nx = x.shape[-1]
+    if direction == "left":
+        nb = pltpu.roll(x, 1, 1)  # nb[i] = x[i-1], nb[0] = x[-1] (periodic)
+        edge_col = 0
+    else:
+        # pltpu.roll requires a non-negative shift: nx-1 == -1 (mod nx)
+        nb = pltpu.roll(x, nx - 1, 1)  # nb[i] = x[i+1]
+        edge_col = nx - 1
+
+    if bc == "fill":
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        nb = jnp.where(col == edge_col, jnp.asarray(fill_value, x.dtype), nb)
+    elif bc == "extend":
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        nb = jnp.where(col == edge_col, x, nb)
+    # periodic: roll already wraps
+
+    if op == "diff":
+        out = x - nb if direction == "left" else nb - x
+    elif op == "interp":
+        out = (x + nb) * 0.5
+    elif op == "min":
+        out = jnp.minimum(x, nb)
+    elif op == "max":
+        out = jnp.maximum(x, nb)
+    else:
+        raise ValueError(op)
+    out_ref[:, :] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("op", "direction", "bc", "fill_value", "tile_rows")
+)
+def shift_op(
+    x: jax.Array,
+    op: str = "diff",
+    direction: str = "left",
+    bc: str = "periodic",
+    fill_value: float = 0.0,
+    tile_rows: int = 128,
+) -> jax.Array:
+    """Fused pad+stencil along the last axis of a 2D array.
+
+    ``direction='left'``: out[i] = op(x[i-1], x[i]) (center->left family);
+    ``direction='right'``: out[i] = op(x[i], x[i+1]) (center->right family).
+    """
+    ny, nx = x.shape
+    T = min(tile_rows, ny)
+    while ny % T:
+        T //= 2
+    n_tiles = ny // T
+    kernel = functools.partial(
+        _shift_kernel, op=op, direction=direction, bc=bc, fill_value=fill_value
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
+    )(x)
