@@ -18,9 +18,14 @@ Prints ONE JSON line:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 K = 30  # chained iterations per timed dispatch
 
@@ -52,6 +57,7 @@ def main():
     inv_dx_np = (rng.rand(nx) + 1.0).astype(np.float32)
     inv_dy_np = (rng.rand(ny) + 1.0).astype(np.float32)
 
+    _log(f"backend={backend}; staging arrays to device")
     u = jnp.asarray(u_np)
     v = jnp.asarray(v_np)
     inv_dx = jnp.asarray(inv_dx_np)
@@ -101,10 +107,14 @@ def main():
         float(f(*args))
         return (time.perf_counter() - t0) / K
 
+    jnp.asarray(0.0).block_until_ready()
+    _log("device claim acquired; compiling chained Grid-API vorticity")
     t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy)
+    _log(f"api path: {t_api*1e3:.3f} ms/iter")
 
     # --- fused Pallas kernel (TPU only) ---
     t_pallas = None
+    _log("compiling fused Pallas vorticity")
     if ps.supports_pallas(u, v):
         try:
             zp = ps.fused_vorticity(u, v, inv_dx, inv_dy)
@@ -117,6 +127,7 @@ def main():
         except Exception:
             t_pallas = None
 
+    _log(f"pallas path: {t_pallas and t_pallas*1e3} ms/iter")
     t_best = min(x for x in (t_api, t_pallas) if x is not None)
     gps = ny * nx / t_best
 
@@ -151,6 +162,7 @@ def main():
         _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
         return acc
 
+    _log("compiling chained transform")
     float(tr_chained(phi, theta, targets))
     t0 = time.perf_counter()
     float(tr_chained(phi, theta, targets))

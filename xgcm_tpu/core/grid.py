@@ -428,6 +428,20 @@ class Grid:
             array, interp_axes, fill_value=fill_value, boundary=boundary
         )
 
+    def coords_for(self, array: GriddedArray) -> Dict[str, GriddedArray]:
+        """Coordinate variables from the grid dataset that fit `array`.
+
+        Returns every dataset coordinate whose dims are all present in
+        ``array.dims`` — the native-container analog of the reference's
+        coordinate reattachment (grid_ufunc.py:1224-1241), offered as an
+        explicit helper since GriddedArrays carry no labels on the hot path.
+        """
+        return {
+            name: c
+            for name, c in self._ds.coords.items()
+            if all(d in array.dims for d in c.dims)
+        }
+
     def __repr__(self):
         lines = ["<xgcm_tpu.Grid>"]
         for name, axis in self.axes.items():
