@@ -491,20 +491,72 @@ class Grid:
                 metric = self.get_metric(array, ax_metric_weighted)
                 array = array * metric
 
-            array = grid_ufunc(
-                self,
-                array,
-                axis=[(ax_name,)],
-                keep_coords=keep_coords,
-                other_component=other_component,
-                **remaining_kwargs,
+            fused = self._maybe_fused_1d_op(
+                funcname, array, ax_name, signature_1d, remaining_kwargs
             )
+            if fused is not None:
+                array = fused
+            else:
+                array = grid_ufunc(
+                    self,
+                    array,
+                    axis=[(ax_name,)],
+                    keep_coords=keep_coords,
+                    other_component=other_component,
+                    **remaining_kwargs,
+                )
 
             if ax_metric_weighted:
                 metric = self.get_metric(array, ax_metric_weighted)
                 array = array / metric
 
         return array
+
+    def _maybe_fused_1d_op(
+        self, funcname, array, ax_name, signature_1d, call_kwargs
+    ) -> Optional[GriddedArray]:
+        """Fused roll-based fast path for the hot 1D stencils.
+
+        Applies only to scalar inputs, face-less grids, length-preserving
+        position pairs, and the standard boundary kwargs; bit-identical to
+        the generic pad-then-stencil path (see ops/fused.py).
+        """
+        from ..ops.fused import FUSABLE_OPS, FUSABLE_PAIRS, fused_shift_op
+
+        if funcname not in FUSABLE_OPS or isinstance(array, dict):
+            return None
+        if self._face_connections is not None:
+            return None
+        extra = set(call_kwargs) - {"boundary", "fill_value"}
+        if extra:
+            return None
+        from_pos = signature_1d.in_ax_positions[0][0]
+        to_pos = signature_1d.out_ax_positions[0][0]
+        if (from_pos, to_pos) not in FUSABLE_PAIRS:
+            return None
+
+        ax = self.axes[ax_name]
+        boundary = self._complete_user_kwargs_using_axis_defaults(
+            call_kwargs.get("boundary"), "boundary"
+        )[ax_name]
+        fill_value = self._complete_user_kwargs_using_axis_defaults(
+            call_kwargs.get("fill_value"), "fill_value"
+        )[ax_name]
+        if boundary not in ("periodic", "fill", "extend", None):
+            return None
+
+        dim = ax.coords[from_pos]
+        out_dim = ax.coords[to_pos]
+        data = fused_shift_op(
+            array.data,
+            array.get_axis_num(dim),
+            funcname,
+            FUSABLE_PAIRS[(from_pos, to_pos)],
+            boundary,
+            float(fill_value),
+        )
+        dims = tuple(out_dim if d == dim else d for d in array.dims)
+        return GriddedArray(data, dims, name=array.name)
 
     def _create_1d_grid_ufunc_signatures(
         self, da: GriddedArray, axis, to
