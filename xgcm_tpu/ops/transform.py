@@ -86,11 +86,25 @@ def interp_1d_linear(
     )
     n = phi.shape[-1]
     m = target.shape[-1]
-    phi_b = jnp.broadcast_to(phi, lead_shape + (n,)).reshape(-1, n)
-    theta_b = jnp.broadcast_to(theta, lead_shape + (n,)).reshape(-1, n)
-    target_b = jnp.broadcast_to(target, lead_shape + (m,)).reshape(-1, m)
+    phi_b = jnp.broadcast_to(phi, lead_shape + (n,))
+    theta_b = jnp.broadcast_to(theta, lead_shape + (n,))
+    target_b = jnp.broadcast_to(target, lead_shape + (m,))
 
-    out = jax.vmap(jnp.interp)(target_b, theta_b, phi_b)
+    # Bracketing interpolation without vmap/searchsorted: count knots below
+    # each target (an O(n*m) VPU-friendly compare), gather the bracketing
+    # pair, lerp with a clipped weight (reproducing np.interp's edge
+    # clamping).  NaN knots compare false, so they never advance the index.
+    cmp = theta_b[..., None, :] < target_b[..., :, None]  # (..., m, n)
+    idx = jnp.clip(jnp.sum(cmp, axis=-1), 1, n - 1)  # (..., m)
+    th_hi = jnp.take_along_axis(theta_b, idx, axis=-1)
+    th_lo = jnp.take_along_axis(theta_b, idx - 1, axis=-1)
+    ph_hi = jnp.take_along_axis(phi_b, idx, axis=-1)
+    ph_lo = jnp.take_along_axis(phi_b, idx - 1, axis=-1)
+    degenerate = th_hi == th_lo
+    denom = jnp.where(degenerate, 1.0, th_hi - th_lo)
+    w = jnp.clip((target_b - th_lo) / denom, 0.0, 1.0)
+    out = ph_lo + w * (ph_hi - ph_lo)
+    out = jnp.where(degenerate, ph_hi, out)
 
     if mask_edges:
         theta_max = jnp.nanmax(theta_b, axis=-1, keepdims=True)
@@ -99,7 +113,7 @@ def interp_1d_linear(
             (target_b < theta_min) | (target_b > theta_max), jnp.nan, out
         )
 
-    return out.reshape(lead_shape + (m,))
+    return out
 
 
 def _conservative_weights(theta_1, theta_2, theta_hat_1, theta_hat_2, phi_valid):

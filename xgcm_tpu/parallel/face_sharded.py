@@ -232,7 +232,7 @@ def _plan_device_params(plan: FaceHaloPlan, mesh: Mesh, mesh_axis: str):
 def sharded_face_op(
     grid: Grid,
     funcname: str,
-    da: GriddedArray,
+    da,
     axis_name: str,
     mesh: Mesh,
     facedim_mesh_axis: str,
@@ -241,14 +241,29 @@ def sharded_face_op(
     to: Optional[str] = None,
     boundary: Optional[str] = None,
     fill_value: Optional[float] = None,
+    other_component: Optional[Dict[str, GriddedArray]] = None,
 ) -> GriddedArray:
-    """Apply a 1D stencil op on a face-sharded scalar field.
+    """Apply a 1D stencil op on a face-sharded field.
 
     ``da`` must have dims (..., facedim, ydim, xdim) with the face dim
-    sharded one-face-per-device along ``facedim_mesh_axis``.  Result equals
-    the single-device ``grid.<funcname>`` away from (unused) corner cells.
+    sharded one-face-per-device along ``facedim_mesh_axis``.  A vector
+    component is passed as a single-entry dict ``{vector_axis: array}`` with
+    its partner in ``other_component`` (strips from the partner feed
+    swapped-axis halos, with the reference's sign rules).  Result equals the
+    single-device ``grid.<funcname>`` away from (unused) corner cells.
     """
     from .halo import _SHARDABLE_WIDTHS, _stencil
+
+    partner = None
+    vector_axis_code = None
+    if isinstance(da, dict):
+        (vec_axis, da), = da.items()
+        vector_axis_code = 0 if vec_axis == x_axis else 1
+        if other_component is None:
+            raise ValueError(
+                "Padding vector components requires `other_component` input."
+            )
+        (_, partner), = other_component.items()
 
     ax = grid.axes[axis_name]
     from_pos, dim = ax._get_position_name(da)
@@ -281,11 +296,33 @@ def sharded_face_op(
     )
     plan_spec = PartitionSpec(facedim_mesh_axis)
 
-    def local(block, *params):
+    if partner is None:
+        partner_data = ordered.data  # unused; keeps the shard_map arity fixed
+    else:
+        rest_p = [d for d in partner.dims if d not in
+                  (facedim,
+                   grid.axes[y_axis]._get_position_name(partner)[1],
+                   grid.axes[x_axis]._get_position_name(partner)[1])]
+        partner_data = partner.transpose(
+            *rest_p,
+            facedim,
+            grid.axes[y_axis]._get_position_name(partner)[1],
+            grid.axes[x_axis]._get_position_name(partner)[1],
+        ).data
+
+    def local(block, partner_block, *params):
         # block: (..., 1, ny, nx) per device
         face = jnp.squeeze(block, axis=-3)
         p = tuple(jnp.squeeze(a, axis=0) for a in params)
-        padded = face_halo_pad(face, p, w, facedim_mesh_axis, bc, fv)
+        pf = (
+            jnp.squeeze(partner_block, axis=-3)
+            if vector_axis_code is not None
+            else None
+        )
+        padded = face_halo_pad(
+            face, p, w, facedim_mesh_axis, bc, fv,
+            partner_face=pf, vector_axis_code=vector_axis_code,
+        )
         ny, nx = face.shape[-2:]
         # trim to just the slice this stencil needs
         if axis_is_x:
@@ -299,10 +336,10 @@ def sharded_face_op(
     f = shard_map(
         local,
         mesh=mesh,
-        in_specs=(in_spec,) + (plan_spec,) * 7,
+        in_specs=(in_spec, in_spec) + (plan_spec,) * 7,
         out_specs=in_spec,
     )
-    result = f(ordered.data, *plan_params)
+    result = f(ordered.data, partner_data, *plan_params)
     out_dims = tuple(
         out_dim if d == dim else d for d in tuple(rest) + (facedim, ydim, xdim)
     )
