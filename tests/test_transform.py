@@ -85,6 +85,19 @@ class TestLinearKernel:
         )
         np.testing.assert_allclose(out, [1.5], rtol=1e-5)
 
+    def test_nan_bottomed_column_masked(self):
+        """Ocean-style column: valid values on top, NaN below the sea floor.
+        In-range targets interpolate over the valid part; out-of-range
+        targets are masked (the reference's mask_edges contract)."""
+        theta = np.array([1.0, 2.0, 3.0, 4.0, np.nan, np.nan])
+        phi = np.array([10.0, 20.0, 30.0, 40.0, np.nan, np.nan])
+        target = np.array([0.5, 1.5, 3.5, 4.5])
+        out = np.asarray(
+            interp_1d_linear(phi, theta, target, mask_edges=True)
+        )
+        assert np.isnan(out[0]) and np.isnan(out[-1])
+        np.testing.assert_allclose(out[1:3], [15.0, 35.0])
+
     def test_batched_columns(self):
         b, n, m = 5, 20, 6
         theta = np.sort(np.random.rand(b, n), axis=-1) * 10

@@ -110,3 +110,51 @@ class Dataset:
             f"<xgcm_tpu.Dataset dims={self._dims} coords={list(self.coords)} "
             f"data_vars={list(self.data_vars)}>"
         )
+
+    # -- persistence -------------------------------------------------------
+    # The reference delegates persistence to xarray/netCDF (SURVEY.md §5
+    # "Checkpoint / resume: none").  The native container round-trips
+    # through a single .npz with a small JSON header.
+
+    def save(self, path: str) -> None:
+        """Serialise the dataset (data + dims + attrs) to a ``.npz`` file."""
+        import json
+
+        header = {
+            "dims": self._dims,
+            "attrs": self.attrs,
+            "coords": {
+                k: {"dims": v.dims, "attrs": v.attrs} for k, v in self.coords.items()
+            },
+            "data_vars": {
+                k: {"dims": v.dims, "attrs": v.attrs}
+                for k, v in self.data_vars.items()
+            },
+        }
+        arrays = {f"coord__{k}": np.asarray(v.data) for k, v in self.coords.items()}
+        arrays.update(
+            {f"var__{k}": np.asarray(v.data) for k, v in self.data_vars.items()}
+        )
+        np.savez(path, __header__=json.dumps(header), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "Dataset":
+        """Load a dataset written by :meth:`save`."""
+        import json
+
+        with np.load(path, allow_pickle=False) as f:
+            header = json.loads(str(f["__header__"]))
+            coords = {
+                k: (tuple(meta["dims"]), f[f"coord__{k}"], meta["attrs"])
+                for k, meta in header["coords"].items()
+            }
+            data_vars = {
+                k: (tuple(meta["dims"]), f[f"var__{k}"], meta["attrs"])
+                for k, meta in header["data_vars"].items()
+            }
+            return cls(
+                coords=coords,
+                data_vars=data_vars,
+                dims=header["dims"],
+                attrs=header["attrs"],
+            )

@@ -90,16 +90,26 @@ def interp_1d_linear(
     theta_b = jnp.broadcast_to(theta, lead_shape + (n,))
     target_b = jnp.broadcast_to(target, lead_shape + (m,))
 
-    # Bracketing interpolation without vmap/searchsorted: count knots below
-    # each target (an O(n*m) VPU-friendly compare), gather the bracketing
-    # pair, lerp with a clipped weight (reproducing np.interp's edge
-    # clamping).  NaN knots compare false, so they never advance the index.
+    # Bracketing interpolation without vmap/searchsorted/gather: count knots
+    # below each target (an O(n*m) VPU-friendly compare), then extract the
+    # bracketing knot pair with one-hot einsums — batched mat-vecs the MXU
+    # executes, instead of the per-element gathers TPUs lower poorly.
+    # NaN knots compare false, so they never advance the index.
     cmp = theta_b[..., None, :] < target_b[..., :, None]  # (..., m, n)
     idx = jnp.clip(jnp.sum(cmp, axis=-1), 1, n - 1)  # (..., m)
-    th_hi = jnp.take_along_axis(theta_b, idx, axis=-1)
-    th_lo = jnp.take_along_axis(theta_b, idx - 1, axis=-1)
-    ph_hi = jnp.take_along_axis(phi_b, idx, axis=-1)
-    ph_lo = jnp.take_along_axis(phi_b, idx - 1, axis=-1)
+    iota_n = jnp.arange(n)
+    oh_hi = (idx[..., :, None] == iota_n).astype(phi_b.dtype)  # (..., m, n)
+    oh_lo = (idx[..., :, None] - 1 == iota_n).astype(phi_b.dtype)
+    # NaN knots must not poison the one-hot contraction (0 * NaN = NaN);
+    # targets that fall into a NaN region are handled by mask_edges, exactly
+    # like the reference's numba kernel relies on it (transform.py:35-41).
+    knots = jnp.nan_to_num(
+        jnp.stack([theta_b, phi_b], axis=-1)
+    )  # (..., n, 2)
+    hi = jnp.einsum("...mn,...nc->...mc", oh_hi, knots)
+    lo = jnp.einsum("...mn,...nc->...mc", oh_lo, knots)
+    th_hi, ph_hi = hi[..., 0], hi[..., 1]
+    th_lo, ph_lo = lo[..., 0], lo[..., 1]
     degenerate = th_hi == th_lo
     denom = jnp.where(degenerate, 1.0, th_hi - th_lo)
     w = jnp.clip((target_b - th_lo) / denom, 0.0, 1.0)
