@@ -169,6 +169,30 @@ def main():
     t_tr = (time.perf_counter() - t0) / K
     transform_gps = ncol * nz / t_tr
 
+    # --- conservative transform (MXU overlap-weight einsum) ---
+    from xgcm_tpu.ops.transform import interp_1d_conservative
+
+    theta_b = jnp.asarray(
+        np.sort(rng.rand(ncol, nz + 1).astype(np.float32), axis=-1) * 30
+    )
+    bins_np = np.linspace(-1, 31, 37).astype(np.float32)
+
+    @jax.jit
+    def cons_chained(p, t):
+        def body(_, carry):
+            pp, acc = carry
+            out = interp_1d_conservative(pp, t, bins_np)
+            return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
+        _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
+        return acc
+
+    _log("compiling chained conservative transform")
+    float(cons_chained(phi, theta_b))
+    t0 = time.perf_counter()
+    float(cons_chained(phi, theta_b))
+    t_cons = (time.perf_counter() - t0) / K
+    conservative_gps = ncol * nz / t_cons
+
     result = {
         "metric": (
             "C-grid vorticity throughput, 4096x4096 f32, "
@@ -184,6 +208,7 @@ def main():
             ),
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3),
+            "transform_conservative_Ggps": round(conservative_gps / 1e9, 3),
             "backend": backend,
         },
     }

@@ -169,7 +169,6 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     """
     phi = jnp.asarray(phi)
     theta = jnp.asarray(theta)
-    target = np.asarray(target_theta_bins)
 
     if phi.shape[-1] != theta.shape[-1] - 1:
         raise ValueError(
@@ -177,18 +176,25 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
             f"theta.shape[-1] == phi.shape[-1] + 1, got {theta.shape[-1]} "
             f"vs {phi.shape[-1]}"
         )
-    if target.ndim != 1:
+    if jnp.ndim(target_theta_bins) != 1:
         raise ValueError("target_theta_bins must be 1D")
 
-    # flip decreasing targets (reference transform.py:173-181)
-    target_diff = np.diff(target)
-    if np.all(target_diff < 0):
-        flip_switch = True
-        target = target[::-1]
-    elif np.all(target_diff > 0):
+    if isinstance(target_theta_bins, jax.core.Tracer):
+        # traced targets (inside jit): direction can't be inspected, so bins
+        # are assumed increasing — the concrete-value path below handles the
+        # decreasing case by flipping (reference transform.py:173-181)
         flip_switch = False
+        target = target_theta_bins
     else:
-        raise ValueError("Target values are not monotonic")
+        target = np.asarray(target_theta_bins)
+        target_diff = np.diff(target)
+        if np.all(target_diff < 0):
+            flip_switch = True
+            target = target[::-1]
+        elif np.all(target_diff > 0):
+            flip_switch = False
+        else:
+            raise ValueError("Target values are not monotonic")
 
     theta_1 = theta[..., :-1]
     theta_2 = theta[..., 1:]
