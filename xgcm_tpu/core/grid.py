@@ -800,6 +800,26 @@ class Grid:
         return transform(self, axis, da, target, **kwargs)
 
 
+def raw_interp_function(data_left, data_right):
+    """Legacy two-point interpolation helper (reference grid.py:1593-1596)."""
+    return 0.5 * (data_left + data_right)
+
+
+def raw_diff_function(data_left, data_right):
+    """Legacy two-point difference helper (reference grid.py:1599-1600)."""
+    return data_right - data_left
+
+
+def raw_min_function(data_left, data_right):
+    """Legacy pairwise minimum helper (reference grid.py:1603-1604)."""
+    return jnp.minimum(data_right, data_left)
+
+
+def raw_max_function(data_left, data_right):
+    """Legacy pairwise maximum helper (reference grid.py:1607-1608)."""
+    return jnp.maximum(data_right, data_left)
+
+
 def _select_grid_ufunc(funcname, signature: GridUFuncSignature, module, **kwargs):
     """Pick the predefined GridUFunc by name prefix + signature equivalence
     (reference grid.py:1545-1590)."""

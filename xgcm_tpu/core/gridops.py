@@ -64,6 +64,12 @@ def diff_inner_to_center(a):
     return diff_forward(a)
 
 
+@as_grid_ufunc(signature="(X:left)->(X:inner)")
+def diff_left_to_inner(a):
+    # declared but unimplemented, as in the reference (gridops.py:69-71)
+    raise NotImplementedError
+
+
 # -- interp -----------------------------------------------------------------
 
 
