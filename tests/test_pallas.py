@@ -81,3 +81,29 @@ def test_supports_pallas_gating():
     # on CPU backend everything is unsupported
     assert not ps.supports_pallas(bad_lanes)
     assert not ps.supports_pallas(bad_dtype)
+
+
+class TestFusedDiagnostics:
+    def test_matches_reference(self):
+        ny, nx = 32, 256
+        rng = np.random.RandomState(3)
+        u = rng.rand(ny, nx).astype(np.float32)
+        v = rng.rand(ny, nx).astype(np.float32)
+        ix = (rng.rand(nx) + 1).astype(np.float32)
+        iy = (rng.rand(ny) + 1).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            zeta, div, ke = ps.fused_cgrid_diagnostics(
+                u, v, jnp.asarray(ix), jnp.asarray(iy), tile_rows=8
+            )
+        zeta_ref = (v - np.roll(v, 1, 1)) * ix[None] - (
+            u - np.roll(u, 1, 0)
+        ) * iy[:, None]
+        div_ref = (np.roll(u, -1, 1) - u) * ix[None] + (
+            np.roll(v, -1, 0) - v
+        ) * iy[:, None]
+        u_c = 0.5 * (u + np.roll(u, -1, 1))
+        v_c = 0.5 * (v + np.roll(v, -1, 0))
+        ke_ref = 0.5 * (u_c**2 + v_c**2)
+        np.testing.assert_allclose(np.asarray(zeta), zeta_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(div), div_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ke), ke_ref, atol=1e-5)

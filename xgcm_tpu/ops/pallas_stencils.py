@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_vorticity", "shift_op", "supports_pallas"]
+__all__ = ["fused_vorticity", "fused_cgrid_diagnostics", "shift_op", "supports_pallas"]
 
 
 def supports_pallas(*arrays, tile_rows: int = 128) -> bool:
@@ -116,6 +116,97 @@ def fused_vorticity(
         out_specs=pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
     )(u, u, v, inv_dx_b, inv_dy_row)
+
+
+# ---------------------------------------------------------------------------
+# Fused C-grid diagnostics: vorticity + divergence + kinetic energy
+# ---------------------------------------------------------------------------
+
+
+def _diagnostics_kernel(
+    u_ref, u_up_ref, v_ref, v_dn_ref, inv_dx_ref, inv_dy_ref,
+    zeta_ref, div_ref, ke_ref,
+):
+    """One row-tile of the full C-grid diagnostic set, single pass.
+
+    u on (yc, xg), v on (yg, xc), periodic both ways:
+      zeta[j,i] = (v[j,i]-v[j,i-1])*inv_dx[i] - (u[j,i]-u[j-1,i])*inv_dy[j]
+      div [j,i] = (u[j,i+1]-u[j,i])*inv_dx[i] + (v[j+1,i]-v[j,i])*inv_dy[j]
+      ke  [j,i] = 0.5*(mean(u[j,i],u[j,i+1])^2 + mean(v[j,i],v[j+1,i])^2)
+
+    Reads u and v once, writes three outputs: 5 arrays of HBM traffic for
+    what takes >=9 as separate padded ops.
+    """
+    u_blk = u_ref[:, :]
+    v_blk = v_ref[:, :]
+    T = u_blk.shape[0]
+    nx = u_blk.shape[1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, u_blk.shape, 0)
+
+    # neighbours
+    v_xm = pltpu.roll(v_blk, 1, 1)  # v[j, i-1]
+    u_xp = pltpu.roll(u_blk, nx - 1, 1)  # u[j, i+1]
+    u_shift_up = pltpu.roll(u_blk, 1, 0)
+    u_prev = jnp.where(
+        rows == 0, pltpu.roll(u_up_ref[:, :], 1, 0)[0:1, :], u_shift_up
+    )  # u[j-1, i]
+    v_shift_dn = pltpu.roll(v_blk, T - 1, 0)
+    v_next = jnp.where(
+        rows == T - 1, v_dn_ref[0:1, :], v_shift_dn
+    )  # v[j+1, i]
+
+    ix = inv_dx_ref[0:1, :]
+    iy = inv_dy_ref[:, :]
+
+    zeta_ref[:, :] = (v_blk - v_xm) * ix - (u_blk - u_prev) * iy
+    div_ref[:, :] = (u_xp - u_blk) * ix + (v_next - v_blk) * iy
+    u_c = (u_blk + u_xp) * 0.5
+    v_c = (v_blk + v_next) * 0.5
+    ke_ref[:, :] = (u_c * u_c + v_c * v_c) * 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows",))
+def fused_cgrid_diagnostics(
+    u: jax.Array,
+    v: jax.Array,
+    inv_dx: jax.Array,
+    inv_dy: jax.Array,
+    tile_rows: int = 64,  # 2 in + 3 out double-buffered tiles must fit VMEM
+):
+    """(zeta, div, ke) of a periodic C-grid velocity field in ONE kernel."""
+    ny, nx = u.shape
+    T = min(tile_rows, ny)
+    while ny % T:
+        T //= 2
+    n_tiles = ny // T
+    bpt = T // 8  # 8-row blocks per tile
+
+    inv_dx_b = jnp.broadcast_to(inv_dx.reshape(1, nx), (8, nx))
+    inv_dy_col = inv_dy.reshape(ny, 1)
+
+    def up_index(t):
+        return (((t - 1) % n_tiles) * bpt + bpt - 1, 0)
+
+    def down_index(t):
+        return (((t + 1) % n_tiles) * bpt, 0)
+
+    out_spec = pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((ny, nx), u.dtype)
+    return pl.pallas_call(
+        _diagnostics_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), up_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), down_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nx), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shape, shape, shape),
+    )(u, u, v, v, inv_dx_b, inv_dy_col)
 
 
 # ---------------------------------------------------------------------------
