@@ -1,0 +1,266 @@
+"""Declarative Grid.transform cases, ported from the reference's high-level
+case table (reference test_transform.py:40-687) — the ground truth for
+linear/log/conservative semantics including masking, decreasing tracers,
+missing values, equal-value columns, non-monotonic stratification, and
+reversed targets."""
+
+import numpy as np
+import pytest
+import warnings
+
+from xgcm_tpu import Dataset, Grid, GriddedArray
+
+interp = np.interp
+
+CASES = {
+    "linear_depth_depth": dict(
+        coords={"z": [5, 25, 60]},
+        positions={"center": "z"},
+        data=("z", [0.23246861, 0.45175654, 0.58320681]),
+        target=[0, 7, 30, 60, 70],
+        kwargs=dict(mask_edges=True, method="linear"),
+        expected=interp([0, 7, 30, 60, 70], [5, 25, 60],
+                        [0.23246861, 0.45175654, 0.58320681]),
+        mask_index=[0, -1],
+    ),
+    "linear_depth_depth_nomask": dict(
+        coords={"z": [5, 25, 60]},
+        positions={"center": "z"},
+        data=("z", [0.23246861, 0.45175654, 0.58320681]),
+        target=[0, 7, 30, 60, 70],
+        kwargs=dict(mask_edges=False, method="linear"),
+        expected=interp([0, 7, 30, 60, 70], [5, 25, 60],
+                        [0.23246861, 0.45175654, 0.58320681]),
+    ),
+    "linear_depth_dens": dict(
+        coords={"depth": [20, 40, 60, 80, 100, 120]},
+        positions={"center": "depth"},
+        data=("depth", [1, 4, 6, 2, 0, -3]),
+        target_data=("depth", [1, 5, 10, 20, 24, 35], "dens"),
+        target=[0, 5, 10, 11, 15, 20, 25, 27],
+        kwargs=dict(method="linear", mask_edges=False),
+        expected=[1.0, 4.0, 6.0, 5.6, 4.0, 2.0, -0.272727, -0.818182],
+    ),
+    "linear_depth_temp_decreasing": dict(
+        coords={"depth": [20, 40, 60, 80, 100, 120]},
+        positions={"center": "depth"},
+        data=("depth", [-3, 0, 2, 6, 4, 1]),
+        target_data=("depth", [35, 24, 20, 10, 5, 1], "temp"),
+        target=[0, 5, 10, 11, 15, 20, 25, 27],
+        kwargs=dict(method="linear", mask_edges=False),
+        expected=[1.0, 4.0, 6.0, 5.6, 4.0, 2.0, -0.272727, -0.818182],
+    ),
+    "linear_depth_temp_missing_values": dict(
+        coords={"depth": [20, 40, 60, 80, 100, 120]},
+        positions={"center": "depth"},
+        data=("depth", [-3, 0, 2, 6, 4, 1]),
+        target_data=("depth", [np.nan, 24, 20, 10, 5, 1], "temp"),
+        target=[0, 5, 10, 11, 15, 20],
+        kwargs=dict(method="linear", mask_edges=False),
+        expected=[1.0, 4.0, 6.0, 5.6, 4.0, 2.0],
+    ),
+    "linear_depth_negative_dens": dict(
+        coords={"depth": [-5, -25, -60, -80, -100, -120]},
+        positions={"center": "depth"},
+        data=("depth", [1, 4, 6, 2, 0, -3]),
+        target_data=("depth", [1, 5, 10, 20, 24, 35], "dens"),
+        target=[0, 5, 10, 11, 15, 20, 25, 27],
+        kwargs=dict(method="linear", mask_edges=False),
+        expected=[1.0, 4.0, 6.0, 5.6, 4.0, 2.0, -0.272727, -0.818182],
+    ),
+    "linear_depth_dens_masked": dict(
+        coords={"depth": [5, 25, 60, 80, 100, 120]},
+        positions={"center": "depth"},
+        data=("depth", [1, 4, 6, 2, 0, -3]),
+        target_data=("depth", [1, 5, 10, 20, 24, 35], "dens"),
+        target=[0, 5, 10, 11, 15, 20, 25, 27],
+        kwargs=dict(method="linear", mask_edges=True),
+        expected=[np.nan, 4.0, 6.0, 5.6, 4.0, 2.0, -0.272727, -0.818182],
+    ),
+    "linear_depth_dens_reverse": dict(
+        coords={"depth": [5, 25, 60, 80, 100, 120]},
+        positions={"center": "depth"},
+        data=("depth", [1, 4, 6, 2, 0, -3]),
+        target_data=("depth", [1, 5, 10, 20, 24, 35], "dens"),
+        target=[27, 25, 20, 15, 11, 10, 5, 0],
+        kwargs=dict(method="linear", mask_edges=False),
+        expected=[-0.818182, -0.272727, 2.0, 4.0, 5.6, 6.0, 4.0, 1.0],
+    ),
+    "log_sigma_pressure": dict(
+        coords={"sigma": [0.9969, 0.9558, 0.8631, 0.7046, 0.5117]},
+        positions={"center": "sigma"},
+        data=("sigma", [271.75452, 272.79956, 274.8517, 279.22043, 296.48782]),
+        target_data=(
+            "sigma",
+            [100180.625, 96250.0, 87369.14, 72186.66, 53718.586],
+            "pressure",
+        ),
+        target=[1.0e5, 8.5e4, 7.0e4],
+        kwargs=dict(method="log", mask_edges=True),
+        expected=[271.80164362, 275.48088011, 281.01791239],
+    ),
+    "conservative_depth_depth": dict(
+        coords={"z": [5, 25, 60], "zc": [0, 10, 50, 75]},
+        positions={"center": "z", "outer": "zc"},
+        data=("z", [1, 4, 0]),
+        target=[0, 1, 10, 50, 80],
+        kwargs=dict(method="conservative"),
+        expected=[0.1, 0.9, 4.0, 0.0],
+    ),
+    "conservative_depth_dens_on_bounds": dict(
+        coords={
+            "depth": [5, 25, 60, 80, 100, 120],
+            "depth_bnds": [0, 10, 30, 70, 90, 110, 170],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [1, 4, 6, 2, 0, -3]),
+        target_data=(
+            "depth_bnds", [1, 5, 10, 20, 24, 35, 37], "dens",
+        ),
+        target=[0, 5, 38],
+        kwargs=dict(method="conservative"),
+        expected=[1, 9],
+    ),
+    "conservative_depth_dens_missing_values_bottom": dict(
+        coords={
+            "depth": [5, 25, 60, 80, 100, 120],
+            "depth_bnds": [0, 10, 30, 70, 90, 110, 170],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [1, 4, 6, 2, 0, np.nan]),
+        target_data=(
+            "depth_bnds", [1, 5, 10, 20, 24, np.nan, np.nan], "dens",
+        ),
+        target=[0, 5, 38],
+        kwargs=dict(method="conservative"),
+        expected=[1, 12],
+    ),
+    "conservative_depth_dens_missing_values_top": dict(
+        coords={
+            "depth": [5, 25, 60, 80, 100, 120],
+            "depth_bnds": [0, 10, 30, 70, 90, 110, 170],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [np.nan, 4, 6, 2, 0, -3]),
+        target_data=(
+            "depth_bnds", [np.nan, np.nan, 10, 20, 24, 35, 37], "dens",
+        ),
+        target=[0, 5, 38],
+        kwargs=dict(method="conservative"),
+        expected=[np.nan, 9],
+    ),
+    "conservative_depth_temp_on_bounds": dict(
+        coords={
+            "depth": [5, 25, 60, 80, 100, 120],
+            "depth_bnds": [0, 10, 30, 70, 90, 110, 170],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [-3, 0, 2, 6, 4, 1]),
+        target_data=("depth_bnds", [30, 25, 20, 15, 10, 5, 0], "temp"),
+        target=[0, 5, 36],
+        kwargs=dict(method="conservative"),
+        expected=[1, 9],
+    ),
+    "conservative_depth_temp_from_center": dict(
+        # target_data on centers: auto-interped to the bounds with a warning
+        coords={
+            "depth": [5, 25, 60, 80, 100, 120],
+            "depth_bnds": [0, 10, 30, 70, 90, 110, 170],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [-3, 0, 2, 6, 4, 1]),
+        target_data=("depth", [27.5, 22.5, 17.5, 12.5, 7.5, 2.5], "temp"),
+        target=[0, 5, 36],
+        kwargs=dict(method="conservative"),
+        expected=[1, 9],
+        warns="not located on the cell bounds",
+    ),
+    "conservative_depth_dens_equalvalues": dict(
+        coords={"depth": [0, 20], "depth_bnds": [10, 30, 50]},
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [100, 2210]),
+        target_data=("depth_bnds", [2, 2, 1.9], "dens"),
+        target=[1.9, 1.95, 3],
+        kwargs=dict(method="conservative"),
+        expected=[2210 / 2, 100 + 2210 / 2],
+    ),
+    "conservative_depth_dens_nonmono_edge": dict(
+        coords={
+            "depth": [10, 30, 50, 70, 90],
+            "depth_bnds": [0, 20, 40, 60, 80, 100],
+        },
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [2200, 2600, 3000, 3400, 3800]),
+        target_data=("depth_bnds", [1, 3, 5, 7, 5, 3], "dens"),
+        target=[0, 2, 4, 6, 8],
+        kwargs=dict(method="conservative"),
+        expected=[1100.0, 4300.0, 6400.0, 3200.0],
+    ),
+    "linear_reversed_target": dict(
+        coords={"depth": [1, 2, 3], "depth_bnds": [0.5, 1.5, 2.5, 3.5]},
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [10, 20, 30]),
+        target_data=("depth", [2, 4, 6], "dens"),
+        target=[6, 4, 2],
+        kwargs=dict(method="linear"),
+        expected=[30, 20, 10],
+    ),
+    "conservative_reversed_target": dict(
+        coords={"depth": [1, 2, 3], "depth_bnds": [0.5, 1.5, 2.5, 3.5]},
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [10, 20, 30]),
+        target_data=("depth_bnds", [1, 3, 5, 7], "dens"),
+        target=[7, 5, 3, 1],
+        kwargs=dict(method="conservative"),
+        expected=[30, 20, 10],
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_transform_case(name):
+    case = CASES[name]
+    coords = {
+        k: (k, np.asarray(v, dtype=float)) for k, v in case["coords"].items()
+    }
+    ds = Dataset(coords=coords)
+    grid = Grid(
+        ds,
+        coords={"Z": case["positions"]},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+    dim, values = case["data"]
+    da = GriddedArray(np.asarray(values, dtype=float), (dim,), name="data")
+
+    kwargs = dict(case["kwargs"])
+    if "target_data" in case:
+        tdim, tvals, tname = case["target_data"]
+        kwargs["target_data"] = GriddedArray(
+            np.asarray(tvals, dtype=float), (tdim,), name=tname
+        )
+
+    target = np.asarray(case["target"], dtype=float)
+
+    if case.get("warns"):
+        with pytest.warns(UserWarning, match=case["warns"]):
+            out = grid.transform(da, "Z", target, **kwargs)
+    else:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = grid.transform(da, "Z", target, **kwargs)
+
+    result = np.asarray(out.data, dtype=float)
+    expected = np.asarray(case["expected"], dtype=float)
+
+    if case.get("mask_index"):
+        for i in case["mask_index"]:
+            assert np.isnan(result[i]), f"{name}: index {i} should be masked"
+        keep = np.ones(len(expected), bool)
+        for i in case["mask_index"]:
+            keep[i] = False
+        np.testing.assert_allclose(
+            result[keep], expected[keep], rtol=1e-5, atol=1e-8
+        )
+    else:
+        np.testing.assert_allclose(result, expected, rtol=1e-5, atol=1e-8)

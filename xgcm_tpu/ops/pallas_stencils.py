@@ -43,7 +43,9 @@ def supports_pallas(*arrays, tile_rows: int = 128) -> bool:
             return False
         if a.shape[-1] % 128 != 0:
             return False
-        if a.dtype not in (jnp.float32, jnp.bfloat16):
+        # bf16 lane rolls hit an unsupported Mosaic dynamic_rotate; the XLA
+        # fallback handles bf16
+        if a.dtype != jnp.float32:
             return False
     return True
 
