@@ -193,6 +193,57 @@ def main():
     t_cons = (time.perf_counter() - t0) / K
     conservative_gps = ncol * nz / t_cons
 
+    # --- config 3: metric-weighted integrate (area-weighted reduce) ---
+    area = jnp.asarray((rng.rand(ny, nx) + 1.0).astype(np.float32))
+
+    @jax.jit
+    def integ_chained(t, a):
+        def body(_, carry):
+            tt, acc = carry
+            s = jnp.sum(tt * a)
+            return tt + jnp.float32(1e-20) * s, acc + s
+        _, acc = jax.lax.fori_loop(0, K, body, (t, jnp.float32(0)))
+        return acc
+
+    _log("compiling chained integrate")
+    float(integ_chained(u, area))
+    t0 = time.perf_counter()
+    float(integ_chained(u, area))
+    t_int = (time.perf_counter() - t0) / K
+    integrate_gps = ny * nx / t_int
+
+    # --- config 5: cubed-sphere cross-face diff (gather-halo path) ---
+    try:
+        from tests.datasets import cubed_sphere_dataset
+    except ImportError:  # driver may run bench outside the repo root
+        cubed_sphere_dataset = None
+
+    nface = 1024
+    cs_gps = None
+    if cubed_sphere_dataset is not None:
+        ds_cs, fc = cubed_sphere_dataset(n=nface)
+        grid_cs = xt.Grid(ds_cs, face_connections=fc, periodic=False)
+        cs_data = jnp.asarray(rng.rand(6, nface, nface).astype(np.float32))
+
+        @jax.jit
+        def cs_chained(d):
+            def body(_, carry):
+                dd, acc = carry
+                out = grid_cs.diff(
+                    xt.GriddedArray(dd, ("face", "y", "x")), "X",
+                    boundary="fill",
+                ).data
+                return dd + jnp.float32(1e-20) * out, acc + jnp.sum(out)
+            _, acc = jax.lax.fori_loop(0, K, body, (d, jnp.float32(0)))
+            return acc
+
+        _log("compiling chained cubed-sphere diff")
+        float(cs_chained(cs_data))
+        t0 = time.perf_counter()
+        float(cs_chained(cs_data))
+        t_cs = (time.perf_counter() - t0) / K
+        cs_gps = 6 * nface * nface / t_cs
+
     result = {
         "metric": (
             "C-grid vorticity throughput, 4096x4096 f32, "
@@ -209,6 +260,10 @@ def main():
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3),
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3),
+            "integrate_Ggps": round(integrate_gps / 1e9, 3),
+            "cubed_sphere_diff_Ggps": (
+                round(cs_gps / 1e9, 3) if cs_gps else None
+            ),
             "backend": backend,
         },
     }

@@ -130,3 +130,25 @@ class TestAutodiff:
             np.testing.assert_allclose(
                 np.asarray(batched[i]), np.asarray(one(jnp.asarray(a[i])))
             )
+
+
+def test_sharded_grid_proxy(grid):
+    """ShardedGrid routes sharded core dims through the halo ring and
+    matches the plain Grid everywhere."""
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh
+
+    mesh = make_mesh({"x": 4})
+    sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+    a = np.random.rand(NY, NX)
+    da = sgrid.shard(GriddedArray(a, ("yc", "xc")))
+
+    out = sgrid.diff(sgrid.interp(da, "X", boundary="extend"), "Y")
+    expected = grid.diff(
+        grid.interp(GriddedArray(a, ("yc", "xc")), "X", boundary="extend"), "Y"
+    )
+    assert out.dims == expected.dims
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))
+
+    c = sgrid.cumsum(da, "X", to="left", boundary="fill")
+    c_exp = grid.cumsum(GriddedArray(a, ("yc", "xc")), "X", to="left", boundary="fill")
+    np.testing.assert_allclose(np.asarray(c.data), np.asarray(c_exp.data))
