@@ -10,7 +10,7 @@ adapter in :mod:`xgcm_tpu.adapters.xarray_adapter` converts both ways.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Sequence, Union
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 

@@ -18,8 +18,7 @@ Everything is jit-/vmap-/shard-compatible; no per-column Python loops.
 from __future__ import annotations
 
 import warnings
-from functools import partial
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,18 +22,16 @@ uniform-shard invariant.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh
 from jax import shard_map
 
 from ..core.dataarray import GriddedArray
-from ..core.grid import Grid, _select_grid_ufunc
-from ..core import gridops
+from ..core.grid import Grid
 from .mesh import partition_spec
 
 __all__ = ["ring_halo_pad", "sharded_op", "sharded_cumsum"]

@@ -13,7 +13,7 @@ arrays by mapping *dimension names* to mesh axes, and either
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Mapping, Sequence
 
 import jax
 import numpy as np

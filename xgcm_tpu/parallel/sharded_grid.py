@@ -9,7 +9,7 @@ plain Grid methods (which are GSPMD-correct under jit anyway).
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping
 
 from jax.sharding import Mesh
 
