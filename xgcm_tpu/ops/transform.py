@@ -98,17 +98,25 @@ def interp_1d_linear(
     idx = jnp.clip(jnp.sum(cmp, axis=-1), 1, n - 1)  # (..., m)
     iota_n = jnp.arange(n)
     oh_hi = (idx[..., :, None] == iota_n).astype(phi_b.dtype)  # (..., m, n)
-    oh_lo = (idx[..., :, None] - 1 == iota_n).astype(phi_b.dtype)
-    # NaN knots must not poison the one-hot contraction (0 * NaN = NaN);
-    # targets that fall into a NaN region are handled by mask_edges, exactly
-    # like the reference's numba kernel relies on it (transform.py:35-41).
-    knots = jnp.nan_to_num(
-        jnp.stack([theta_b, phi_b], axis=-1)
-    )  # (..., n, 2)
-    hi = jnp.einsum("...mn,...nc->...mc", oh_hi, knots)
-    lo = jnp.einsum("...mn,...nc->...mc", oh_lo, knots)
-    th_hi, ph_hi = hi[..., 0], hi[..., 1]
-    th_lo, ph_lo = lo[..., 0], lo[..., 1]
+    # The lower knot is the upper knot's one-hot contracted against knots
+    # shifted by one, so a single (m, n) one-hot tensor and ONE einsum
+    # extract all four bracketing values.  NaN knots must not poison the
+    # contraction (0 * NaN = NaN); targets falling into a NaN region are
+    # handled by mask_edges, exactly like the reference's numba kernel
+    # relies on it (transform.py:35-41).
+    theta_s = jnp.nan_to_num(theta_b)
+    phi_s = jnp.nan_to_num(phi_b)
+    knots4 = jnp.stack(
+        [
+            theta_s,
+            phi_s,
+            jnp.roll(theta_s, 1, axis=-1),  # knot[n-1]; idx >= 1 so the
+            jnp.roll(phi_s, 1, axis=-1),  # wrapped element is never selected
+        ],
+        axis=-1,
+    )  # (..., n, 4)
+    vals = jnp.einsum("...mn,...nc->...mc", oh_hi, knots4)
+    th_hi, ph_hi, th_lo, ph_lo = (vals[..., c] for c in range(4))
     degenerate = th_hi == th_lo
     denom = jnp.where(degenerate, 1.0, th_hi - th_lo)
     w = jnp.clip((target_b - th_lo) / denom, 0.0, 1.0)
