@@ -139,11 +139,13 @@ def main():
     ub, vb = u_np[:n_base, :n_base], v_np[:n_base, :n_base]
     ixb, iyb = inv_dx_np[:n_base], inv_dy_np[:n_base]
     numpy_vorticity(ub, vb, ixb, iyb)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # best-of-N: the shared host is noisy; give the baseline its best showing
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
         numpy_vorticity(ub, vb, ixb, iyb)
-    t_numpy = (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    t_numpy = min(times)
     gps_numpy = n_base * n_base / t_numpy
 
     # --- secondary: vertical transform (linear, 50 -> 36 levels) ---
