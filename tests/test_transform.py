@@ -316,3 +316,21 @@ class TestGridTransform:
         ds, grid = zgrid
         with pytest.raises(ValueError, match="`da` needs to be"):
             grid.transform("not an array", "Z", np.array([1.0]))
+
+    def test_target_exactly_at_valid_max_of_nan_column(self):
+        """Target equal to the column's nanmax must return the value there,
+        not fall through to the masked/zero path."""
+        theta = np.array([1.0, 2.0, 3.0, 4.0, np.nan])
+        phi = np.array([10.0, 20.0, 30.0, 40.0, np.nan])
+        out = np.asarray(
+            interp_1d_linear(phi, theta, np.array([4.0]), mask_edges=True)
+        )
+        np.testing.assert_allclose(out, [40.0])
+
+    def test_all_nan_column_returns_nan(self):
+        theta = np.full(5, np.nan)
+        phi = np.full(5, np.nan)
+        out = np.asarray(
+            interp_1d_linear(phi, theta, np.array([1.0, 2.0]), mask_edges=False)
+        )
+        assert np.all(np.isnan(out))

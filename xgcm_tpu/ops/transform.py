@@ -89,39 +89,51 @@ def interp_1d_linear(
     theta_b = jnp.broadcast_to(theta, lead_shape + (n,))
     target_b = jnp.broadcast_to(target, lead_shape + (m,))
 
-    # Bracketing interpolation without vmap/searchsorted/gather: count knots
-    # below each target (an O(n*m) VPU-friendly compare), then extract the
-    # bracketing knot pair with one-hot einsums — batched mat-vecs the MXU
-    # executes, instead of the per-element gathers TPUs lower poorly.
-    # NaN knots compare false, so they never advance the index.
-    cmp = theta_b[..., None, :] < target_b[..., :, None]  # (..., m, n)
-    idx = jnp.clip(jnp.sum(cmp, axis=-1), 1, n - 1)  # (..., m)
-    iota_n = jnp.arange(n)
-    oh_hi = (idx[..., :, None] == iota_n).astype(phi_b.dtype)  # (..., m, n)
-    # The lower knot is the upper knot's one-hot contracted against knots
-    # shifted by one, so a single (m, n) one-hot tensor and ONE einsum
-    # extract all four bracketing values.  NaN knots must not poison the
-    # contraction (0 * NaN = NaN); targets falling into a NaN region are
-    # handled by mask_edges, exactly like the reference's numba kernel
-    # relies on it (transform.py:35-41).
-    theta_s = jnp.nan_to_num(theta_b)
-    phi_s = jnp.nan_to_num(phi_b)
-    knots4 = jnp.stack(
-        [
-            theta_s,
-            phi_s,
-            jnp.roll(theta_s, 1, axis=-1),  # knot[n-1]; idx >= 1 so the
-            jnp.roll(phi_s, 1, axis=-1),  # wrapped element is never selected
-        ],
-        axis=-1,
-    )  # (..., n, 4)
-    vals = jnp.einsum("...mn,...nc->...mc", oh_hi, knots4)
-    th_hi, ph_hi, th_lo, ph_lo = (vals[..., c] for c in range(4))
+    # Interval-membership interpolation without gather/searchsorted/one-hot:
+    # each target finds the single knot interval [theta_k, theta_{k+1})
+    # containing it and accumulates the lerp from that interval — a pure
+    # elementwise (..., m, n-1) expression followed by a sum, which XLA
+    # fuses into one pass with no large intermediates (gathers and one-hot
+    # matmuls both materialise (m, n) tensors and lower poorly on TPU).
+    # NaN knots make every comparison false, so NaN intervals contribute 0;
+    # targets in a NaN region are handled by mask_edges, exactly like the
+    # reference's numba kernel relies on it (transform.py:35-41).
+    t = target_b[..., :, None]  # (..., m, 1)
+    th_lo = theta_b[..., None, :-1]  # (..., 1, n-1)
+    th_hi = theta_b[..., None, 1:]
+    ph_lo = phi_b[..., None, :-1]
+    ph_hi = phi_b[..., None, 1:]
+    in_interval = (th_lo <= t) & (t < th_hi)
     degenerate = th_hi == th_lo
     denom = jnp.where(degenerate, 1.0, th_hi - th_lo)
-    w = jnp.clip((target_b - th_lo) / denom, 0.0, 1.0)
-    out = ph_lo + w * (ph_hi - ph_lo)
-    out = jnp.where(degenerate, ph_hi, out)
+    w = (t - th_lo) / denom
+    lerp = ph_lo + w * (ph_hi - ph_lo)
+    out = jnp.sum(
+        jnp.where(in_interval & ~degenerate, lerp, 0.0), axis=-1
+    )  # (..., m)
+    # np.interp edge clamping: below the first valid knot -> its value,
+    # at/above the last valid knot -> its value.  Valid-edge values are
+    # extracted with O(n) one-hot sums (cheap; no (m, n) blowup), which also
+    # handles columns whose NaNs sit at either end after the monotonicity
+    # flip.  All-NaN columns propagate NaN.
+    valid = ~jnp.isnan(theta_b)
+    iota = jnp.arange(n)
+    first_idx = jnp.argmax(valid, axis=-1)
+    last_idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
+    phi_sane = jnp.nan_to_num(phi_b)
+    first_phi = jnp.sum(
+        jnp.where(iota == first_idx[..., None], phi_sane, 0.0),
+        axis=-1, keepdims=True,
+    )
+    last_phi = jnp.sum(
+        jnp.where(iota == last_idx[..., None], phi_sane, 0.0),
+        axis=-1, keepdims=True,
+    )
+    th_min = jnp.nanmin(theta_b, axis=-1, keepdims=True)
+    th_max = jnp.nanmax(theta_b, axis=-1, keepdims=True)
+    out = jnp.where(target_b < th_min, first_phi, out)
+    out = jnp.where(target_b >= th_max, last_phi, out)
+    out = jnp.where(jnp.any(valid, axis=-1, keepdims=True), out, jnp.nan)
 
     if mask_edges:
         theta_max = jnp.nanmax(theta_b, axis=-1, keepdims=True)
