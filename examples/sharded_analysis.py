@@ -58,12 +58,12 @@ def main():
     print("vorticity:", zeta.dims, "sharding:", zeta.data.sharding.spec)
 
     # distributed prefix sum (impossible to chunk under the reference's dask)
-    transport = sgrid.cumsum(v, "X", to="center", boundary="fill")
+    transport = sgrid.cumsum(v, "X", to="left", boundary="fill")
     print("cumsum   :", transport.dims, "sharding:", transport.data.sharding.spec)
 
     # equivalence with single-device
     v_local = xt.GriddedArray(np.asarray(v.data), ("yg", "xc"))
-    expected = grid.cumsum(v_local, "X", to="center", boundary="fill")
+    expected = grid.cumsum(v_local, "X", to="left", boundary="fill")
     ok = np.allclose(np.asarray(transport.data), np.asarray(expected.data))
     print("matches single-device:", bool(ok))
 
