@@ -786,8 +786,8 @@ class Grid:
         nan_mask = jnp.isnan(da.data)
         da_filled = da.with_data(jnp.where(nan_mask, 0.0, da.data))
         valid = da.with_data(jnp.where(nan_mask, 0.0, 1.0))
-        num = (da_filled * weight).sum(dims)
-        den = (valid * weight).sum(dims)
+        num = (da_filled * weight).sum(dims, **kwargs)
+        den = (valid * weight).sum(dims, **kwargs)
         return num / den
 
     # ----------------------------------------------------------- transform

@@ -279,6 +279,14 @@ def sharded_face_op(
     fv = float(fill_value if fill_value is not None else ax.fill_value)
 
     facedim = grid._facedim
+    n_faces = grid._ds.dims[grid._facedim]
+    mesh_size = dict(zip(mesh.axis_names, mesh.devices.shape))[facedim_mesh_axis]
+    if mesh_size != n_faces:
+        raise NotImplementedError(
+            f"face-sharded ops require one face per device: the grid has "
+            f"{n_faces} faces but mesh axis {facedim_mesh_axis!r} has "
+            f"{mesh_size} devices"
+        )
     plan = compile_face_plan(grid, x_axis, y_axis)
     plan_params = _plan_device_params(plan, mesh, facedim_mesh_axis)
 

@@ -62,6 +62,12 @@ def ring_halo_pad(
     lw, rw = widths
     if lw == 0 and rw == 0:
         return x
+    if max(lw, rw) > x.shape[axis]:
+        raise ValueError(
+            f"halo width {max(lw, rw)} exceeds the local shard size "
+            f"{x.shape[axis]} along axis {axis}; use fewer shards or a "
+            f"wider block"
+        )
     n = lax.axis_size(mesh_axis)
     idx = lax.axis_index(mesh_axis)
     parts = []
