@@ -223,7 +223,7 @@ def main():
     except ImportError:  # driver may run bench outside the repo root
         cubed_sphere_dataset = None
 
-    nface = 1024
+    nface = 2048
     cs_gps = None
     if cubed_sphere_dataset is not None:
         ds_cs, fc = cubed_sphere_dataset(n=nface)

@@ -520,11 +520,14 @@ class Grid:
         position pairs, and the standard boundary kwargs; bit-identical to
         the generic pad-then-stencil path (see ops/fused.py).
         """
-        from ..ops.fused import FUSABLE_OPS, FUSABLE_PAIRS, fused_shift_op
+        from ..ops.fused import (
+            FUSABLE_OPS,
+            FUSABLE_PAIRS,
+            fused_face_shift_op,
+            fused_shift_op,
+        )
 
         if funcname not in FUSABLE_OPS or isinstance(array, dict):
-            return None
-        if self._face_connections is not None:
             return None
         extra = set(call_kwargs) - {"boundary", "fill_value"}
         if extra:
@@ -546,16 +549,111 @@ class Grid:
 
         dim = ax.coords[from_pos]
         out_dim = ax.coords[to_pos]
+        direction = FUSABLE_PAIRS[(from_pos, to_pos)]
+
+        if self._face_connections is not None:
+            fused = self._maybe_fused_face_op(
+                funcname, array, ax_name, dim, direction, boundary,
+                float(fill_value),
+            )
+            if fused is None:
+                return None
+            data, arranged_dims = fused
+            dims = tuple(out_dim if d == dim else d for d in arranged_dims)
+            return GriddedArray(data, dims, name=array.name).transpose(
+                *(out_dim if d == dim else d for d in array.dims)
+            )
+
         data = fused_shift_op(
             array.data,
             array.get_axis_num(dim),
             funcname,
-            FUSABLE_PAIRS[(from_pos, to_pos)],
+            direction,
             boundary,
             float(fill_value),
         )
         dims = tuple(out_dim if d == dim else d for d in array.dims)
         return GriddedArray(data, dims, name=array.name)
+
+    def _maybe_fused_face_op(
+        self, funcname, array, ax_name, dim, direction, boundary, fill_value
+    ):
+        """Fused face-connected fast path: roll per face + per-edge strip
+        fixup from the compiled plan (see ops/fused.fused_face_shift_op).
+        Returns (data, arranged_dims) or None to fall back."""
+        from ..ops.fused import fused_face_shift_op
+        from ..parallel.face_sharded import compile_face_plan
+
+        facedim = self._facedim
+        if facedim not in array.dims:
+            return None
+        # identify the two face-spanning axes: the op axis plus the other
+        # axis named in the connections
+        conn_axes = sorted(
+            {
+                a
+                for links in self._face_connections[facedim].values()
+                for a in links
+            }
+        )
+        if ax_name not in conn_axes:
+            # ops along an unconnected axis still need the generic path only
+            # if connections could swap into it; with <=2 connection axes and
+            # the op axis outside them, basic padding applies per face
+            if len(conn_axes) > 2:
+                return None
+        axes2 = sorted(set(conn_axes) | {ax_name})
+        if len(axes2) == 1:
+            # need a second spatial axis to define strips; find any other
+            # axis present in the array
+            others = [
+                a
+                for a in self.axes
+                if a != ax_name
+                and any(d in array.dims for d in self.axes[a].coords.values())
+            ]
+            if not others:
+                return None
+            axes2 = sorted([ax_name] + [others[0]])
+        if len(axes2) != 2:
+            return None
+        try:
+            dims_of = {
+                a: self.axes[a]._get_position_name(array)[1] for a in axes2
+            }
+        except KeyError:
+            return None
+        # assign the "x" role to whichever axis lies later in the array's
+        # existing dim order, so the canonical (face, y, x) arrangement is a
+        # no-op transpose for standard layouts
+        a0, a1 = axes2
+        if array.get_axis_num(dims_of[a0]) > array.get_axis_num(dims_of[a1]):
+            x_axis, y_axis = a0, a1
+        else:
+            x_axis, y_axis = a1, a0
+        xdim, ydim = dims_of[x_axis], dims_of[y_axis]
+
+        try:
+            plan = compile_face_plan(self, x_axis, y_axis)
+        except KeyError:
+            return None
+
+        rest = [d for d in array.dims if d not in (facedim, ydim, xdim)]
+        arranged = array.transpose(*rest, facedim, ydim, xdim)
+        try:
+            data = fused_face_shift_op(
+                arranged.data,
+                plan,
+                axis_is_x=(dim == xdim),
+                face_axis=arranged.ndim - 3,
+                op=funcname,
+                direction=direction,
+                boundary=boundary,
+                fill_value=fill_value,
+            )
+        except ValueError:
+            return None
+        return data, arranged.dims
 
     def _create_1d_grid_ufunc_signatures(
         self, da: GriddedArray, axis, to

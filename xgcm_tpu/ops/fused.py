@@ -68,3 +68,95 @@ def fused_shift_op(
     if op == "max":
         return jnp.maximum(x, nb)
     raise ValueError(f"unknown op {op!r}")
+
+
+def _apply_pair(op: str, direction: str, x, nb):
+    if op == "diff":
+        return x - nb if direction == "left" else nb - x
+    if op == "interp":
+        return (x + nb) * 0.5
+    if op == "min":
+        return jnp.minimum(x, nb)
+    if op == "max":
+        return jnp.maximum(x, nb)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def fused_face_shift_op(
+    x: jnp.ndarray,
+    plan,
+    axis_is_x: bool,
+    face_axis: int,
+    op: str,
+    direction: str,
+    boundary: Optional[str],
+    fill_value: float = 0.0,
+) -> jnp.ndarray:
+    """Face-connected 1D shift stencil without materialising padded faces.
+
+    ``x`` has dims (..., face, ny, nx); the stencil along the chosen axis is
+    a per-face roll, and the one wrapped edge line per face is overwritten
+    with the correctly-oriented neighbour strip selected from the compiled
+    :class:`~xgcm_tpu.parallel.face_sharded.FaceHaloPlan` — 2 arrays of HBM
+    traffic plus O(F * L) strip work, versus the pad-and-concat path's full
+    padded intermediates.  Scalar fields only (vector sign rules take the
+    generic path).  Semantics identical to the halo-assembly padding
+    (xgcm padding.py:201-258) away from (unread) corner cells.
+    """
+    assert face_axis == x.ndim - 3, "expected (..., face, ny, nx) layout"
+    ny, nx = x.shape[-2:]
+    nf = x.shape[-3]
+
+    # canonical one-wide edge strips, tangential in increasing coordinate:
+    # side 0 = X-left, 1 = X-right, 2 = Y-left, 3 = Y-right
+    import numpy as _np
+
+    if _np.any(plan.swap) and ny != nx:
+        raise ValueError("cross-axis face connections require square faces")
+    strips = jnp.stack(
+        [x[..., :, 0], x[..., :, nx - 1], x[..., 0, :], x[..., ny - 1, :]],
+        axis=-2,
+    )  # (..., face, 4, L)
+
+    # which side of THIS face needs a halo, and the roll axis
+    if axis_is_x:
+        side = 0 if direction == "left" else 1
+        roll_axis = -1
+        edge = 0 if direction == "left" else nx - 1
+    else:
+        side = 2 if direction == "left" else 3
+        roll_axis = -2
+        edge = 0 if direction == "left" else ny - 1
+
+    connected = jnp.asarray(plan.connected[:, side])  # (F,)
+    src_face = jnp.asarray(plan.src_face[:, side])
+    src_side = jnp.asarray(plan.src_side[:, side])
+    tang_flip = jnp.asarray(plan.tang_flip[:, side])
+
+    # gather each face's source strip: (..., F, 4, L) -> (..., F, L);
+    # side selection via a tiny (F, 4) one-hot sum (no gather)
+    src_strips = jnp.take(strips, src_face, axis=-3)
+    side_sel = (jnp.arange(4) == src_side[:, None]).astype(x.dtype)  # (F, 4)
+    picked = jnp.sum(src_strips * side_sel[:, :, None], axis=-2)
+    picked = jnp.where(tang_flip[:, None], picked[..., ::-1], picked)
+
+    # basic BC for unconnected edges (within-face wrap / fill / extend)
+    opposite = {0: 1, 1: 0, 2: 3, 3: 2}[side]
+    if boundary in ("periodic", None):
+        basic = strips[..., opposite, :]
+    elif boundary == "fill":
+        basic = jnp.full_like(strips[..., side, :], fill_value)
+    elif boundary == "extend":
+        basic = strips[..., side, :]
+    else:
+        raise ValueError(f"unknown boundary {boundary!r}")
+
+    halo = jnp.where(connected[:, None], picked, basic)  # (..., F, L)
+
+    shift = 1 if direction == "left" else -1
+    nb = jnp.roll(x, shift, axis=roll_axis)
+    if axis_is_x:
+        nb = nb.at[..., :, edge].set(halo)
+    else:
+        nb = nb.at[..., edge, :].set(halo)
+    return _apply_pair(op, direction, x, nb)
