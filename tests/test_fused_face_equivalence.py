@@ -1,0 +1,70 @@
+"""The fused face-connected fast path must be value-identical to the generic
+pad-and-concat engine path for every op/boundary/axis combination."""
+
+import numpy as np
+import pytest
+
+from xgcm_tpu import Grid, GriddedArray
+from xgcm_tpu.core import gridops
+
+from .datasets import cubed_sphere_dataset
+
+GENERIC = {
+    ("diff", "left"): gridops.diff_center_to_left,
+    ("interp", "left"): gridops.interp_center_to_left,
+    ("min", "left"): gridops.min_center_to_left,
+    ("max", "left"): gridops.max_center_to_left,
+}
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "fill", "extend"])
+@pytest.mark.parametrize("axis", ["X", "Y"])
+@pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
+def test_fused_equals_generic_on_cubed_sphere(op, axis, boundary):
+    ds, fc = cubed_sphere_dataset(n=6)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    a = np.random.rand(6, 6, 6)
+    da = GriddedArray(a, ("face", "y", "x"))
+
+    # dispatch path (takes the fused fast path for these combos)
+    fused = getattr(grid, op)(
+        da, axis, to="left", boundary=boundary, fill_value=2.5
+    )
+
+    # generic engine path, invoked directly through the GridUFunc
+    generic = GENERIC[(op, "left")](
+        grid, da, axis=[(axis,)], boundary=boundary, fill_value=2.5
+    )
+
+    assert fused.dims == generic.dims
+    np.testing.assert_allclose(
+        np.asarray(fused.data), np.asarray(generic.data)
+    )
+
+
+def test_fused_leading_batch_dim():
+    """Fused face path with an extra leading (time) dimension."""
+    ds, fc = cubed_sphere_dataset(n=5)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    a = np.random.rand(3, 6, 5, 5)
+    da = GriddedArray(a, ("time", "face", "y", "x"))
+    fused = grid.diff(da, "X", boundary="fill")
+    generic = gridops.diff_center_to_left(
+        grid, da, axis=[("X",)], boundary="fill"
+    )
+    assert fused.dims == generic.dims == ("time", "face", "y", "xl")
+    np.testing.assert_allclose(np.asarray(fused.data), np.asarray(generic.data))
+
+
+def test_fused_odd_dim_order():
+    """Face dim not first: dispatch must restore the input dim order."""
+    ds, fc = cubed_sphere_dataset(n=5)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    a = np.random.rand(5, 6, 5)
+    da = GriddedArray(a, ("y", "face", "x"))
+    fused = grid.diff(da, "X", boundary="extend")
+    generic = gridops.diff_center_to_left(
+        grid, da, axis=[("X",)], boundary="extend"
+    )
+    assert fused.dims == generic.dims == ("y", "face", "xl")
+    np.testing.assert_allclose(np.asarray(fused.data), np.asarray(generic.data))
