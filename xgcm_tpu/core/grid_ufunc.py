@@ -338,6 +338,10 @@ def apply_as_grid_ufunc(
     boundary_width_real = _substitute_dummy_axis_names(boundary_width, dummy_to_real)
 
     def _pad_args(seq):
+        # seq may be the inputs (pad-before) or the outputs (pad-after);
+        # the output count can exceed the input count, so pad the
+        # other_component list rather than letting zip truncate silently
+        ocs = list(other_component) + [None] * (len(seq) - len(other_component))
         return [
             pad(
                 a,
@@ -347,7 +351,7 @@ def apply_as_grid_ufunc(
                 fill_value=fill_value,
                 other_component=oc,
             )
-            for a, oc in zip(seq, other_component)
+            for a, oc in zip(seq, ocs)
         ]
 
     if pad_before_func:
