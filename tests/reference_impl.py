@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-PAD_MODE = {"periodic": "wrap", "fill": "constant", "extend": "edge", None: "wrap"}
+PAD_MODE = {"periodic": "wrap", "fill": "constant", "extend": "edge", None: "wrap",
+            "extrapolate": "extrapolate"}
 
 
 def pad_np(a, widths, boundary, fill_value=0.0, axis=-1):
@@ -20,6 +21,18 @@ def pad_np(a, widths, boundary, fill_value=0.0, axis=-1):
     mode = PAD_MODE[boundary]
     if mode == "constant":
         return np.pad(a, pad_spec, mode=mode, constant_values=fill_value)
+    if mode == "extrapolate":
+        a = np.moveaxis(a, axis, -1)
+        lw, rw = widths
+        parts = []
+        if lw:
+            ks = np.arange(lw, 0, -1)
+            parts.append(a[..., :1] - ks * (a[..., 1:2] - a[..., :1]))
+        parts.append(a)
+        if rw:
+            ks = np.arange(1, rw + 1)
+            parts.append(a[..., -1:] + ks * (a[..., -1:] - a[..., -2:-1]))
+        return np.moveaxis(np.concatenate(parts, axis=-1), -1, axis)
     return np.pad(a, pad_spec, mode=mode)
 
 

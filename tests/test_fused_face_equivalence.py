@@ -17,7 +17,7 @@ GENERIC = {
 }
 
 
-@pytest.mark.parametrize("boundary", ["periodic", "fill", "extend"])
+@pytest.mark.parametrize("boundary", ["periodic", "fill", "extend", "extrapolate"])
 @pytest.mark.parametrize("axis", ["X", "Y"])
 @pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
 def test_fused_equals_generic_on_cubed_sphere(op, axis, boundary):

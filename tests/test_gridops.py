@@ -30,7 +30,7 @@ def make_grid(pos2dim, boundary="periodic", n=N):
 
 PAIRS = list(WIDTHS.keys())
 OPS = ["diff", "interp", "min", "max"]
-BOUNDARIES = ["periodic", "fill", "extend"]
+BOUNDARIES = ["periodic", "fill", "extend", "extrapolate"]
 
 
 @pytest.mark.parametrize("boundary", BOUNDARIES)
@@ -55,7 +55,7 @@ def test_op_golden(op, frm, to, boundary):
     np.testing.assert_allclose(np.asarray(result.data), expected)
 
 
-@pytest.mark.parametrize("boundary", ["fill", "extend"])
+@pytest.mark.parametrize("boundary", ["fill", "extend", "extrapolate"])
 @pytest.mark.parametrize(
     "frm,to",
     [

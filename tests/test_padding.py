@@ -52,6 +52,17 @@ class TestBasicPadding:
         expected = np.concatenate([[a[0]], a, [a[-1], a[-1]]])
         np.testing.assert_allclose(np.asarray(out.data), expected)
 
+    def test_extrapolate(self, grid):
+        a = np.random.rand(N)
+        da = GriddedArray(a, ("xc",))
+        out = pad(da, grid, {"X": (2, 1)}, boundary="extrapolate")
+        expected = np.concatenate([
+            [a[0] - 2 * (a[1] - a[0]), a[0] - (a[1] - a[0])],
+            a,
+            [a[-1] + (a[-1] - a[-2])],
+        ])
+        np.testing.assert_allclose(np.asarray(out.data), expected)
+
     def test_default_boundary_is_periodic(self, grid):
         a = np.random.rand(N)
         da = GriddedArray(a, ("xc",))

@@ -47,7 +47,7 @@ def grid():
     )
 
 
-@pytest.mark.parametrize("boundary", ["periodic", "fill", "extend"])
+@pytest.mark.parametrize("boundary", ["periodic", "fill", "extend", "extrapolate"])
 @pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
 def test_sharded_op_matches_single_device(grid, op, boundary):
     mesh = make_mesh({"x": 8})

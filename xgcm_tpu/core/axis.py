@@ -29,8 +29,10 @@ FALLBACK_SHIFTS = {
 }
 
 # Allowed boundary-condition flags; None means "default" which resolves to
-# periodic (reference padding.py:15-20 maps None -> wrap).
-VALID_BOUNDARIES = ("periodic", "fill", "extend", None)
+# periodic (reference padding.py:15-20 maps None -> wrap).  `extrapolate`
+# (linear extrapolation from the two edge cells) goes beyond the reference's
+# surface per the BASELINE.json north star.
+VALID_BOUNDARIES = ("periodic", "fill", "extend", "extrapolate", None)
 
 
 class Axis:

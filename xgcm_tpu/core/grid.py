@@ -544,7 +544,7 @@ class Grid:
         fill_value = self._complete_user_kwargs_using_axis_defaults(
             call_kwargs.get("fill_value"), "fill_value"
         )[ax_name]
-        if boundary not in ("periodic", "fill", "extend", None):
+        if boundary not in ("periodic", "fill", "extend", "extrapolate", None):
             return None
 
         dim = ax.coords[from_pos]

@@ -36,8 +36,35 @@ BOUNDARY_TO_PAD_MODE = {
     "periodic": "wrap",
     "fill": "constant",
     "extend": "edge",
+    "extrapolate": "extrapolate",  # custom: linear from the two edge cells
     None: "wrap",
 }
+
+
+def _extrapolate_pad(data, axnum: int, widths: Tuple[int, int]):
+    """Linear extrapolation padding: value at k cells beyond an edge is
+    edge + k * (edge - next-inward)."""
+    lw, rw = widths
+    parts = []
+    if lw:
+        x0 = jnp.take(data, jnp.array([0]), axis=axnum)
+        x1 = jnp.take(data, jnp.array([1]), axis=axnum)
+        ks = jnp.arange(lw, 0, -1, dtype=data.dtype)
+        shape = [1] * data.ndim
+        shape[axnum] = lw
+        ks = ks.reshape(shape)
+        parts.append(x0 - ks * (x1 - x0))
+    parts.append(data)
+    if rw:
+        n = data.shape[axnum]
+        xn = jnp.take(data, jnp.array([n - 1]), axis=axnum)
+        xm = jnp.take(data, jnp.array([n - 2]), axis=axnum)
+        ks = jnp.arange(1, rw + 1, dtype=data.dtype)
+        shape = [1] * data.ndim
+        shape[axnum] = rw
+        ks = ks.reshape(shape)
+        parts.append(xn + ks * (xn - xm))
+    return jnp.concatenate(parts, axis=axnum)
 
 
 def _pad_basic(
@@ -49,7 +76,6 @@ def _pad_basic(
 ) -> GriddedArray:
     """Apply simple per-axis boundary padding (reference padding.py:338-360)."""
     data = da.data
-    pad_width = [(0, 0)] * da.ndim
     # jnp.pad supports a single mode per call; group axes by mode.
     by_mode: Dict[Tuple[str, float], list] = {}
     for ax_name, widths in padding_width.items():
@@ -62,6 +88,10 @@ def _pad_basic(
         by_mode.setdefault((mode, fv), []).append((da.get_axis_num(dim), widths))
 
     for (mode, fv), axes_widths in by_mode.items():
+        if mode == "extrapolate":
+            for axnum, widths in axes_widths:
+                data = _extrapolate_pad(data, axnum, widths)
+            continue
         widths_arg = [(0, 0)] * data.ndim
         for axnum, widths in axes_widths:
             widths_arg[axnum] = widths

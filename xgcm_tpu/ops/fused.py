@@ -57,6 +57,11 @@ def fused_shift_op(
     elif boundary == "extend":
         idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
         nb = jnp.where(idx == edge, x, nb)
+    elif boundary == "extrapolate":
+        # linear: one cell beyond the edge is 2*edge - next-inward
+        idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        inward = jnp.roll(x, -1 if direction == "left" else 1, axis=axis)
+        nb = jnp.where(idx == edge, 2.0 * x - inward, nb)
     # periodic / None: the roll already wraps
 
     if op == "diff":
@@ -148,6 +153,12 @@ def fused_face_shift_op(
         basic = jnp.full_like(strips[..., side, :], fill_value)
     elif boundary == "extend":
         basic = strips[..., side, :]
+    elif boundary == "extrapolate":
+        inward = {
+            0: x[..., :, 1], 1: x[..., :, nx - 2],
+            2: x[..., 1, :], 3: x[..., ny - 2, :],
+        }[side]
+        basic = 2.0 * strips[..., side, :] - inward
     else:
         raise ValueError(f"unknown boundary {boundary!r}")
 

@@ -127,6 +127,20 @@ def _basic_halo(face, w, side, boundary, fill_value):
     if boundary == "fill":
         L = ny if side < 2 else nx
         return jnp.full(face.shape[:-2] + (w, L), fill_value, face.dtype)
+    if boundary == "extrapolate":
+        if side == 0:
+            e = face[..., :, 0:1]; nxt = face[..., :, 1:2]
+            strip = 2.0 * e - nxt
+            return jnp.broadcast_to(jnp.swapaxes(strip, -1, -2), face.shape[:-2] + (w, ny))
+        if side == 1:
+            e = face[..., :, nx - 1 : nx]; nxt = face[..., :, nx - 2 : nx - 1]
+            strip = 2.0 * e - nxt
+            return jnp.broadcast_to(jnp.swapaxes(strip, -1, -2), face.shape[:-2] + (w, ny))
+        if side == 2:
+            strip = 2.0 * face[..., 0:1, :] - face[..., 1:2, :]
+            return jnp.broadcast_to(strip, face.shape[:-2] + (w, nx))
+        strip = 2.0 * face[..., ny - 1 : ny, :] - face[..., ny - 2 : ny - 1, :]
+        return jnp.broadcast_to(strip, face.shape[:-2] + (w, nx))
     if boundary == "extend":
         if side == 0:
             e = face[..., :, 0:1]

@@ -91,6 +91,14 @@ def ring_halo_pad(
             edge = take(x, slice(0, 1))
             repeat = jnp.broadcast_to(edge, from_left.shape)
             halo_l = jnp.where(idx == 0, repeat, from_left)
+        elif boundary == "extrapolate":
+            x0 = take(x, slice(0, 1))
+            x1 = take(x, slice(1, 2))
+            ks_shape = [1] * x.ndim
+            ks_shape[axis] = lw
+            ks = jnp.arange(lw, 0, -1, dtype=x.dtype).reshape(ks_shape)
+            extr = jnp.broadcast_to(x0, from_left.shape) - ks * (x1 - x0)
+            halo_l = jnp.where(idx == 0, extr, from_left)
         else:
             raise ValueError(f"unknown boundary {boundary!r}")
         parts.append(halo_l)
@@ -112,6 +120,14 @@ def ring_halo_pad(
             edge = take(x, slice(-1, None))
             repeat = jnp.broadcast_to(edge, from_right.shape)
             halo_r = jnp.where(idx == n - 1, repeat, from_right)
+        elif boundary == "extrapolate":
+            xn = take(x, slice(-1, None))
+            xm = take(x, slice(-2, -1))
+            ks_shape = [1] * x.ndim
+            ks_shape[axis] = rw
+            ks = jnp.arange(1, rw + 1, dtype=x.dtype).reshape(ks_shape)
+            extr = jnp.broadcast_to(xn, from_right.shape) + ks * (xn - xm)
+            halo_r = jnp.where(idx == n - 1, extr, from_right)
         else:
             raise ValueError(f"unknown boundary {boundary!r}")
         parts.append(halo_r)
