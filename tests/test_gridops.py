@@ -166,3 +166,38 @@ def test_boundary_override_per_call():
     result = grid.diff(da, "X", boundary="extend")
     expected = apply_op("diff", a, "center", "left", boundary="extend")
     np.testing.assert_allclose(np.asarray(result.data), expected)
+
+
+def test_per_axis_boundary_dict_multi_axis():
+    """Multi-axis op with different boundary per axis resolves each axis's
+    BC independently (reference per-axis kwarg promotion)."""
+    nx, ny = 6, 7
+    ds = Dataset(
+        coords={
+            "xc": ("xc", np.arange(nx, dtype=float)),
+            "xg": ("xg", np.arange(nx, dtype=float)),
+            "yc": ("yc", np.arange(ny, dtype=float)),
+            "yg": ("yg", np.arange(ny, dtype=float)),
+        }
+    )
+    grid = Grid(
+        ds,
+        coords={
+            "X": {"center": "xc", "left": "xg"},
+            "Y": {"center": "yc", "left": "yg"},
+        },
+        autoparse_metadata=False,
+    )
+    a = np.random.rand(ny, nx)
+    da = GriddedArray(a, ("yc", "xc"))
+    result = grid.diff(
+        da, ["X", "Y"],
+        boundary={"X": "fill", "Y": "extend"},
+        fill_value={"X": 3.0, "Y": 0.0},
+    )
+    ex = apply_op("diff", a, "center", "left", boundary="fill", fill_value=3.0)
+    ex = apply_op(
+        "diff", np.moveaxis(ex, 0, -1), "center", "left", boundary="extend"
+    )
+    ex = np.moveaxis(ex, -1, 0)
+    np.testing.assert_allclose(np.asarray(result.data), ex)
