@@ -206,3 +206,50 @@ class TestDispatch:
         ds = Dataset(coords={"x": ("x", np.arange(4) * 1.0)})
         _, kwargs = metadata.parse_metadata(ds)
         assert kwargs == {"coords": {}}
+
+
+def sgrid_3d_ds():
+    nx, ny, nz = 4, 3, 5
+    return Dataset(
+        coords={
+            "node_x": ("node_x", np.arange(nx + 1) * 1.0),
+            "node_y": ("node_y", np.arange(ny + 1) * 1.0),
+            "node_z": ("node_z", np.arange(nz + 1) * 1.0),
+            "cell_x": ("cell_x", np.arange(nx) + 0.5),
+            "cell_y": ("cell_y", np.arange(ny) + 0.5),
+            "cell_z": ("cell_z", np.arange(nz) + 0.5),
+        },
+        data_vars={
+            "grid": (
+                (),
+                np.array(0),
+                {
+                    "cf_role": "grid_topology",
+                    "topology_dimension": 3,
+                    "node_dimensions": "node_x node_y node_z",
+                    "volume_dimensions": (
+                        "cell_x: node_x (padding: none) "
+                        "cell_y: node_y (padding: none) "
+                        "cell_z: node_z (padding: none)"
+                    ),
+                },
+            )
+        },
+        attrs={"Conventions": "SGRID"},
+    )
+
+
+class TestSgrid3D:
+    def test_axes(self):
+        assert sgrid.get_all_axes(sgrid_3d_ds()) == {"X", "Y", "Z"}
+
+    def test_positions(self):
+        ds = sgrid_3d_ds()
+        assert sgrid.get_axis_positions_and_coords(ds, "Z") == {
+            "center": "cell_z",
+            "outer": "node_z",
+        }
+
+    def test_grid_construction(self):
+        grid = Grid(sgrid_3d_ds())
+        assert set(grid.axes) == {"X", "Y", "Z"}
