@@ -134,6 +134,27 @@ def main():
     t_best = min(x for x in (t_api, t_pallas) if x is not None)
     gps = ny * nx / t_best
 
+    # --- bf16 variant (halved HBM traffic; ops are bf16-transparent) ---
+    def chained_bf16():
+        @jax.jit
+        def run(u, v, ix, iy):
+            def body(_, uu):
+                z = api_vorticity(uu, v, ix, iy)
+                return uu + (jnp.float32(1e-20) * z).astype(uu.dtype)
+            return jnp.sum(
+                jax.lax.fori_loop(0, K, body, u).astype(jnp.float32)
+            )
+        return run
+
+    _log("compiling bf16 vorticity")
+    bf16_args = tuple(a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy))
+    f_bf16 = chained_bf16()
+    float(f_bf16(*bf16_args))
+    t0 = time.perf_counter()
+    float(f_bf16(*bf16_args))
+    t_bf16 = (time.perf_counter() - t0) / K
+    gps_bf16 = ny * nx / t_bf16
+
     # --- numpy baseline (reference-equivalent, this host's CPU) ---
     n_base = 2048
     ub, vb = u_np[:n_base, :n_base], v_np[:n_base, :n_base]
@@ -262,6 +283,7 @@ def main():
             "pallas_ms_per_iter": (
                 round(t_pallas * 1e3, 4) if t_pallas else None
             ),
+            "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3),
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3),
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3),

@@ -131,8 +131,6 @@ def _apply(
     args: Sequence[GriddedArray],
     in_core_dims: List[List[str]],
     out_core_dims: List[List[str]],
-    grid: "Grid",
-    boundary_width,
     **kwargs,
 ) -> Tuple[GriddedArray, ...]:
     """Move core dims last, call the kernel on raw arrays, and relabel outputs.
@@ -359,19 +357,11 @@ def apply_as_grid_ufunc(
             _maybe_unpack_vector_component(p) if isinstance(p, dict) else p
             for p in _pad_args(args)
         ]
-        results = _apply(
-            func, padded, in_core_dims, out_core_dims, grid, boundary_width, **kwargs
-        )
+        results = _apply(func, padded, in_core_dims, out_core_dims, **kwargs)
     else:
         unpadded_args = [_maybe_unpack_vector_component(a) for a in args]
         unpadded = _apply(
-            func,
-            unpadded_args,
-            in_core_dims,
-            out_core_dims,
-            grid,
-            boundary_width,
-            **kwargs,
+            func, unpadded_args, in_core_dims, out_core_dims, **kwargs
         )
         results = tuple(
             _pad_args(list(unpadded))
