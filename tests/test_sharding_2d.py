@@ -152,3 +152,25 @@ def test_sharded_grid_proxy(grid):
     c = sgrid.cumsum(da, "X", to="left", boundary="fill")
     c_exp = grid.cumsum(GriddedArray(a, ("yc", "xc")), "X", to="left", boundary="fill")
     np.testing.assert_allclose(np.asarray(c.data), np.asarray(c_exp.data))
+
+
+def test_sharded_grid_face_routing():
+    """ShardedGrid routes ops on a face-sharded cubed sphere through the
+    face-sharded halo exchange automatically."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    from xgcm_tpu.grids import cubed_sphere_grid
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh
+
+    ds, cgrid = cubed_sphere_grid(n=8)
+    mesh = make_mesh({"f": 6}, devices=_jax.devices()[:6])
+    sgrid = ShardedGrid(cgrid, mesh, {"face": "f"})
+
+    a = np.random.rand(6, 8, 8)
+    da = sgrid.shard(GriddedArray(a, ("face", "y", "x")))
+    out = sgrid.diff(da, "X", boundary="fill")
+    expected = cgrid.diff(GriddedArray(a, ("face", "y", "x")), "X", boundary="fill")
+    assert out.dims == expected.dims
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))

@@ -55,12 +55,45 @@ class ShardedGrid:
             and (from_pos, to_pos) in _SHARDABLE_WIDTHS
         )
 
+    def _face_sharded_args(self, da):
+        """(mesh_axis, x_axis, y_axis) when the grid's face dim is sharded
+        and the array spans exactly two connection axes; else None."""
+        grid = self.grid
+        if grid._face_connections is None:
+            return None
+        facedim = grid._facedim
+        mesh_axis = self.dim_to_mesh_axis.get(facedim)
+        if mesh_axis is None or facedim not in da.dims:
+            return None
+        conn_axes = sorted(
+            {
+                a
+                for links in grid._face_connections[facedim].values()
+                for a in links
+            }
+        )
+        if len(conn_axes) != 2:
+            return None
+        return mesh_axis, conn_axes[0], conn_axes[1]
+
     def _op(self, name, da, axis, to=None, boundary=None, fill_value=None, **kw):
+        from .face_sharded import sharded_face_op
+
         if isinstance(axis, str):
             axis = [axis]
         out = da
         for ax_name in axis:
-            if self._core_dim_sharded(out, ax_name, to):
+            face_args = (
+                self._face_sharded_args(out) if name != "cumsum" else None
+            )
+            if face_args is not None and ax_name in face_args[1:]:
+                mesh_axis, x_axis, y_axis = face_args
+                out = sharded_face_op(
+                    self.grid, name, out, ax_name, self.mesh, mesh_axis,
+                    x_axis, y_axis, to=to, boundary=boundary,
+                    fill_value=fill_value,
+                )
+            elif self._core_dim_sharded(out, ax_name, to):
                 if name == "cumsum":
                     out = sharded_cumsum(
                         self.grid, out, ax_name, self.mesh,
