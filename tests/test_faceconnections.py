@@ -222,3 +222,30 @@ class TestCubedSphere:
             np.testing.assert_array_equal(padded[f, 1:-1, -1], right_x[0])
             np.testing.assert_array_equal(padded[f, 0, 1:-1], down_y[0])
             np.testing.assert_array_equal(padded[f, -1, 1:-1], up_y[0])
+
+
+class TestFaceAutodiff:
+    def test_grad_through_cubed_sphere_diff(self):
+        """The fused face path (roll + at[].set) is differentiable; the
+        gradient of sum(diff(x)) telescopes to zero away from fill edges."""
+        import jax
+        import jax.numpy as jnp
+
+        ds, fc = cubed_sphere_dataset(n=4)
+        grid = Grid(ds, face_connections=fc, periodic=False)
+        a = np.random.rand(6, 4, 4)
+
+        def loss(x):
+            da = GriddedArray(x, ("face", "y", "x"))
+            d = grid.diff(da, "X", boundary="fill")
+            return jnp.sum(d.data**2)
+
+        g = jax.grad(loss)(jnp.asarray(a))
+        assert np.all(np.isfinite(np.asarray(g)))
+        # finite-difference check at one interior and one edge point
+        eps = 1e-6
+        for idx in [(0, 1, 1), (2, 0, 0), (5, 3, 3)]:
+            ap = a.copy(); ap[idx] += eps
+            am = a.copy(); am[idx] -= eps
+            fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=1e-3, atol=1e-6)
