@@ -249,3 +249,41 @@ class TestFaceAutodiff:
             am = a.copy(); am[idx] -= eps
             fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
             np.testing.assert_allclose(float(g[idx]), fd, rtol=1e-3, atol=1e-6)
+
+
+class TestWideHalos:
+    def test_width2_halo_orientation_x_to_x(self, ds):
+        """Width-2 halos: outward offset k must equal the source's inward
+        offset k (reference padding.py:201-225 slicing)."""
+        grid = Grid(ds, face_connections=FC_XX, periodic=False)
+        f = np.arange(2 * N * N, dtype=float).reshape(2, N, N)
+        da = GriddedArray(f, ("face", "y", "x"))
+        p = np.asarray(
+            pad(da, grid, {"X": (2, 2)}, boundary="fill", fill_value=-1.0).data
+        )
+        assert p.shape == (2, N, N + 4)
+        # face1's left halo columns = face0's last two columns, same order
+        np.testing.assert_allclose(p[1, :, 0], f[0, :, -2])
+        np.testing.assert_allclose(p[1, :, 1], f[0, :, -1])
+        # face0's right halo columns = face1's first two columns
+        np.testing.assert_allclose(p[0, :, -2], f[1, :, 0])
+        np.testing.assert_allclose(p[0, :, -1], f[1, :, 1])
+        # unconnected edges use the fill value
+        np.testing.assert_allclose(p[0, :, :2], -1.0)
+        np.testing.assert_allclose(p[1, :, -2:], -1.0)
+
+    def test_width2_halo_orientation_x_to_y(self, ds):
+        """Rotated connection, width 2: face0's right halo along X comes from
+        face1's bottom rows, tangentially reversed, with outward offset k
+        drawn from row k."""
+        grid = Grid(ds, face_connections=FC_XY, periodic=False)
+        f = np.arange(2 * N * N, dtype=float).reshape(2, N, N)
+        da = GriddedArray(f, ("face", "y", "x"))
+        p = np.asarray(
+            pad(da, grid, {"X": (0, 2)}, boundary="fill", fill_value=-1.0).data
+        )
+        assert p.shape == (2, N, N + 2)
+        # outward offset 0 (first halo col) = face1 row y=0 reversed;
+        # offset 1 = row y=1 reversed
+        np.testing.assert_allclose(p[0, :, N], f[1, 0, ::-1])
+        np.testing.assert_allclose(p[0, :, N + 1], f[1, 1, ::-1])
