@@ -136,3 +136,46 @@ class TestInterpLike:
         u = ds["u"]  # at xu
         out = grid.interp_like(tracer, u, boundary="extend")
         assert "xu" in out.dims and "xt" not in out.dims
+
+
+class TestGetMetricCondition4:
+    def test_product_with_interpolation_warns(self):
+        """No (X,Z) metric; dx exists only at the wrong position (xu) so the
+        product dx*dz requires interpolating dx first (reference
+        grid.py:519-527)."""
+        from xgcm_tpu import Dataset
+
+        nx, nz = 6, 4
+        ds = Dataset(
+            coords={
+                "xt": ("xt", np.arange(nx) + 0.5),
+                "xu": ("xu", np.arange(nx) + 1.0),
+                "zt": ("zt", np.arange(nz) + 0.5),
+                "dx_u": (("xu",), np.random.rand(nx) + 1.0),
+                "dz_t": (("zt",), np.random.rand(nz) + 1.0),
+            }
+        )
+        grid = Grid(
+            ds,
+            coords={
+                "X": {"center": "xt", "right": "xu"},
+                "Z": {"center": "zt"},
+            },
+            boundary="extend",
+            metrics={("X",): ["dx_u"], ("Z",): ["dz_t"]},
+            autoparse_metadata=False,
+        )
+        arr = GriddedArray(np.random.rand(nz, nx), ("zt", "xt"))
+        with pytest.warns(UserWarning, match="being interpolated"):
+            m = grid.get_metric(arr, ("X", "Z"))
+        assert set(m.dims) == {"zt", "xt"}
+
+        # expected: dz * interp(dx_u -> xt, boundary extend)
+        dx_at_xt = grid.interp(ds["dx_u"], "X", boundary="extend")
+        expected = (
+            np.asarray(ds["dz_t"].data)[:, None]
+            * np.asarray(dx_at_xt.data)[None, :]
+        )
+        np.testing.assert_allclose(
+            np.asarray(m.transpose("zt", "xt").data), expected
+        )
