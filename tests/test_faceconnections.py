@@ -287,3 +287,25 @@ class TestWideHalos:
         # offset 1 = row y=1 reversed
         np.testing.assert_allclose(p[0, :, N], f[1, 0, ::-1])
         np.testing.assert_allclose(p[0, :, N + 1], f[1, 1, ::-1])
+
+
+def test_z_op_on_face_connected_grid():
+    """Ops along an unconnected third axis on a face grid route through the
+    generic pad (prepad + trim) and must equal the plain per-face stencil."""
+    n, nz = 4, 5
+    ds, fc = cubed_sphere_dataset(n=n)
+    ds2 = Dataset(
+        coords={
+            **{k: v for k, v in ds.coords.items()},
+            "zc": ("zc", np.arange(nz) + 0.5, {"axis": "Z"}),
+            "zl": ("zl", np.arange(nz) * 1.0, {"axis": "Z", "c_grid_axis_shift": -0.5}),
+        }
+    )
+    grid = Grid(ds2, face_connections=fc, periodic=False)
+    a = np.random.rand(6, nz, n, n)
+    da = GriddedArray(a, ("face", "zc", "y", "x"))
+    out = grid.diff(da, "Z", boundary="extend")
+    assert out.dims == ("face", "zl", "y", "x")
+    ap = np.concatenate([a[:, :1], a], axis=1)  # extend pad on z
+    expected = ap[:, 1:] - ap[:, :-1]
+    np.testing.assert_allclose(np.asarray(out.data), expected)
