@@ -309,3 +309,23 @@ def test_z_op_on_face_connected_grid():
     ap = np.concatenate([a[:, :1], a], axis=1)  # extend pad on z
     expected = ap[:, 1:] - ap[:, :-1]
     np.testing.assert_allclose(np.asarray(out.data), expected)
+
+
+def test_face_dim_without_coordinate():
+    """Face dim present only as a dimension (no coordinate variable) —
+    reference test_create_connected_grid[face_coord_dim=False]."""
+    n = 4
+    ds = Dataset(
+        coords={
+            "x": ("x", np.arange(n, dtype=float), {"axis": "X"}),
+            "xl": ("xl", np.arange(n) - 0.5, {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "y": ("y", np.arange(n, dtype=float), {"axis": "Y"}),
+            "yl": ("yl", np.arange(n) - 0.5, {"axis": "Y", "c_grid_axis_shift": -0.5}),
+        },
+        dims={"face": 2},
+    )
+    grid = Grid(ds, face_connections=FC_XX, periodic=False)
+    a = np.random.rand(2, n, n)
+    da = GriddedArray(a, ("face", "y", "x"))
+    d = np.asarray(grid.diff(da, "X", boundary="fill").data)
+    np.testing.assert_allclose(d[1, :, 0], a[1, :, 0] - a[0, :, -1])
