@@ -147,13 +147,19 @@ def main():
         return run
 
     _log("compiling bf16 vorticity")
-    bf16_args = tuple(a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy))
-    f_bf16 = chained_bf16()
-    float(f_bf16(*bf16_args))
-    t0 = time.perf_counter()
-    float(f_bf16(*bf16_args))
-    t_bf16 = (time.perf_counter() - t0) / K
-    gps_bf16 = ny * nx / t_bf16
+    try:
+        bf16_args = tuple(
+            a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy)
+        )
+        f_bf16 = chained_bf16()
+        float(f_bf16(*bf16_args))
+        t0 = time.perf_counter()
+        float(f_bf16(*bf16_args))
+        t_bf16 = (time.perf_counter() - t0) / K
+        gps_bf16 = ny * nx / t_bf16
+    except Exception as e:
+        _log(f"bf16 bench failed: {e}")
+        gps_bf16 = None
 
     # --- numpy baseline (reference-equivalent, this host's CPU) ---
     n_base = 2048
@@ -189,11 +195,15 @@ def main():
         return acc
 
     _log("compiling chained transform")
-    float(tr_chained(phi, theta, targets))
-    t0 = time.perf_counter()
-    float(tr_chained(phi, theta, targets))
-    t_tr = (time.perf_counter() - t0) / K
-    transform_gps = ncol * nz / t_tr
+    try:
+        float(tr_chained(phi, theta, targets))
+        t0 = time.perf_counter()
+        float(tr_chained(phi, theta, targets))
+        t_tr = (time.perf_counter() - t0) / K
+        transform_gps = ncol * nz / t_tr
+    except Exception as e:
+        _log(f"transform bench failed: {e}")
+        transform_gps = None
 
     # --- conservative transform (MXU overlap-weight einsum) ---
     from xgcm_tpu.ops.transform import interp_1d_conservative
@@ -213,11 +223,15 @@ def main():
         return acc
 
     _log("compiling chained conservative transform")
-    float(cons_chained(phi, theta_b))
-    t0 = time.perf_counter()
-    float(cons_chained(phi, theta_b))
-    t_cons = (time.perf_counter() - t0) / K
-    conservative_gps = ncol * nz / t_cons
+    try:
+        float(cons_chained(phi, theta_b))
+        t0 = time.perf_counter()
+        float(cons_chained(phi, theta_b))
+        t_cons = (time.perf_counter() - t0) / K
+        conservative_gps = ncol * nz / t_cons
+    except Exception as e:
+        _log(f"conservative bench failed: {e}")
+        conservative_gps = None
 
     # --- config 3: metric-weighted integrate (area-weighted reduce) ---
     area = jnp.asarray((rng.rand(ny, nx) + 1.0).astype(np.float32))
@@ -232,11 +246,15 @@ def main():
         return acc
 
     _log("compiling chained integrate")
-    float(integ_chained(u, area))
-    t0 = time.perf_counter()
-    float(integ_chained(u, area))
-    t_int = (time.perf_counter() - t0) / K
-    integrate_gps = ny * nx / t_int
+    try:
+        float(integ_chained(u, area))
+        t0 = time.perf_counter()
+        float(integ_chained(u, area))
+        t_int = (time.perf_counter() - t0) / K
+        integrate_gps = ny * nx / t_int
+    except Exception as e:
+        _log(f"integrate bench failed: {e}")
+        integrate_gps = None
 
     # --- config 5: cubed-sphere cross-face diff (gather-halo path) ---
     try:
@@ -264,11 +282,15 @@ def main():
             return acc
 
         _log("compiling chained cubed-sphere diff")
-        float(cs_chained(cs_data))
-        t0 = time.perf_counter()
-        float(cs_chained(cs_data))
-        t_cs = (time.perf_counter() - t0) / K
-        cs_gps = 6 * nface * nface / t_cs
+        try:
+            float(cs_chained(cs_data))
+            t0 = time.perf_counter()
+            float(cs_chained(cs_data))
+            t_cs = (time.perf_counter() - t0) / K
+            cs_gps = 6 * nface * nface / t_cs
+        except Exception as e:
+            _log(f"cubed-sphere bench failed: {e}")
+            cs_gps = None
 
     result = {
         "metric": (
@@ -283,11 +305,11 @@ def main():
             "pallas_ms_per_iter": (
                 round(t_pallas * 1e3, 4) if t_pallas else None
             ),
-            "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3),
+            "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3) if gps_bf16 else None,
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
-            "transform_linear_Ggps": round(transform_gps / 1e9, 3),
-            "transform_conservative_Ggps": round(conservative_gps / 1e9, 3),
-            "integrate_Ggps": round(integrate_gps / 1e9, 3),
+            "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
+            "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,
+            "integrate_Ggps": round(integrate_gps / 1e9, 3) if integrate_gps else None,
             "cubed_sphere_diff_Ggps": (
                 round(cs_gps / 1e9, 3) if cs_gps else None
             ),
