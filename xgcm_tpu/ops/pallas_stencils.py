@@ -9,16 +9,19 @@ workloads by fusing whole multi-op expressions into a single pass:
   ONE kernel: reads u and v once, writes zeta once (3 arrays of HBM traffic,
   the bandwidth lower bound).  The reference computes this as two separate
   padded diffs plus arithmetic (4+ passes over memory).
+* :func:`fused_cgrid_diagnostics` — vorticity + divergence + kinetic energy
+  in one pass (2 reads, 3 writes).
 * :func:`shift_op` — single 1D stencil (diff/interp/min/max, center<->left/
   right) along the last axis with the boundary condition applied in-kernel
   via a lane roll + first/last-column select, so no padded intermediate is
   ever materialised.
 
-Row tiles are DMA'd HBM->VMEM by hand (the y-neighbour row rides along in
-the same copy), following the Pallas TPU guide's double-buffer pattern.
-Kernels require the trailing dim to be a multiple of 128 lanes and f32
-inputs; callers fall back to the XLA path otherwise (see
-:func:`supports_pallas`).
+Kernels use blocked BlockSpec pipelines (double-buffered by Pallas); the
+y-neighbour rows of a tile arrive as extra 8-row input blocks whose index
+maps wrap to the adjacent (or periodic-opposite) tile, avoiding manual DMA
+and Mosaic's 8-sublane slice-alignment restrictions.  Kernels require the
+trailing dim to be a multiple of 128 lanes and f32 inputs; callers fall back
+to the XLA path otherwise (see :func:`supports_pallas`).
 """
 
 from __future__ import annotations
