@@ -82,7 +82,12 @@ def mitgcm_c_grid(
             "Z": {"center": "Z", "left": "Zl"},
         },
         boundary={"X": "periodic", "Y": "extend", "Z": "extend"},
-        metrics={("X", "Y"): ["rA"], ("Z",): ["drF"]},
+        metrics={
+            ("X",): ["dxC"],
+            ("Y",): ["dyC"],
+            ("X", "Y"): ["rA"],
+            ("Z",): ["drF"],
+        },
         autoparse_metadata=False,
     )
     return ds, grid
