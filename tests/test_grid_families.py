@@ -78,3 +78,31 @@ class TestCubedSphere:
         np.testing.assert_allclose(
             np.asarray(d.data)[:, 0, 0], [-3, 1, 1, 1, 1, 2]
         )
+
+
+class TestFamilyPipelines:
+    def test_mitgcm_derivative_and_cumint(self):
+        ds, grid = mitgcm_c_grid(nx=12, ny=6, nz=4)
+        th = GriddedArray(np.random.rand(4, 6, 12), ("Z", "YC", "XC"))
+        d = grid.derivative(th, "X")
+        assert d.dims == ("Z", "YC", "XG")
+        ci = grid.cumint(th, "Z", boundary="extend")
+        assert ci.dims == ("Zl", "YC", "XC")
+
+    def test_mitgcm_transform(self):
+        ds, grid = mitgcm_c_grid(nx=8, ny=4, nz=6)
+        rng = np.random.RandomState(0)
+        th = GriddedArray(rng.rand(6, 4, 8), ("Z", "YC", "XC"), name="t")
+        rho = GriddedArray(
+            24 + 4 * np.sort(rng.rand(6, 4, 8), axis=0),
+            ("Z", "YC", "XC"),
+            name="sigma",
+        )
+        out = grid.transform(th, "Z", np.linspace(24.5, 28, 5), target_data=rho)
+        assert out.dims == ("YC", "XC", "sigma")
+
+    def test_nemo_cumint(self):
+        ds, grid = nemo_c_grid(nx=8, ny=4, nz=6)
+        th = GriddedArray(np.random.rand(6, 4, 8), ("z_c", "y_c", "x_c"))
+        ci = grid.cumint(th, "Z", boundary="extend")
+        assert ci.dims == ("z_l", "y_c", "x_c")
