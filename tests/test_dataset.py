@@ -85,3 +85,41 @@ class TestPersistence:
         ds.save(path)
         grid = Grid(Dataset.load(path))
         assert grid.axes["X"].coords == {"center": "xc", "left": "xg"}
+
+
+class TestMutation:
+    def test_setitem(self):
+        ds = Dataset(coords={"x": ("x", np.arange(4.0))})
+        ds["v"] = (("x",), np.ones(4))
+        assert "v" in ds
+        with pytest.raises(ValueError, match="conflicting sizes"):
+            ds["bad"] = (("x",), np.ones(5))
+
+    def test_assign_returns_new(self):
+        ds = Dataset(coords={"x": ("x", np.arange(4.0))})
+        ds2 = ds.assign(v=(("x",), np.ones(4)))
+        assert "v" in ds2 and "v" not in ds
+
+    def test_assign_coords(self):
+        ds = Dataset(coords={"x": ("x", np.arange(4.0))})
+        ds2 = ds.assign_coords(x2=("x", np.arange(4.0) * 2))
+        assert "x2" in ds2.coords and "x2" not in ds.coords
+
+    def test_setitem_then_set_metrics(self):
+        from xgcm_tpu import Grid
+
+        ds = Dataset(
+            coords={
+                "xc": ("xc", np.arange(5.0)),
+                "xg": ("xg", np.arange(5.0)),
+            }
+        )
+        grid = Grid(
+            ds, coords={"X": {"center": "xc", "left": "xg"}},
+            autoparse_metadata=False,
+        )
+        ds["dx"] = (("xc",), np.random.rand(5) + 1)
+        grid.set_metrics(("X",), "dx")
+        arr = GriddedArray(np.random.rand(5), ("xc",))
+        m = grid.get_metric(arr, ("X",))
+        np.testing.assert_allclose(np.asarray(m.data), np.asarray(ds["dx"].data))

@@ -105,6 +105,43 @@ class Dataset:
             return self.coords[name]
         raise KeyError(name)
 
+    def __setitem__(self, name: str, value) -> None:
+        """Add or replace a data variable (GriddedArray or (dims, data))."""
+        var = self._coerce(name, value, is_coord=False)
+        for d, s in var.sizes.items():
+            if d in self._dims and self._dims[d] != s:
+                raise ValueError(
+                    f"conflicting sizes for dimension {d!r}: "
+                    f"{self._dims[d]} vs {s}"
+                )
+        for d, s in var.sizes.items():
+            self._dims.setdefault(d, s)
+        self.data_vars[name] = var
+
+    def assign(self, **variables) -> "Dataset":
+        """Return a new Dataset with additional/replaced data variables."""
+        out = Dataset(
+            coords=self.coords,
+            data_vars={**self.data_vars},
+            dims=self._dims,
+            attrs=self.attrs,
+        )
+        for name, value in variables.items():
+            out[name] = value
+        return out
+
+    def assign_coords(self, **coordinates) -> "Dataset":
+        """Return a new Dataset with additional/replaced coordinates."""
+        new_coords = {**self.coords}
+        for name, value in coordinates.items():
+            new_coords[name] = self._coerce(name, value, is_coord=True)
+        return Dataset(
+            coords=new_coords,
+            data_vars=self.data_vars,
+            dims=None,
+            attrs=self.attrs,
+        )
+
     def __repr__(self):
         return (
             f"<xgcm_tpu.Dataset dims={self._dims} coords={list(self.coords)} "
