@@ -68,6 +68,7 @@ def mitgcm_c_grid(
             "YG": ("YG", lat_g, {"axis": "Y", "c_grid_axis_shift": -0.5}),
             "Z": ("Z", z_c, {"axis": "Z"}),
             "Zl": ("Zl", z_f[:-1], {"axis": "Z", "c_grid_axis_shift": -0.5}),
+            "Zp1": ("Zp1", z_f, {"axis": "Z", "c_grid_axis_shift": -0.5}),
             "dxC": (("YC",), dx_c),
             "dyC": (("YC",), dy_c),
             "rA": (("YC", "XC"), ra),
@@ -79,7 +80,7 @@ def mitgcm_c_grid(
         coords={
             "X": {"center": "XC", "left": "XG"},
             "Y": {"center": "YC", "left": "YG"},
-            "Z": {"center": "Z", "left": "Zl"},
+            "Z": {"center": "Z", "left": "Zl", "outer": "Zp1"},
         },
         boundary={"X": "periodic", "Y": "extend", "Z": "extend"},
         metrics={

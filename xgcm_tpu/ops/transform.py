@@ -439,7 +439,14 @@ def transform(
                 "values on cell bounds.",
                 UserWarning,
             )
-            target_data = grid.interp(target_data, axis_name, boundary="extend")
+            # interp explicitly TO the outer position: with an axis that has
+            # both `left` and `outer`, the default center shift would land on
+            # `left` (FALLBACK_SHIFTS order) and leave the bounds mismatched
+            # (the reference relies on the default shift and only ever tests
+            # center+outer axes, transform.py:489-501)
+            target_data = grid.interp(
+                target_data, axis_name, to="outer", boundary="extend"
+            )
         out = conservative_interpolation(
             da,
             target_data,
