@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["GriddedArray", "as_gridded"]
+__all__ = ["GriddedArray"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -254,16 +254,3 @@ def _expand_to(x: GriddedArray, out_dims: Sequence[str]):
             shape[i] = x.sizes[d]
     return jnp.reshape(x.data, shape)
 
-
-def as_gridded(
-    obj: Any, dims: Optional[Sequence[str]] = None, name: Optional[str] = None
-) -> GriddedArray:
-    """Coerce to GriddedArray. Arrays require dims; GriddedArrays pass through."""
-    if isinstance(obj, GriddedArray):
-        return obj
-    if dims is None:
-        raise TypeError(
-            "Raw arrays must be wrapped with dimension names: "
-            "GriddedArray(data, dims=(...,))"
-        )
-    return GriddedArray(obj, dims, name=name)

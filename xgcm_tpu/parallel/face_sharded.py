@@ -160,10 +160,6 @@ def _basic_halo(face, w, side, boundary, fill_value):
     raise ValueError(f"unknown boundary {boundary!r}")
 
 
-def _wait(x):
-    return x
-
-
 def face_halo_pad(
     face: jax.Array,
     plan_params: Tuple[jax.Array, ...],
