@@ -174,3 +174,18 @@ def test_sharded_grid_face_routing():
     expected = cgrid.diff(GriddedArray(a, ("face", "y", "x")), "X", boundary="fill")
     assert out.dims == expected.dims
     np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))
+
+
+@pytest.mark.parametrize("op", ["min", "max"])
+def test_sharded_grid_minmax(grid, op):
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh
+
+    mesh = make_mesh({"x": 4})
+    sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+    a = np.random.rand(NY, NX)
+    da = sgrid.shard(GriddedArray(a, ("yc", "xc")))
+    out = getattr(sgrid, op)(da, "X", boundary="extrapolate")
+    expected = getattr(grid, op)(
+        GriddedArray(a, ("yc", "xc")), "X", boundary="extrapolate"
+    )
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))
