@@ -9,7 +9,9 @@ in-register with a ``where``.  This is the XLA twin of the Pallas
 ``shift_op`` kernel and produces bit-identical results to the generic
 pad-then-stencil path for every length-preserving position pair.
 
-Only scalar (non-vector) inputs on face-less grids take this path; the
+Two fast paths live here: :func:`fused_shift_op` for face-less grids and
+:func:`fused_face_shift_op` for face-connected grids (per-face roll + a
+plan-driven edge-line fixup).  Both serve scalar (non-vector) inputs; the
 dispatch falls back to the generic engine otherwise.
 """
 
