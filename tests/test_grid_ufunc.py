@@ -265,3 +265,29 @@ class TestSelectGridUFunc:
         sig = GridUFuncSignature.from_string("(X:inner)->(X:outer)")
         with pytest.raises(NotImplementedError, match="with signature"):
             _select_grid_ufunc("diff", sig, module=GridOpsMockUp)
+
+
+class TestOtherComponentSequence:
+    def test_mismatched_lengths_raise(self, grid):
+        a = GriddedArray(np.random.rand(N), ("xc",))
+        with pytest.raises(ValueError, match="one dictionary per input"):
+            apply_as_grid_ufunc(
+                lambda x, y: x + y,
+                a, a,
+                axis=[("X",), ("X",)],
+                grid=grid,
+                signature="(X:center),(X:center)->(X:center)",
+                other_component=[{"Y": a}, {"Y": a}, {"Y": a}],
+            )
+
+    def test_default_none_broadcasts(self, grid):
+        a = np.random.rand(N)
+        out = apply_as_grid_ufunc(
+            lambda x, y: x * y,
+            GriddedArray(a, ("xc",)),
+            GriddedArray(a, ("xc",)),
+            axis=[("X",), ("X",)],
+            grid=grid,
+            signature="(X:center),(X:center)->(X:center)",
+        )
+        np.testing.assert_allclose(np.asarray(out.data), a * a)
