@@ -83,6 +83,7 @@ class ShardedGrid:
             axis = [axis]
         out = da
         for ax_name in axis:
+            ax_to = to.get(ax_name) if isinstance(to, dict) else to
             face_args = (
                 self._face_sharded_args(out) if name != "cumsum" else None
             )
@@ -90,25 +91,25 @@ class ShardedGrid:
                 mesh_axis, x_axis, y_axis = face_args
                 out = sharded_face_op(
                     self.grid, name, out, ax_name, self.mesh, mesh_axis,
-                    x_axis, y_axis, to=to, boundary=boundary,
+                    x_axis, y_axis, to=ax_to, boundary=boundary,
                     fill_value=fill_value,
                 )
-            elif self._core_dim_sharded(out, ax_name, to):
+            elif self._core_dim_sharded(out, ax_name, ax_to):
                 if name == "cumsum":
                     out = sharded_cumsum(
                         self.grid, out, ax_name, self.mesh,
-                        self.dim_to_mesh_axis, to=to, boundary=boundary,
+                        self.dim_to_mesh_axis, to=ax_to, boundary=boundary,
                         fill_value=fill_value,
                     )
                 else:
                     out = sharded_op(
                         self.grid, name, out, ax_name, self.mesh,
-                        self.dim_to_mesh_axis, to=to, boundary=boundary,
+                        self.dim_to_mesh_axis, to=ax_to, boundary=boundary,
                         fill_value=fill_value,
                     )
             else:
                 out = getattr(self.grid, name)(
-                    out, ax_name, to=to, boundary=boundary,
+                    out, ax_name, to=ax_to, boundary=boundary,
                     fill_value=fill_value, **kw,
                 )
         return out
