@@ -189,3 +189,36 @@ def test_sharded_grid_minmax(grid, op):
         GriddedArray(a, ("yc", "xc")), "X", boundary="extrapolate"
     )
     np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))
+
+
+def test_sharded_transform_matches_single_device():
+    """Vertical transform with horizontal columns sharded (embarrassingly
+    parallel under GSPMD): sharded == single-device."""
+    from xgcm_tpu.parallel import make_mesh, shard_gridded
+
+    nz, ncol = 10, 64
+    ds = Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    gridz = Grid(
+        ds, coords={"Z": {"center": "zc"}}, periodic=False,
+        autoparse_metadata=False,
+    )
+    rng = np.random.RandomState(0)
+    data = rng.rand(ncol, nz)
+    sigma = np.sort(rng.rand(ncol, nz), axis=-1) * 8 + 20
+    target = np.linspace(21, 27, 5)
+
+    def run(d, s):
+        return gridz.transform(
+            GriddedArray(d, ("col", "zc"), name="q"),
+            "Z", target,
+            target_data=GriddedArray(s, ("col", "zc"), name="sigma"),
+            target_dim="sigma", mask_edges=False,
+        ).data
+
+    expected = run(data, sigma)
+
+    mesh = make_mesh({"c": 8})
+    d8 = shard_gridded(GriddedArray(data, ("col", "zc")), mesh, {"col": "c"})
+    s8 = shard_gridded(GriddedArray(sigma, ("col", "zc")), mesh, {"col": "c"})
+    out = jax.jit(run)(d8.data, s8.data)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-12)
