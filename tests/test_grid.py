@@ -211,3 +211,59 @@ class TestCoordsFor:
         np.testing.assert_allclose(
             np.asarray(coords["XG"].data), np.asarray(ds.coords["XG"].data)
         )
+
+
+class TestMoreReferenceParity:
+    def test_grid_boundary_invalid_value(self):
+        ds = dataset_1d_left()
+        with pytest.raises(ValueError, match="boundary must be one of"):
+            Grid(
+                ds, coords={"X": {"center": "XC", "left": "XG"}},
+                boundary="bogus", autoparse_metadata=False,
+            )
+
+    def test_fill_value_wrong_type(self):
+        ds = dataset_1d_left()
+        with pytest.raises(TypeError, match="fill value must be"):
+            Grid(
+                ds, coords={"X": {"center": "XC", "left": "XG"}},
+                fill_value="zero", autoparse_metadata=False,
+            )
+
+    def test_two_face_dims_rejected(self):
+        ds = dataset_1d_left()
+        fc = {"f1": {0: {"X": (None, None)}}, "f2": {0: {"X": (None, None)}}}
+        with pytest.raises(ValueError, match="Only one face dimension"):
+            Grid(
+                ds, coords={"X": {"center": "XC", "left": "XG"}},
+                face_connections=fc, autoparse_metadata=False,
+            )
+
+    def test_default_shift_override(self):
+        ds = dataset_1d_left()
+        grid = Grid(
+            ds, coords={"X": {"center": "XC", "left": "XG"}},
+            default_shifts={"X": {"center": "left"}},
+            autoparse_metadata=False,
+        )
+        assert grid.axes["X"].default_shifts["center"] == "left"
+
+    def test_interp_like_missing_axis_skipped(self):
+        """interp_like skips axes absent from either array
+        (reference grid.py:571-583)."""
+        from .datasets import dataset_2d_left
+
+        ds = dataset_2d_left()
+        grid = Grid(
+            ds,
+            coords={
+                "X": {"center": "XC", "left": "XG"},
+                "Y": {"center": "YC", "left": "YG"},
+            },
+            autoparse_metadata=False,
+        )
+        # array that has only an X dim: the Y axis must be skipped silently
+        arr = GriddedArray(np.random.rand(ds.dims["XC"]), ("XC",))
+        like = GriddedArray(np.random.rand(ds.dims["XG"]), ("XG",))
+        out = grid.interp_like(arr, like, boundary="extend")
+        assert out.dims == ("XG",)
