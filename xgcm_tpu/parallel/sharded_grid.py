@@ -5,6 +5,10 @@ code: pick a mesh and a dim->mesh-axis mapping once, then call the usual
 operator methods.  Ops whose core dim is sharded route through the explicit
 ``shard_map`` + ``ppermute`` halo ring; everything else falls through to the
 plain Grid methods (which are GSPMD-correct under jit anyway).
+
+No reference counterpart: the closest analog is implicitly chunk-aware
+xarray objects under dask (reference grid.py:654-687 auto-selects the dask
+mode per call); here the mesh binding is explicit and static.
 """
 
 from __future__ import annotations
