@@ -202,7 +202,10 @@ def max_inner_to_center(a):
 # -- cumsum -----------------------------------------------------------------
 # For half of the position pairs the prefix sum must be computed first and the
 # result padded afterwards with a zero (pad_before_func=False, fill_value=0 —
-# reference gridops.py:222-279).
+# reference gridops.py:222-279).  Note: unlike the reference (whose GridUFunc
+# never forwards its declared fill_value, grid_ufunc.py:503-526), the declared
+# fill_value=0 here actually reaches the pad, so a cumsum boundary always
+# starts from zero unless the caller overrides fill_value explicitly.
 
 
 @as_grid_ufunc(
