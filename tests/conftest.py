@@ -21,7 +21,11 @@ import jax  # noqa: E402
 # are too late — the config update below is the only thing that actually
 # forces tests onto the (8-virtual-device) CPU backend.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# x64 gives exact float64 golden comparisons (the suite's oracles assume it).
+# XGCM_TPU_TEST_X32=1 runs in float32 for eyeballing TPU-precision behaviour;
+# expect the exact-comparison tests to report ~1e-7-level mismatches there.
+if not os.environ.get("XGCM_TPU_TEST_X32"):
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
