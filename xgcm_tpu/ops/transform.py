@@ -226,9 +226,13 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     )
 
     phi_filled = jnp.where(phi_valid, phi, 0.0)
-    # batched mat-vec: out[..., m] = sum_n alpha[..., n, m] * phi[..., n]
+    # batched mat-vec: out[..., m] = sum_n alpha[..., n, m] * phi[..., n].
+    # Accumulate in at least f32 (MXU-friendly for bf16/f16 inputs) but never
+    # BELOW the input precision — f64 inputs keep f64 accumulation so the
+    # conservative sum matches the reference's f64 numba kernel to ~1e-16.
+    acc_dtype = jnp.promote_types(phi_filled.dtype, jnp.float32)
     out = jnp.einsum(
-        "...nm,...n->...m", alpha, phi_filled, preferred_element_type=jnp.float32
+        "...nm,...n->...m", alpha, phi_filled, preferred_element_type=acc_dtype
     ).astype(phi.dtype)
     any_contrib = jnp.any(contributes, axis=-2)
     out = jnp.where(any_contrib, out, jnp.nan)
