@@ -105,6 +105,13 @@ class TestMutation:
         ds2 = ds.assign_coords(x2=("x", np.arange(4.0) * 2))
         assert "x2" in ds2.coords and "x2" not in ds.coords
 
+    def test_assign_coords_preserves_declared_dims(self):
+        # a coordinate-less dim (e.g. a face dim) declared via the dims
+        # kwarg must survive assign_coords, matching assign()
+        ds = Dataset(coords={"x": ("x", np.arange(4.0))}, dims={"face": 6})
+        ds2 = ds.assign_coords(x2=("x", np.arange(4.0) * 2))
+        assert ds2.dims.get("face") == 6
+
     def test_setitem_then_set_metrics(self):
         from xgcm_tpu import Grid
 

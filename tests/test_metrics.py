@@ -89,6 +89,19 @@ class TestGetMetric:
         got = m.transpose("zt", "xt")
         np.testing.assert_allclose(np.asarray(got.data), expected)
 
+    def test_condition3_no_spurious_warning(self, cgrid):
+        """Condition-3 products that eventually match exactly must not emit
+        interpolation warnings for earlier non-matching combos (two-phase
+        scan; improves on the reference's eager warn-in-loop,
+        grid.py:502-527)."""
+        import warnings as _warnings
+
+        ds, grid = cgrid
+        tracer = ds["tracer"]
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            grid.get_metric(tracer, ("X", "Z"))
+
     def test_no_axis_dim_on_array(self, cgrid):
         """Array lacking any dim for the requested axis errors out early
         (reference grid.py:478-480)."""

@@ -138,7 +138,9 @@ class Dataset:
         return Dataset(
             coords=new_coords,
             data_vars=self.data_vars,
-            dims=None,
+            # keep dims declared only via the dims kwarg (e.g. a
+            # coordinate-less face dim), matching assign()
+            dims=self._dims,
             attrs=self.attrs,
         )
 

@@ -381,22 +381,31 @@ class Grid:
             for axis_combinations in iterate_axis_combinations(axes):
                 try:
                     possible_sets = [self._metrics[ac] for ac in axis_combinations]
+                    # Two-phase scan: first look for a product whose dims
+                    # already match (condition 3); only if none matches fall
+                    # back to interpolating (condition 4).  The reference
+                    # warns+interpolates eagerly inside the scan
+                    # (grid.py:502-527), emitting spurious warnings and
+                    # wasted interps whenever a later combo matches exactly —
+                    # the final value here is identical, minus the noise.
+                    last_combo = None
                     for combo in itertools.product(*possible_sets):
+                        last_combo = combo
                         metric_dims = set(d for mv in combo for d in mv.dims)
                         if metric_dims.issubset(array_dims):
                             metric_vars = combo
                             break
-                        else:
-                            possible_dims = [mv.dims for mv in combo]
-                            warnings.warn(
-                                f"Metric at {array.dims} being interpolated from "
-                                f"metrics at dimensions {possible_dims}. Boundary "
-                                f"value set to 'extend'."
-                            )
-                            metric_vars = tuple(
-                                self.interp_like(mv, array, "extend", None)
-                                for mv in combo
-                            )
+                    if metric_vars is None and last_combo is not None:
+                        possible_dims = [mv.dims for mv in last_combo]
+                        warnings.warn(
+                            f"Metric at {array.dims} being interpolated from "
+                            f"metrics at dimensions {possible_dims}. Boundary "
+                            f"value set to 'extend'."
+                        )
+                        metric_vars = tuple(
+                            self.interp_like(mv, array, "extend", None)
+                            for mv in last_combo
+                        )
                     if metric_vars is not None:
                         metric_vars = functools.reduce(operator.mul, metric_vars, 1)
                         break
