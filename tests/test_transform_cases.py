@@ -32,6 +32,55 @@ CASES = {
         expected=interp([0, 7, 30, 60, 70], [5, 25, 60],
                         [0.23246861, 0.45175654, 0.58320681]),
     ),
+    "linear_depth_depth_renamed": dict(
+        # reference test_transform.py:84 — source dim and target dim both
+        # carry non-default names; output renamed with explicit suffix
+        coords={"test": [5, 25, 60]},
+        positions={"center": "test"},
+        data=("test", [0.23246861, 0.45175654, 0.58320681]),
+        target=("something", [0, 7, 30, 60, 70]),
+        kwargs=dict(mask_edges=False, method="linear", suffix="_test_suffix"),
+        expected=interp([0, 7, 30, 60, 70], [5, 25, 60],
+                        [0.23246861, 0.45175654, 0.58320681]),
+        out_name="data_test_suffix",
+        expected_dims=("something",),
+    ),
+    "linear_depth_depth_nomask_multidim_target": dict(
+        # reference test_transform.py:111 — spatially varying vertical
+        # target coordinate (2D target, explicit target_dim)
+        coords={"z": [5, 25, 60]},
+        positions={"center": "z"},
+        data=("z", [0.23246861, 0.45175654, 0.58320681]),
+        target_data=("z", [5, 25, 60], "depth"),
+        target=(("eta_rho", "s_rho"),
+                [[0, 7, 30, 60, 70], [5, 10, 25, 50, 100]]),
+        kwargs=dict(mask_edges=False, method="linear", target_dim="s_rho"),
+        expected=[
+            interp([0, 7, 30, 60, 70], [5, 25, 60],
+                   [0.23246861, 0.45175654, 0.58320681]),
+            interp([5, 10, 25, 50, 100], [5, 25, 60],
+                   [0.23246861, 0.45175654, 0.58320681]),
+        ],
+        expected_dims=("eta_rho", "s_rho"),
+    ),
+    "linear_depth_depth_multidim_target": dict(
+        # reference test_transform.py:162 — as above with mask_edges=True
+        coords={"z": [5, 25, 60]},
+        positions={"center": "z"},
+        data=("z", [0.23246861, 0.45175654, 0.58320681]),
+        target_data=("z", [5, 25, 60], "depth"),
+        target=(("eta_rho", "s_rho"),
+                [[0, 7, 30, 60, 70], [5, 10, 25, 50, 100]]),
+        kwargs=dict(mask_edges=True, method="linear", target_dim="s_rho"),
+        expected=[
+            interp([0, 7, 30, 60, 70], [5, 25, 60],
+                   [0.23246861, 0.45175654, 0.58320681]),
+            interp([5, 10, 25, 50, 100], [5, 25, 60],
+                   [0.23246861, 0.45175654, 0.58320681]),
+        ],
+        expected_dims=("eta_rho", "s_rho"),
+        mask_index=[(0, 0), (0, -1), (1, -1)],
+    ),
     "linear_depth_dens": dict(
         coords={"depth": [20, 40, 60, 80, 100, 120]},
         positions={"center": "depth"},
@@ -196,6 +245,18 @@ CASES = {
         kwargs=dict(method="conservative"),
         expected=[1100.0, 4300.0, 6400.0, 3200.0],
     ),
+    "conservative_depth_depth_rename": dict(
+        # reference test_transform.py:445 — conservative with renamed dims
+        # and explicit suffix
+        coords={"depth": [5, 25, 60], "depth_bnds": [0, 10, 50, 75]},
+        positions={"center": "depth", "outer": "depth_bnds"},
+        data=("depth", [1, 4, 0]),
+        target=("something", [0, 1, 10, 50, 80]),
+        kwargs=dict(method="conservative", suffix="_test_suffix"),
+        expected=[0.1, 0.9, 4.0, 0.0],
+        out_name="data_test_suffix",
+        expected_dims=("something",),
+    ),
     "linear_reversed_target": dict(
         coords={"depth": [1, 2, 3], "depth_bnds": [0.5, 1.5, 2.5, 3.5]},
         positions={"center": "depth", "outer": "depth_bnds"},
@@ -240,7 +301,16 @@ def test_transform_case(name):
             np.asarray(tvals, dtype=float), (tdim,), name=tname
         )
 
-    target = np.asarray(case["target"], dtype=float)
+    target = case["target"]
+    if isinstance(target, tuple):
+        tdims, tvals = target
+        if isinstance(tdims, str):
+            tdims = (tdims,)
+        target = GriddedArray(
+            np.asarray(tvals, dtype=float), tdims, name=tdims[-1]
+        )
+    else:
+        target = np.asarray(target, dtype=float)
 
     if case.get("warns"):
         with pytest.warns(UserWarning, match=case["warns"]):
@@ -253,14 +323,50 @@ def test_transform_case(name):
     result = np.asarray(out.data, dtype=float)
     expected = np.asarray(case["expected"], dtype=float)
 
+    if case.get("out_name"):
+        assert out.name == case["out_name"], out.name
+    if case.get("expected_dims"):
+        assert tuple(out.dims) == tuple(case["expected_dims"]), out.dims
+
     if case.get("mask_index"):
         for i in case["mask_index"]:
+            i = tuple(i) if isinstance(i, (list, tuple)) else i
             assert np.isnan(result[i]), f"{name}: index {i} should be masked"
-        keep = np.ones(len(expected), bool)
+        keep = np.ones(expected.shape, bool)
         for i in case["mask_index"]:
-            keep[i] = False
+            keep[tuple(i) if isinstance(i, (list, tuple)) else i] = False
         np.testing.assert_allclose(
             result[keep], expected[keep], rtol=1e-5, atol=1e-8
         )
     else:
         np.testing.assert_allclose(result, expected, rtol=1e-5, atol=1e-8)
+
+
+def test_conservative_multidim_target_not_implemented():
+    """Conservative + multidim target raises NotImplementedError through
+    Grid.transform (reference test_transform.py:215 case +
+    test_conservative_interp_error_if_multidim_target_dim :1072)."""
+    ds = Dataset(coords={
+        "z": ("z", np.array([5.0, 25.0, 60.0])),
+        "zc": ("zc", np.array([0.0, 10.0, 50.0, 75.0])),
+    })
+    grid = Grid(
+        ds,
+        coords={"Z": {"center": "z", "outer": "zc"}},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+    da = GriddedArray(np.array([1.0, 4.0, 0.0]), ("z",), name="data")
+    target = GriddedArray(
+        np.array([[0.0, 1, 10, 50, 80], [0, 5, 20, 30, 100]]),
+        ("eta_rho", "s_w"),
+        name="interface_depth_rho",
+    )
+    tdata = GriddedArray(
+        np.array([0.0, 10.0, 50.0, 75.0]), ("zc",), name="zc"
+    )
+    with pytest.raises(NotImplementedError):
+        grid.transform(
+            da, "Z", target,
+            target_data=tdata, target_dim="s_w", method="conservative",
+        )

@@ -274,18 +274,32 @@ def linear_interpolation(
     suffix: str = "",
     **kwargs,
 ) -> GriddedArray:
-    """Named-dim wrapper for linear/log remap (reference transform.py:233-249)."""
+    """Named-dim wrapper for linear/log remap (reference transform.py:233-249).
+
+    Lead dims of ``target`` that phi does not carry (a spatially varying
+    vertical target coordinate, e.g. ROMS ``layer_depth_rho(eta_rho, s_rho)``
+    — reference test_transform.py:111-215) broadcast into the output after
+    phi's own lead dims, matching ``xr.apply_ufunc`` broadcasting order."""
     phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
 
     tgt = target.move_dims_last([target_dim])
     tgt_lead = [d for d in tgt.dims if d != target_dim]
-    shape = [tgt.sizes[d] if d in tgt_lead else 1 for d in lead]
-    ordered = [d for d in lead if d in tgt_lead] + [target_dim]
+    extra = [d for d in tgt_lead if d not in lead]
+    full_lead = lead + extra
+
+    # phi/theta: insert singleton axes for the target-only lead dims
+    n = phi_t.data.shape[-1]
+    pad1 = (1,) * len(extra)
+    phi_data = phi_t.data.reshape(phi_t.data.shape[:-1] + pad1 + (n,))
+    theta_data = theta_data.reshape(theta_data.shape[:-1] + pad1 + (n,))
+
+    shape = [tgt.sizes[d] if d in tgt_lead else 1 for d in full_lead]
+    ordered = [d for d in full_lead if d in tgt_lead] + [target_dim]
     tgt_data = tgt.transpose(*ordered).data.reshape(shape + [tgt.sizes[target_dim]])
 
-    out = interp_1d_linear(phi_t.data, theta_data, tgt_data, **kwargs)
+    out = interp_1d_linear(phi_data, theta_data, tgt_data, **kwargs)
     name = (phi.name + suffix) if phi.name else None
-    return GriddedArray(out, lead + [target_dim], name=name)
+    return GriddedArray(out, full_lead + [target_dim], name=name)
 
 
 def conservative_interpolation(
