@@ -265,6 +265,7 @@ def apply_as_grid_ufunc(
     ] = None,
     dask: Optional[str] = None,  # accepted for API parity; ignored (no dask)
     map_overlap: bool = False,  # accepted for API parity; ignored (no dask)
+    _pad_fn: Callable = pad,
     **kwargs,
 ) -> Any:
     """Apply a kernel to GriddedArrays in a grid-position-aware manner.
@@ -341,7 +342,7 @@ def apply_as_grid_ufunc(
         # other_component list rather than letting zip truncate silently
         ocs = list(other_component) + [None] * (len(seq) - len(other_component))
         return [
-            pad(
+            _pad_fn(
                 a,
                 grid=grid,
                 boundary_width=boundary_width_real,

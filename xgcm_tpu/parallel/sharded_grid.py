@@ -2,13 +2,18 @@
 
 Convenience wrapper so distributed analysis code reads like single-device
 code: pick a mesh and a dim->mesh-axis mapping once, then call the usual
-operator methods.  Ops whose core dim is sharded route through the explicit
-``shard_map`` + ``ppermute`` halo ring; everything else falls through to the
+operator methods.  Ops whose core dim is sharded route through the generic
+``shard_map`` + ``ppermute`` engine
+(:func:`~xgcm_tpu.parallel.sharded_ufunc.sharded_apply_as_grid_ufunc`),
+reusing the exact gridops kernels; everything else falls through to the
 plain Grid methods (which are GSPMD-correct under jit anyway).
 
 No reference counterpart: the closest analog is implicitly chunk-aware
 xarray objects under dask (reference grid.py:654-687 auto-selects the dask
-mode per call); here the mesh binding is explicit and static.
+mode per call); here the mesh binding is explicit and static.  The method
+surface mirrors the reference Grid's full op set (reference
+grid.py:826-1542): interp/diff/min/max/cumsum plus the metric-weighted
+calculus (derivative/integrate/average/cumint) and transform.
 """
 
 from __future__ import annotations
@@ -17,10 +22,13 @@ from typing import Mapping
 
 from jax.sharding import Mesh
 
+from ..core import gridops
 from ..core.dataarray import GriddedArray
-from ..core.grid import Grid
-from .halo import _SHARDABLE_WIDTHS, sharded_cumsum, sharded_op
+from ..core.grid import Grid, _select_grid_ufunc
+from ..core.signature import GridUFuncSignature
+from .halo import _SHARDABLE_WIDTHS, sharded_cumsum
 from .mesh import shard_gridded
+from .sharded_ufunc import sharded_apply_as_grid_ufunc
 
 __all__ = ["ShardedGrid"]
 
@@ -50,10 +58,14 @@ class ShardedGrid:
         }
         return shard_gridded(da, self.mesh, mapping)
 
-    def _core_dim_sharded(self, da: GriddedArray, axis_name: str, to) -> bool:
+    def _shift_of(self, da: GriddedArray, axis_name: str, to):
         ax = self.grid.axes[axis_name]
         from_pos, dim = ax._get_position_name(da)
         to_pos = to or ax.default_shifts[from_pos]
+        return from_pos, to_pos, dim
+
+    def _core_dim_sharded(self, da: GriddedArray, axis_name: str, to) -> bool:
+        from_pos, to_pos, dim = self._shift_of(da, axis_name, to)
         return (
             self.dim_to_mesh_axis.get(dim) is not None
             and (from_pos, to_pos) in _SHARDABLE_WIDTHS
@@ -80,14 +92,52 @@ class ShardedGrid:
             return None
         return mesh_axis, conn_axes[0], conn_axes[1]
 
-    def _op(self, name, da, axis, to=None, boundary=None, fill_value=None, **kw):
+    def _sharded_1d_op(
+        self, name, da, ax_name, to, boundary, fill_value, **kw
+    ):
+        """Route one 1D built-in op through the generic sharded engine,
+        selecting the same gridops kernel the single-device dispatch uses."""
+        from_pos, to_pos, _ = self._shift_of(da, ax_name, to)
+        sig = GridUFuncSignature.from_string(
+            f"({ax_name}:{from_pos})->({ax_name}:{to_pos})"
+        )
+        grid_ufunc, remaining = _select_grid_ufunc(
+            name, sig, module=gridops, boundary=boundary,
+            fill_value=fill_value, **kw,
+        )
+        return sharded_apply_as_grid_ufunc(
+            grid_ufunc.ufunc,
+            da,
+            axis=[(ax_name,)],
+            grid=self.grid,
+            signature=grid_ufunc.signature,
+            mesh=self.mesh,
+            dim_to_mesh_axis=self.dim_to_mesh_axis,
+            boundary_width=grid_ufunc.boundary_width,
+            boundary=remaining.get("boundary"),
+            fill_value=remaining.get("fill_value"),
+        )
+
+    def _op(
+        self, name, da, axis, to=None, boundary=None, fill_value=None,
+        metric_weighted=None, **kw,
+    ):
         from .face_sharded import sharded_face_op
 
         if isinstance(axis, str):
             axis = [axis]
+        to = self.grid._map_kwargs_over_axes(to)
+        if isinstance(metric_weighted, str):
+            metric_weighted = (metric_weighted,)
+        metric_weighted = self.grid._map_kwargs_over_axes(metric_weighted)
+
         out = da
         for ax_name in axis:
-            ax_to = to.get(ax_name) if isinstance(to, dict) else to
+            ax_to = to.get(ax_name)
+            mw = metric_weighted.get(ax_name)
+            if mw:
+                out = out * self.grid.get_metric(out, mw)
+
             face_args = (
                 self._face_sharded_args(out) if name != "cumsum" else None
             )
@@ -98,7 +148,9 @@ class ShardedGrid:
                     x_axis, y_axis, to=ax_to, boundary=boundary,
                     fill_value=fill_value,
                 )
-            elif self._core_dim_sharded(out, ax_name, ax_to):
+            elif not isinstance(out, dict) and self._core_dim_sharded(
+                out, ax_name, ax_to
+            ):
                 if name == "cumsum":
                     out = sharded_cumsum(
                         self.grid, out, ax_name, self.mesh,
@@ -106,16 +158,17 @@ class ShardedGrid:
                         fill_value=fill_value,
                     )
                 else:
-                    out = sharded_op(
-                        self.grid, name, out, ax_name, self.mesh,
-                        self.dim_to_mesh_axis, to=ax_to, boundary=boundary,
-                        fill_value=fill_value,
+                    out = self._sharded_1d_op(
+                        name, out, ax_name, ax_to, boundary, fill_value, **kw
                     )
             else:
                 out = getattr(self.grid, name)(
                     out, ax_name, to=ax_to, boundary=boundary,
                     fill_value=fill_value, **kw,
                 )
+
+            if mw:
+                out = out / self.grid.get_metric(out, mw)
         return out
 
     def interp(self, da, axis, **kw):
@@ -132,3 +185,73 @@ class ShardedGrid:
 
     def cumsum(self, da, axis, **kw):
         return self._op("cumsum", da, axis, **kw)
+
+    # -------------------------------------------------- custom grid ufuncs
+    def apply_as_grid_ufunc(
+        self, func, *args, axis=None, signature="", boundary_width=None,
+        boundary=None, fill_value=None, **kwargs,
+    ):
+        """Apply a custom kernel, sharded over any mesh-mapped core dims at
+        its declared boundary_width (the reference's map_overlap analog,
+        grid_ufunc.py:990-1092); falls through to the single-device engine
+        when no core dim is sharded."""
+        sig = (
+            signature
+            if isinstance(signature, GridUFuncSignature)
+            else GridUFuncSignature.from_string(signature)
+        )
+        if isinstance(axis, str):
+            axis = [(axis,)]
+        any_sharded = any(
+            self.dim_to_mesh_axis.get(self.grid.axes[n].coords.get(p))
+            is not None
+            for arg_ns, arg_ps in zip(axis, sig.in_ax_positions)
+            for n, p in zip(arg_ns, arg_ps)
+        )
+        if any_sharded:
+            return sharded_apply_as_grid_ufunc(
+                func, *args, axis=axis, grid=self.grid, signature=sig,
+                mesh=self.mesh, dim_to_mesh_axis=self.dim_to_mesh_axis,
+                boundary_width=boundary_width, boundary=boundary,
+                fill_value=fill_value, **kwargs,
+            )
+        return self.grid.apply_as_grid_ufunc(
+            func, *args, axis=axis, signature=sig,
+            boundary_width=boundary_width, boundary=boundary,
+            fill_value=fill_value, **kwargs,
+        )
+
+    # ---------------------------------------------- metric-weighted calculus
+    def derivative(self, da, axis, **kwargs):
+        """diff / metric with the diff sharded (reference grid.py:1308-1352)."""
+        diff = self.diff(da, axis, **kwargs)
+        dx = self.grid.get_metric(diff, (axis,))
+        return diff / dx
+
+    def integrate(self, da, axis, **kwargs):
+        """sum(da * metric): a plain reduction, GSPMD-correct as is
+        (reference grid.py:1354-1379)."""
+        return self.grid.integrate(da, axis, **kwargs)
+
+    def average(self, da, axis, **kwargs):
+        """Weighted mean, GSPMD-correct as is (reference grid.py:1428-1451)."""
+        return self.grid.average(da, axis, **kwargs)
+
+    def cumint(self, da, axis, **kwargs):
+        """cumsum(da * metric) with the cumsum sharded (reference
+        grid.py:1381-1426)."""
+        weight = self.grid.get_metric(da, axis)
+        return self.cumsum(da * weight, axis, **kwargs)
+
+    def transform(self, da, axis, target, **kwargs):
+        """Vertical transform; the transform dim must not be sharded (the
+        reference likewise refuses chunking along it,
+        test_transform.py::test_chunking_dim_error)."""
+        ax = self.grid.axes[axis]
+        _, dim = ax._get_position_name(da)
+        if self.dim_to_mesh_axis.get(dim) is not None:
+            raise NotImplementedError(
+                f"cannot transform along the sharded dimension {dim!r}; "
+                "shard the horizontal dims instead"
+            )
+        return self.grid.transform(da, axis, target, **kwargs)
