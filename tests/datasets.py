@@ -206,3 +206,58 @@ def cubed_sphere_dataset(n=4):
         }
     }
     return ds, face_connections
+
+
+def llc_dataset(n=4):
+    """13-face LLC (lat-lon-cap) layout — the MITgcm LLC4320-style topology
+    that motivates the reference (README.rst; reference padding.py:70-335
+    implements exactly these rotated connections).  Face-connection table as
+    published for MITgcm LLC grids (xmitgcm/ECCOv4 convention): faces 0-5
+    southern/equatorial, 6 the Arctic cap, 7-12 the rotated half.  Grid's
+    mutual-consistency check (reference grid.py:346-389) validates the
+    table at construction."""
+    ds = Dataset(
+        coords={
+            "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+            "xl": ("xl", np.arange(n), {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+            "yl": ("yl", np.arange(n), {"axis": "Y", "c_grid_axis_shift": -0.5}),
+            "face": ("face", np.arange(13)),
+        },
+        data_vars={
+            "data_c": (("face", "y", "x"), np.random.rand(13, n, n)),
+            "u": (("face", "y", "xl"), np.random.rand(13, n, n)),
+            "v": (("face", "yl", "x"), np.random.rand(13, n, n)),
+        },
+    )
+    face_connections = {
+        "face": {
+            0: {"X": ((12, "Y", False), (3, "X", False)),
+                "Y": (None, (1, "Y", False))},
+            1: {"X": ((11, "Y", False), (4, "X", False)),
+                "Y": ((0, "Y", False), (2, "Y", False))},
+            2: {"X": ((10, "Y", False), (5, "X", False)),
+                "Y": ((1, "Y", False), (6, "X", False))},
+            3: {"X": ((0, "X", False), (9, "Y", False)),
+                "Y": (None, (4, "Y", False))},
+            4: {"X": ((1, "X", False), (8, "Y", False)),
+                "Y": ((3, "Y", False), (5, "Y", False))},
+            5: {"X": ((2, "X", False), (7, "Y", False)),
+                "Y": ((4, "Y", False), (6, "Y", False))},
+            6: {"X": ((2, "Y", False), (7, "X", False)),
+                "Y": ((5, "Y", False), (10, "X", False))},
+            7: {"X": ((6, "X", False), (8, "X", False)),
+                "Y": ((5, "X", False), (10, "Y", False))},
+            8: {"X": ((7, "X", False), (9, "X", False)),
+                "Y": ((4, "X", False), (11, "Y", False))},
+            9: {"X": ((8, "X", False), None),
+                "Y": ((3, "X", False), (12, "Y", False))},
+            10: {"X": ((6, "Y", False), (11, "X", False)),
+                 "Y": ((7, "Y", False), (2, "X", False))},
+            11: {"X": ((10, "X", False), (12, "X", False)),
+                 "Y": ((8, "Y", False), (1, "X", False))},
+            12: {"X": ((11, "X", False), None),
+                 "Y": ((9, "Y", False), (0, "X", False))},
+        }
+    }
+    return ds, face_connections

@@ -80,6 +80,28 @@ class TestCubedSphere:
         )
 
 
+class TestLLCGrid:
+    def test_topology_valid_and_matches_fixture_table(self):
+        from xgcm_tpu.grids import LLC_CONNECTIONS, llc_grid
+
+        from .datasets import llc_dataset
+
+        ds, grid = llc_grid(n=4)
+        assert ds.dims["face"] == 13
+        # package table and independently-written test fixture table agree
+        _, fixture_fc = llc_dataset(n=4)
+        assert LLC_CONNECTIONS == fixture_fc
+
+    def test_ops_run_across_the_cap(self):
+        from xgcm_tpu.grids import llc_grid
+
+        ds, grid = llc_grid(n=4)
+        field = GriddedArray(np.random.rand(13, 4, 4), ("face", "y", "x"))
+        for axis in ("X", "Y"):
+            out = grid.diff(field, axis, boundary="fill")
+            assert out.sizes["face"] == 13
+
+
 class TestFamilyPipelines:
     def test_mitgcm_derivative_and_cumint(self):
         ds, grid = mitgcm_c_grid(nx=12, ny=6, nz=4)

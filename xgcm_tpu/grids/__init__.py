@@ -9,7 +9,10 @@ family is one call away.
 """
 
 from .families import (  # noqa: F401
+    CUBED_SPHERE_CONNECTIONS,
+    LLC_CONNECTIONS,
     cubed_sphere_grid,
+    llc_grid,
     mitgcm_c_grid,
     mom6_symmetric_grid,
     nemo_c_grid,
@@ -20,4 +23,7 @@ __all__ = [
     "nemo_c_grid",
     "mom6_symmetric_grid",
     "cubed_sphere_grid",
+    "llc_grid",
+    "CUBED_SPHERE_CONNECTIONS",
+    "LLC_CONNECTIONS",
 ]

@@ -208,3 +208,61 @@ def cubed_sphere_grid(n: int = 48) -> Tuple[Dataset, Grid]:
         autoparse_metadata=True,
     )
     return ds, grid
+
+
+# The MITgcm LLC (lat-lon-cap) topology: faces 0-5 are the southern/
+# equatorial lat-lon part, face 6 the Arctic cap, faces 7-12 the rotated
+# half.  This is the published xmitgcm/ECCOv4 face-connection convention —
+# the reference documents the spec (docs/grid_topology.md "Face Connections
+# Spec") and wishes for built-in tables for common models; here it ships.
+LLC_CONNECTIONS = {
+    "face": {
+        0: {"X": ((12, "Y", False), (3, "X", False)),
+            "Y": (None, (1, "Y", False))},
+        1: {"X": ((11, "Y", False), (4, "X", False)),
+            "Y": ((0, "Y", False), (2, "Y", False))},
+        2: {"X": ((10, "Y", False), (5, "X", False)),
+            "Y": ((1, "Y", False), (6, "X", False))},
+        3: {"X": ((0, "X", False), (9, "Y", False)),
+            "Y": (None, (4, "Y", False))},
+        4: {"X": ((1, "X", False), (8, "Y", False)),
+            "Y": ((3, "Y", False), (5, "Y", False))},
+        5: {"X": ((2, "X", False), (7, "Y", False)),
+            "Y": ((4, "Y", False), (6, "Y", False))},
+        6: {"X": ((2, "Y", False), (7, "X", False)),
+            "Y": ((5, "Y", False), (10, "X", False))},
+        7: {"X": ((6, "X", False), (8, "X", False)),
+            "Y": ((5, "X", False), (10, "Y", False))},
+        8: {"X": ((7, "X", False), (9, "X", False)),
+            "Y": ((4, "X", False), (11, "Y", False))},
+        9: {"X": ((8, "X", False), None),
+            "Y": ((3, "X", False), (12, "Y", False))},
+        10: {"X": ((6, "Y", False), (11, "X", False)),
+             "Y": ((7, "Y", False), (2, "X", False))},
+        11: {"X": ((10, "X", False), (12, "X", False)),
+             "Y": ((8, "Y", False), (1, "X", False))},
+        12: {"X": ((11, "X", False), None),
+             "Y": ((9, "Y", False), (0, "X", False))},
+    }
+}
+
+
+def llc_grid(n: int = 48) -> Tuple[Dataset, Grid]:
+    """13-face MITgcm lat-lon-cap (LLC) grid — the topology of the LLC4320
+    simulation that motivates the reference (README.rst)."""
+    ds = Dataset(
+        coords={
+            "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+            "xl": ("xl", np.arange(n) * 1.0, {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+            "yl": ("yl", np.arange(n) * 1.0, {"axis": "Y", "c_grid_axis_shift": -0.5}),
+            "face": ("face", np.arange(13)),
+        }
+    )
+    grid = Grid(
+        ds,
+        face_connections=LLC_CONNECTIONS,
+        periodic=False,
+        autoparse_metadata=True,
+    )
+    return ds, grid

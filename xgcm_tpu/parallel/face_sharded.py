@@ -2,11 +2,14 @@
 
 The reference realises multi-face halos by slicing + concatenating faces on
 one machine (reference ``padding.py:70-335``).  Here the face dimension is
-sharded over a mesh axis (one face per device), and each op step:
+sharded over a mesh axis (a contiguous block of faces per device — one face
+per device when counts match, dummy-padded when ``n_faces`` does not divide
+the device count, so e.g. a 13-face LLC grid runs on 8 devices), and each
+op step:
 
-1. every device canonicalises its 4 edge strips (X-left/X-right/Y-left/
-   Y-right, each ``(width, L)``, offsets increasing inward, tangential in
-   increasing coordinate);
+1. every device canonicalises the 4 edge strips of each of its local faces
+   (X-left/X-right/Y-left/Y-right, each ``(width, L)``, offsets increasing
+   inward, tangential in increasing coordinate);
 2. one ``all_gather`` of the strip stack rides the ICI ring (strips are
    O(width * L) — tiny next to the face itself);
 3. each device assembles its halo from a **compiled per-edge plan**: static
@@ -60,17 +63,20 @@ class FaceHaloPlan:
 
 
 def compile_face_plan(
-    grid: Grid, x_axis: str, y_axis: str
+    grid: Grid, x_axis: str, y_axis: str, n_faces_total: Optional[int] = None
 ) -> FaceHaloPlan:
     """Compile the face-connection table into a static per-edge plan.
 
     ``x_axis``/``y_axis`` name the two grid axes spanning each face (the
     side codes 0/1 belong to ``x_axis``, 2/3 to ``y_axis``).
+    ``n_faces_total`` sizes the plan beyond the grid's face count; the extra
+    rows are unconnected dummy faces (used to round the face dim up to a
+    multiple of the device count).
     """
     facedim = grid._facedim
     connections = grid._face_connections[facedim]
     n_faces = grid._ds.dims[facedim]
-    plan = FaceHaloPlan(n_faces)
+    plan = FaceHaloPlan(max(n_faces, n_faces_total or 0))
 
     axis_code = {x_axis: 0, y_axis: 1}
     for f in range(n_faces):
@@ -98,18 +104,37 @@ def compile_face_plan(
 
 
 def _edge_strips(face: jax.Array, w: int) -> jax.Array:
-    """Canonical (4, w, L) strip stack of a square local face (ny, nx).
+    """Canonical (4, w, Lmax) strip stack of a local face (..., ny, nx).
 
     Strip k-offset increases inward from the edge; tangential axis is the
-    face's other dim in increasing order."""
+    face's other dim in increasing order.  For non-square faces the shorter
+    strips are zero-padded at the END to Lmax = max(ny, nx); consumers slice
+    back to the destination edge's length (which equals the source's valid
+    length: straight connections pair like edges, and swapped connections
+    require square faces)."""
     ny, nx = face.shape[-2:]
-    if ny != nx:
-        raise ValueError("face-sharded halo exchange requires square faces")
+    L = max(ny, nx)
     xl = jnp.swapaxes(face[..., :, 0:w], -1, -2)  # (w, ny)
     xr = jnp.swapaxes(jnp.flip(face[..., :, nx - w : nx], axis=-1), -1, -2)
     yl = face[..., 0:w, :]  # (w, nx)
     yr = jnp.flip(face[..., ny - w : ny, :], axis=-2)
-    return jnp.stack([xl, xr, yl, yr], axis=-3)  # (4, w, L)
+
+    def pad_l(s):
+        need = L - s.shape[-1]
+        if need:
+            s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, need)])
+        return s
+
+    return jnp.stack([pad_l(xl), pad_l(xr), pad_l(yl), pad_l(yr)], axis=-3)
+
+
+def _merge_face_pool(gathered: jax.Array) -> jax.Array:
+    """(n_dev, ..., fpd, 4, w, L) -> (..., n_dev*fpd, 4, w, L).
+
+    Global face index = device * faces_per_device + local face, matching
+    NamedSharding's contiguous-block layout of the face dim."""
+    g = jnp.moveaxis(gathered, 0, -5)
+    return g.reshape(g.shape[:-5] + (g.shape[-5] * g.shape[-4],) + g.shape[-3:])
 
 
 def _basic_halo(face, w, side, boundary, fill_value):
@@ -161,65 +186,76 @@ def _basic_halo(face, w, side, boundary, fill_value):
 
 
 def face_halo_pad(
-    face: jax.Array,
+    face_block: jax.Array,
     plan_params: Tuple[jax.Array, ...],
     w: int,
     mesh_axis: str,
     boundary: Optional[str],
     fill_value: float,
-    partner_face: Optional[jax.Array] = None,
+    partner_block: Optional[jax.Array] = None,
     vector_axis_code: Optional[int] = None,
 ) -> jax.Array:
-    """Pad a (…, ny, nx) local face with cross-face halos via all_gather.
+    """Pad a (…, fpd, ny, nx) block of local faces with cross-face halos.
 
-    Must run inside shard_map with one face per device along ``mesh_axis``.
-    ``plan_params`` are the per-device rows of the FaceHaloPlan arrays.
-    ``vector_axis_code``: 0 if this array is the x_axis vector component,
-    1 for the y_axis component, None for scalars.
+    Must run inside shard_map with ``fpd`` contiguous faces per device along
+    ``mesh_axis`` (one ``all_gather`` of the strip stacks serves them all).
+    ``plan_params`` are the per-device (fpd, 4) rows of the FaceHaloPlan
+    arrays.  ``vector_axis_code``: 0 if this array is the x_axis vector
+    component, 1 for the y_axis component, None for scalars.
     """
     connected, src_face, src_side, tang_flip, sign_o, sign_t, swap = plan_params
+    fpd, ny, nx = face_block.shape[-3:]
 
-    strips_self = _edge_strips(face, w)
-    gathered_self = lax.all_gather(strips_self, mesh_axis)  # (F, ..., 4, w, L)
-    if partner_face is not None:
-        gathered_partner = lax.all_gather(_edge_strips(partner_face, w), mesh_axis)
+    pool_self = _merge_face_pool(
+        lax.all_gather(_edge_strips(face_block, w), mesh_axis)
+    )  # (..., F, 4, w, Lmax)
+    if partner_block is not None:
+        pool_partner = _merge_face_pool(
+            lax.all_gather(_edge_strips(partner_block, w), mesh_axis)
+        )
     else:
-        gathered_partner = gathered_self
+        pool_partner = pool_self
 
-    def halo_for(side: int) -> jax.Array:
-        sf = src_face[side]
-        ss = src_side[side]
-        use_partner = swap[side] if partner_face is not None else False
+    def halo_for(fl: int, side: int) -> jax.Array:
+        sf = src_face[fl, side]
+        ss = src_side[fl, side]
+        use_partner = swap[fl, side] if partner_block is not None else False
         pool = jnp.where(
             use_partner,
-            jnp.take(gathered_partner, sf, axis=0),
-            jnp.take(gathered_self, sf, axis=0),
+            jnp.take(pool_partner, sf, axis=-4),
+            jnp.take(pool_self, sf, axis=-4),
         )
-        strip = jnp.take(pool, ss, axis=-3)  # (..., w, L)
-        strip = jnp.where(tang_flip[side], jnp.flip(strip, axis=-1), strip)
+        strip = jnp.take(pool, ss, axis=-3)  # (..., w, Lmax)
+        strip = strip[..., : (ny if side < 2 else nx)]
+        strip = jnp.where(tang_flip[fl, side], jnp.flip(strip, axis=-1), strip)
         if vector_axis_code is not None:
             my_axis = side // 2
             is_parallel = vector_axis_code == my_axis
-            sign = jnp.where(is_parallel, sign_o[side], sign_t[side])
+            sign = jnp.where(is_parallel, sign_o[fl, side], sign_t[fl, side])
             strip = strip * sign.astype(strip.dtype)
-        basic = _basic_halo(face, w, side, boundary, fill_value)
-        return jnp.where(connected[side], strip, basic)
+        basic = _basic_halo(
+            face_block[..., fl, :, :], w, side, boundary, fill_value
+        )
+        return jnp.where(connected[fl, side], strip, basic)
 
-    # assemble: halos canonical (w, L) inward-increasing -> flip to array order
-    h_xl = jnp.swapaxes(jnp.flip(halo_for(0), axis=-2), -1, -2)  # (ny, w)
-    h_xr = jnp.swapaxes(halo_for(1), -1, -2)  # (ny, w) offset increasing outward
-    h_yl = jnp.flip(halo_for(2), axis=-2)  # (w, nx)
-    h_yr = halo_for(3)  # (w, nx)
-
-    mid = jnp.concatenate([h_xl, face, h_xr], axis=-1)  # (ny, nx+2w)
     corner = jnp.full(
-        face.shape[:-2] + (w, w),
+        face_block.shape[:-3] + (w, w),
         fill_value if boundary == "fill" else 0.0,
-        face.dtype,
+        face_block.dtype,
     )
-    top = jnp.concatenate([corner, h_yr, corner], axis=-1)
-    bot = jnp.concatenate([corner, h_yl, corner], axis=-1)
-    return jnp.concatenate([bot, mid, top], axis=-2)
+    out_faces = []
+    for fl in range(fpd):
+        face = face_block[..., fl, :, :]
+        # halos canonical (w, L) inward-increasing -> flip to array order
+        h_xl = jnp.swapaxes(jnp.flip(halo_for(fl, 0), axis=-2), -1, -2)
+        h_xr = jnp.swapaxes(halo_for(fl, 1), -1, -2)
+        h_yl = jnp.flip(halo_for(fl, 2), axis=-2)
+        h_yr = halo_for(fl, 3)
+        mid = jnp.concatenate([h_xl, face, h_xr], axis=-1)  # (ny, nx+2w)
+        top = jnp.concatenate([corner, h_yr, corner], axis=-1)
+        bot = jnp.concatenate([corner, h_yl, corner], axis=-1)
+        out_faces.append(jnp.concatenate([bot, mid, top], axis=-2))
+    return jnp.stack(out_faces, axis=-3)
 
 
 def _plan_device_params(plan: FaceHaloPlan, mesh: Mesh, mesh_axis: str):
@@ -291,13 +327,12 @@ def sharded_face_op(
     facedim = grid._facedim
     n_faces = grid._ds.dims[grid._facedim]
     mesh_size = dict(zip(mesh.axis_names, mesh.devices.shape))[facedim_mesh_axis]
-    if mesh_size != n_faces:
-        raise NotImplementedError(
-            f"face-sharded ops require one face per device: the grid has "
-            f"{n_faces} faces but mesh axis {facedim_mesh_axis!r} has "
-            f"{mesh_size} devices"
-        )
-    plan = compile_face_plan(grid, x_axis, y_axis)
+    # contiguous blocks of faces per device; round up with unconnected dummy
+    # faces when n_faces does not divide the device count (e.g. 13-face LLC
+    # on 8 devices -> 2 faces/device, 3 dummies)
+    fpd = -(-n_faces // mesh_size)
+    n_padded = fpd * mesh_size
+    plan = compile_face_plan(grid, x_axis, y_axis, n_faces_total=n_padded)
     plan_params = _plan_device_params(plan, mesh, facedim_mesh_axis)
 
     # canonical dim order: (facedim, ydim, xdim)
@@ -305,6 +340,17 @@ def sharded_face_op(
     _, xdim = grid.axes[x_axis]._get_position_name(da)
     rest = [d for d in da.dims if d not in (facedim, ydim, xdim)]
     ordered = da.transpose(*rest, facedim, ydim, xdim)
+
+    ny_, nx_ = ordered.data.shape[-2:]
+    if np.any(plan.swap) and ny_ != nx_:
+        raise ValueError("cross-axis face connections require square faces")
+
+    def _pad_faces(data):
+        if n_padded == data.shape[-3]:
+            return data
+        widths = [(0, 0)] * data.ndim
+        widths[-3] = (0, n_padded - data.shape[-3])
+        return jnp.pad(data, widths)
 
     axis_is_x = axis_name == x_axis
     out_dim = ax.coords[to_pos]
@@ -314,42 +360,37 @@ def sharded_face_op(
     )
     plan_spec = PartitionSpec(facedim_mesh_axis)
 
+    data = _pad_faces(ordered.data)
     if partner is None:
-        partner_data = ordered.data  # unused; keeps the shard_map arity fixed
+        partner_data = data  # unused; keeps the shard_map arity fixed
     else:
         rest_p = [d for d in partner.dims if d not in
                   (facedim,
                    grid.axes[y_axis]._get_position_name(partner)[1],
                    grid.axes[x_axis]._get_position_name(partner)[1])]
-        partner_data = partner.transpose(
-            *rest_p,
-            facedim,
-            grid.axes[y_axis]._get_position_name(partner)[1],
-            grid.axes[x_axis]._get_position_name(partner)[1],
-        ).data
+        partner_data = _pad_faces(
+            partner.transpose(
+                *rest_p,
+                facedim,
+                grid.axes[y_axis]._get_position_name(partner)[1],
+                grid.axes[x_axis]._get_position_name(partner)[1],
+            ).data
+        )
 
     def local(block, partner_block, *params):
-        # block: (..., 1, ny, nx) per device
-        face = jnp.squeeze(block, axis=-3)
-        p = tuple(jnp.squeeze(a, axis=0) for a in params)
-        pf = (
-            jnp.squeeze(partner_block, axis=-3)
-            if vector_axis_code is not None
-            else None
-        )
+        # block: (..., fpd, ny, nx) per device; params: (fpd, 4) rows
+        pf = partner_block if vector_axis_code is not None else None
         padded = face_halo_pad(
-            face, p, w, facedim_mesh_axis, bc, fv,
-            partner_face=pf, vector_axis_code=vector_axis_code,
+            block, params, w, facedim_mesh_axis, bc, fv,
+            partner_block=pf, vector_axis_code=vector_axis_code,
         )
-        ny, nx = face.shape[-2:]
+        ny, nx = block.shape[-2:]
         # trim to just the slice this stencil needs
         if axis_is_x:
             sl = padded[..., w : w + ny, w - lw : w + nx + rw]
-            out = _stencil(funcname, sl, sl.ndim - 1)
-        else:
-            sl = padded[..., w - lw : w + ny + rw, w : w + nx]
-            out = _stencil(funcname, sl, sl.ndim - 2)
-        return jnp.expand_dims(out, axis=-3)
+            return _stencil(funcname, sl, sl.ndim - 1)
+        sl = padded[..., w - lw : w + ny + rw, w : w + nx]
+        return _stencil(funcname, sl, sl.ndim - 2)
 
     f = shard_map(
         local,
@@ -357,7 +398,11 @@ def sharded_face_op(
         in_specs=(in_spec, in_spec) + (plan_spec,) * 7,
         out_specs=in_spec,
     )
-    result = f(ordered.data, partner_data, *plan_params)
+    result = f(data, partner_data, *plan_params)
+    if n_padded != n_faces:
+        index = [slice(None)] * result.ndim
+        index[-3] = slice(0, n_faces)
+        result = result[tuple(index)]
     out_dims = tuple(
         out_dim if d == dim else d for d in tuple(rest) + (facedim, ydim, xdim)
     )

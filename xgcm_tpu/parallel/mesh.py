@@ -54,8 +54,20 @@ def shard_gridded(
     mesh: Mesh,
     dim_to_mesh_axis: Mapping[str, str],
 ) -> GriddedArray:
-    """Place a GriddedArray onto the mesh, sharding the named dims."""
-    spec = partition_spec(garr.dims, dim_to_mesh_axis)
+    """Place a GriddedArray onto the mesh, sharding the named dims.
+
+    Dims whose size does not divide their mesh axis stay replicated (a
+    13-face dim over 8 devices cannot be block-sharded; the face-sharded op
+    dummy-pads it internally instead)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    mapping = {
+        d: ax
+        for d, ax in dim_to_mesh_axis.items()
+        if ax is not None
+        and d in garr.dims
+        and garr.sizes[d] % sizes[ax] == 0
+    }
+    spec = partition_spec(garr.dims, mapping)
     sharding = NamedSharding(mesh, spec)
     return garr.with_data(jax.device_put(garr.data, sharding))
 
