@@ -22,13 +22,28 @@ import jax  # noqa: E402
 # forces tests onto the (8-virtual-device) CPU backend.
 jax.config.update("jax_platforms", "cpu")
 # x64 gives exact float64 golden comparisons (the suite's oracles assume it).
-# XGCM_TPU_TEST_X32=1 runs in float32 for eyeballing TPU-precision behaviour;
-# expect the exact-comparison tests to report ~1e-7-level mismatches there.
+# XGCM_TPU_TEST_X32=1 runs in float32 — the dtype the TPU actually computes
+# in — with a tolerance floor applied to every assert_allclose so the whole
+# suite remains meaningful (1e-7-level golden checks become f32-level ones).
 if not os.environ.get("XGCM_TPU_TEST_X32"):
     jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+if os.environ.get("XGCM_TPU_TEST_X32"):
+    _orig_allclose = np.testing.assert_allclose
+
+    def _x32_assert_allclose(actual, desired, rtol=1e-7, atol=0, **kwargs):
+        # f32 eps is ~1.2e-7; reductions accumulate ~sqrt(n)*eps. The floor
+        # keeps genuine bugs (wrong stencil, off-by-one halo) failing loudly
+        # while letting rounding-level differences through.
+        return _orig_allclose(
+            actual, desired,
+            rtol=max(rtol, 1e-4), atol=max(atol, 1e-5), **kwargs,
+        )
+
+    np.testing.assert_allclose = _x32_assert_allclose
 
 
 @pytest.fixture(autouse=True)

@@ -243,12 +243,18 @@ class TestFaceAutodiff:
         g = jax.grad(loss)(jnp.asarray(a))
         assert np.all(np.isfinite(np.asarray(g)))
         # finite-difference check at one interior and one edge point
-        eps = 1e-6
+        # finite differences need a dtype-scaled step and tolerance:
+        # 1e-6 is noise in f32, and f32 roundoff in the loss is ~5e-4 of
+        # the gradient at eps=1e-3
+        import jax as _jax
+        x64 = _jax.config.jax_enable_x64
+        eps = 1e-6 if x64 else 1e-3
+        fd_rtol = 1e-4 if x64 else 5e-3
         for idx in [(0, 1, 1), (2, 0, 0), (5, 3, 3)]:
             ap = a.copy(); ap[idx] += eps
             am = a.copy(); am[idx] -= eps
             fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
-            np.testing.assert_allclose(float(g[idx]), fd, rtol=1e-3, atol=1e-6)
+            np.testing.assert_allclose(float(g[idx]), fd, rtol=fd_rtol, atol=1e-6)
 
 
 class TestWideHalos:

@@ -84,7 +84,13 @@ class TestAutodiff:
             return jnp.sum(d.data**2)
 
         g = jax.grad(loss)(jnp.asarray(a))
-        eps = 1e-6
+        # finite differences need a dtype-scaled step and tolerance:
+        # 1e-6 is noise in f32, and f32 roundoff in the loss is ~5e-4 of
+        # the gradient at eps=1e-3
+        import jax as _jax
+        x64 = _jax.config.jax_enable_x64
+        eps = 1e-6 if x64 else 1e-3
+        fd_rtol = 1e-4 if x64 else 5e-3
         for i in [0, 5, NX - 1]:
             ap = a.copy()
             ap[i] += eps
@@ -93,7 +99,7 @@ class TestAutodiff:
             fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (
                 2 * eps
             )
-            np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4)
+            np.testing.assert_allclose(float(g[i]), fd, rtol=fd_rtol)
 
     def test_grad_through_transform(self):
         nz = 12
