@@ -134,12 +134,15 @@ def main():
     t_best = min(x for x in (t_api, t_pallas) if x is not None)
     gps = ny * nx / t_best
 
-    # --- bf16 variant (halved HBM traffic; ops are bf16-transparent) ---
-    def chained_bf16():
+    # --- bf16 variant (halved HBM traffic): best of XLA API path and the
+    # Pallas kernel (bf16 now rides the same kernels via in-register f32
+    # upcasts for the neighbour rolls), with a bit-exactness check of the
+    # Pallas result against the XLA bf16 path before trusting its timing ---
+    def chained_bf16(vort_fn):
         @jax.jit
         def run(u, v, ix, iy):
             def body(_, uu):
-                z = api_vorticity(uu, v, ix, iy)
+                z = vort_fn(uu, v, ix, iy)
                 return uu + (jnp.float32(1e-20) * z).astype(uu.dtype)
             return jnp.sum(
                 jax.lax.fori_loop(0, K, body, u).astype(jnp.float32)
@@ -147,15 +150,40 @@ def main():
         return run
 
     _log("compiling bf16 vorticity")
+    gps_bf16 = None
+    bf16_pallas_exact = None
     try:
         bf16_args = tuple(
             a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy)
         )
-        f_bf16 = chained_bf16()
-        float(f_bf16(*bf16_args))
-        t0 = time.perf_counter()
-        float(f_bf16(*bf16_args))
-        t_bf16 = (time.perf_counter() - t0) / K
+        t_bf16_api = time_chained(chained_bf16(api_vorticity), *bf16_args)
+        _log(f"bf16 api path: {t_bf16_api*1e3:.3f} ms/iter")
+        t_bf16_pallas = None
+        if ps.supports_pallas(bf16_args[0], bf16_args[1]):
+            try:
+                zp = ps.fused_vorticity(*bf16_args, tile_rows=64)
+                za = jax.jit(api_vorticity)(*bf16_args)
+                bf16_pallas_exact = bool(
+                    jnp.all(
+                        zp.astype(jnp.float32) == za.astype(jnp.float32)
+                    )
+                )
+                _log(f"bf16 pallas == XLA bit-exact: {bf16_pallas_exact}")
+                if bf16_pallas_exact or float(
+                    jnp.max(jnp.abs(zp.astype(jnp.float32) - za.astype(jnp.float32)))
+                ) < 1e-1:
+                    t_bf16_pallas = time_chained(
+                        chained_bf16(
+                            lambda a, b, c, d: ps.fused_vorticity(
+                                a, b, c, d, tile_rows=64
+                            )
+                        ),
+                        *bf16_args,
+                    )
+                    _log(f"bf16 pallas path: {t_bf16_pallas*1e3:.3f} ms/iter")
+            except Exception as e:
+                _log(f"bf16 pallas failed ({e}); XLA bf16 only")
+        t_bf16 = min(x for x in (t_bf16_api, t_bf16_pallas) if x is not None)
         gps_bf16 = ny * nx / t_bf16
     except Exception as e:
         _log(f"bf16 bench failed: {e}")
@@ -175,9 +203,8 @@ def main():
     t_numpy = min(times)
     gps_numpy = n_base * n_base / t_numpy
 
-    # --- secondary: vertical transform (linear, 50 -> 36 levels) ---
-    from xgcm_tpu.ops.transform import interp_1d_linear
-
+    # --- secondary: vertical transform (linear, 50 -> 36 levels) THROUGH
+    # THE PUBLIC API: grid.transform on a non-periodic Z grid ---
     nz, ncol = 50, 512 * 512
     theta = jnp.asarray(
         np.sort(rng.rand(ncol, nz).astype(np.float32), axis=-1) * 30
@@ -185,16 +212,36 @@ def main():
     phi = jnp.asarray(rng.rand(ncol, nz).astype(np.float32))
     targets = jnp.asarray(np.linspace(1, 29, 36).astype(np.float32))
 
+    ds_z = xt.Dataset(
+        coords={
+            "zc": ("zc", np.arange(nz, dtype=np.float32)),
+            "zo": ("zo", np.arange(nz + 1, dtype=np.float32)),
+        }
+    )
+    grid_z = xt.Grid(
+        ds_z,
+        coords={"Z": {"center": "zc", "outer": "zo"}},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+
     @jax.jit
     def tr_chained(p, t, tt):
         def body(_, carry):
             pp, acc = carry
-            out = interp_1d_linear(pp, t, tt, mask_edges=True)
+            out = grid_z.transform(
+                xt.GriddedArray(pp, ("col", "zc"), name="phi"),
+                "Z",
+                tt,
+                target_data=xt.GriddedArray(t, ("col", "zc"), name="theta"),
+                method="linear",
+                mask_edges=True,
+            ).data
             return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
         _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
         return acc
 
-    _log("compiling chained transform")
+    _log("compiling chained transform (public grid.transform API)")
     try:
         float(tr_chained(phi, theta, targets))
         t0 = time.perf_counter()
@@ -205,9 +252,7 @@ def main():
         _log(f"transform bench failed: {e}")
         transform_gps = None
 
-    # --- conservative transform (MXU overlap-weight einsum) ---
-    from xgcm_tpu.ops.transform import interp_1d_conservative
-
+    # --- conservative transform (cumulative-mass rebin) THROUGH THE API ---
     theta_b = jnp.asarray(
         np.sort(rng.rand(ncol, nz + 1).astype(np.float32), axis=-1) * 30
     )
@@ -217,12 +262,18 @@ def main():
     def cons_chained(p, t):
         def body(_, carry):
             pp, acc = carry
-            out = interp_1d_conservative(pp, t, bins_np)
+            out = grid_z.transform(
+                xt.GriddedArray(pp, ("col", "zc"), name="phi"),
+                "Z",
+                bins_np,
+                target_data=xt.GriddedArray(t, ("col", "zo"), name="theta"),
+                method="conservative",
+            ).data
             return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
         _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
         return acc
 
-    _log("compiling chained conservative transform")
+    _log("compiling chained conservative transform (public API)")
     try:
         float(cons_chained(phi, theta_b))
         t0 = time.perf_counter()
@@ -233,23 +284,40 @@ def main():
         _log(f"conservative bench failed: {e}")
         conservative_gps = None
 
-    # --- config 3: metric-weighted integrate (area-weighted reduce) ---
-    area = jnp.asarray((rng.rand(ny, nx) + 1.0).astype(np.float32))
+    # --- config 3: metric-weighted integrate THROUGH THE PUBLIC API:
+    # grid.integrate resolves the ("X","Y") metric from the registry
+    # (get_metric condition 1) and does the NaN-aware weighted reduce ---
+    area_np = (rng.rand(ny, nx) + 1.0).astype(np.float32)
+    ds_m = xt.Dataset(
+        coords={
+            "xc": ("xc", np.arange(nx, dtype=np.float32)),
+            "yc": ("yc", np.arange(ny, dtype=np.float32)),
+        },
+        data_vars={"area": (("yc", "xc"), area_np)},
+    )
+    grid_m = xt.Grid(
+        ds_m,
+        coords={"X": {"center": "xc"}, "Y": {"center": "yc"}},
+        metrics={("X", "Y"): ["area"]},
+        autoparse_metadata=False,
+    )
 
     @jax.jit
-    def integ_chained(t, a):
+    def integ_chained(t):
         def body(_, carry):
             tt, acc = carry
-            s = jnp.sum(tt * a)
+            s = grid_m.integrate(
+                xt.GriddedArray(tt, ("yc", "xc")), ["X", "Y"]
+            ).data
             return tt + jnp.float32(1e-20) * s, acc + s
         _, acc = jax.lax.fori_loop(0, K, body, (t, jnp.float32(0)))
         return acc
 
-    _log("compiling chained integrate")
+    _log("compiling chained integrate (public grid.integrate API)")
     try:
-        float(integ_chained(u, area))
+        float(integ_chained(u))
         t0 = time.perf_counter()
-        float(integ_chained(u, area))
+        float(integ_chained(u))
         t_int = (time.perf_counter() - t0) / K
         integrate_gps = ny * nx / t_int
     except Exception as e:
@@ -292,6 +360,38 @@ def main():
             _log(f"cubed-sphere bench failed: {e}")
             cs_gps = None
 
+    # --- effective HBM bandwidth per workload (roofline accounting) ---
+    # minimum bytes each workload must move, / measured time; fraction of
+    # the ~500 GB/s marginal bandwidth measured on this chip (CLAUDE.md)
+    HBM_GBPS = 500.0
+    N = ny * nx
+
+    def _bw(bytes_moved, gps_value, points):
+        if not gps_value:
+            return None
+        gbps = bytes_moved * (gps_value / points) / 1e9
+        return {"GBps": round(gbps, 1), "roofline_frac": round(gbps / HBM_GBPS, 3)}
+
+    bandwidth = {
+        # read u + v, write zeta
+        "vorticity_f32": _bw(3 * N * 4, gps, N),
+        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N),
+        # read phi + theta, write (ncol, 36)
+        "transform_linear": _bw(
+            (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz
+        ),
+        "transform_conservative": _bw(
+            (ncol * nz + ncol * (nz + 1) + ncol * 36) * 4,
+            conservative_gps, ncol * nz,
+        ),
+        # read tracer + area metric
+        "integrate": _bw(2 * N * 4, integrate_gps, N),
+        # read + write all faces
+        "cubed_sphere_diff": _bw(
+            2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface
+        ),
+    }
+
     result = {
         "metric": (
             "C-grid vorticity throughput, 8192x8192 f32, "
@@ -306,6 +406,7 @@ def main():
                 round(t_pallas * 1e3, 4) if t_pallas else None
             ),
             "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3) if gps_bf16 else None,
+            "bf16_pallas_bitexact_vs_xla": bf16_pallas_exact,
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,
@@ -313,6 +414,7 @@ def main():
             "cubed_sphere_diff_Ggps": (
                 round(cs_gps / 1e9, 3) if cs_gps else None
             ),
+            "effective_bandwidth": bandwidth,
             "backend": backend,
         },
     }

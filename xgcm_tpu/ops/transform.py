@@ -89,28 +89,52 @@ def interp_1d_linear(
     theta_b = jnp.broadcast_to(theta, lead_shape + (n,))
     target_b = jnp.broadcast_to(target, lead_shape + (m,))
 
-    # Interval-membership interpolation without gather/searchsorted/one-hot:
-    # each target finds the single knot interval [theta_k, theta_{k+1})
-    # containing it and accumulates the lerp from that interval — a pure
-    # elementwise (..., m, n-1) expression followed by a sum, which XLA
-    # fuses into one pass with no large intermediates (gathers and one-hot
-    # matmuls both materialise (m, n) tensors and lower poorly on TPU).
-    # NaN knots make every comparison false, so NaN intervals contribute 0;
-    # targets in a NaN region are handled by mask_edges, exactly like the
-    # reference's numba kernel relies on it (transform.py:35-41).
-    t = target_b[..., :, None]  # (..., m, 1)
-    th_lo = theta_b[..., None, :-1]  # (..., 1, n-1)
-    th_hi = theta_b[..., None, 1:]
-    ph_lo = phi_b[..., None, :-1]
-    ph_hi = phi_b[..., None, 1:]
-    in_interval = (th_lo <= t) & (t < th_hi)
-    degenerate = th_hi == th_lo
-    denom = jnp.where(degenerate, 1.0, th_hi - th_lo)
-    w = (t - th_lo) / denom
-    lerp = ph_lo + w * (ph_hi - ph_lo)
-    out = jnp.sum(
-        jnp.where(in_interval & ~degenerate, lerp, 0.0), axis=-1
-    )  # (..., m)
+    # Interval-membership interpolation without gather/searchsorted/one-hot,
+    # in *telescoped* form.  The naive membership sum
+    #     out = sum_k [th_k <= t < th_{k+1}] * lerp_k(t)
+    # costs ~15 VPU ops (two compares, a divide, selects) per (target, knot)
+    # pair; writing lerp_k(t) = b_k + t * s_k with per-interval intercept/
+    # slope precomputed at O(n) cost, and the membership indicator as a
+    # difference of step functions c_k = [theta_k <= t], the sum telescopes:
+    #     out = sum_k c_k * db_k  +  t * sum_k c_k * ds_k
+    # with db/ds the running differences of b/s.  Per (target, knot) pair
+    # this is ONE compare and TWO fused multiply-adds — the hot loop of the
+    # 13M-point vertical remap at HBM-bound throughput on the VPU.
+    # Correctness notes:
+    # * degenerate intervals (equal knots) cancel exactly in the telescoped
+    #   sum because c_k == c_{k+1} there (their b/s values are zeroed so no
+    #   inf/NaN leaks in);
+    # * NaN knots sanitise to +inf, making their c_k = 0; targets at/above
+    #   the last valid knot are overwritten by the np.interp edge clamp
+    #   below, exactly like the reference's numba kernel relies on masking
+    #   (transform.py:35-41).
+    t = target_b  # (..., m)
+    theta_s = jnp.where(jnp.isnan(theta_b), jnp.inf, theta_b)  # (..., n)
+    phi_sane0 = jnp.nan_to_num(phi_b)
+    dth = theta_s[..., 1:] - theta_s[..., :-1]  # (..., n-1)
+    interval_ok = jnp.isfinite(dth) & (dth > 0)
+    slope = jnp.where(
+        interval_ok,
+        (phi_sane0[..., 1:] - phi_sane0[..., :-1])
+        / jnp.where(interval_ok, dth, 1.0),
+        0.0,
+    )
+    intercept = jnp.where(
+        interval_ok, phi_sane0[..., :-1] - theta_s[..., :-1] * slope, 0.0
+    )
+    # running differences over the n knots: db_0 = b_0, db_k = b_k - b_{k-1},
+    # db_{n-1} = -b_{n-2} (the subtraction of the last step closes the sum)
+    zero = jnp.zeros_like(intercept[..., :1])
+    db = jnp.concatenate([intercept, zero], -1) - jnp.concatenate(
+        [zero, intercept], -1
+    )  # (..., n)
+    ds = jnp.concatenate([slope, zero], -1) - jnp.concatenate(
+        [zero, slope], -1
+    )
+    c = (theta_s[..., None, :] <= t[..., :, None]).astype(phi_b.dtype)
+    acc_b = jnp.sum(c * db[..., None, :], axis=-1)  # (..., m)
+    acc_s = jnp.sum(c * ds[..., None, :], axis=-1)
+    out = acc_b + t * acc_s
     # np.interp edge clamping: below the first valid knot -> its value,
     # at/above the last valid knot -> its value.  Valid-edge values are
     # extracted with O(n) one-hot sums (cheap; no (m, n) blowup), which also
@@ -145,38 +169,66 @@ def interp_1d_linear(
     return out
 
 
-def _conservative_weights(theta_1, theta_2, theta_hat_1, theta_hat_2, phi_valid):
-    """Overlap-weight tensor alpha[..., n, m] plus contribution mask.
+def _conservative_rebin(phi, theta_1, theta_2, edges):
+    """Conservative rebinning as a difference of cumulative-mass functions.
 
-    Reproduces the per-(cell, bin) logic of reference transform.py:96-142:
-    cell bounds sorted; a single-NaN bound makes the cell homogeneous at the
-    other bound; zero-thickness cells deposit their full phi into every bin
-    whose range contains them.
+    Reproduces the per-(cell, bin) overlap logic of reference
+    transform.py:96-142 (cell bounds sorted; a single-NaN bound makes the
+    cell homogeneous at the other bound) but evaluated as
+        out[j] = F_up(edge_{j+1}) - F_lo(edge_j),
+        F(x)   = sum_k phi_k * clip((x - tmin_k) / thick_k, 0, 1)
+    — a clamp + FMA per (cell, bin-edge) pair instead of the dense
+    alpha[..., n, m] overlap tensor + einsum.  For finite-thickness cells
+    F_up == F_lo, so their contributions telescope and conserve exactly.
+    Zero-thickness (homogeneous) cells use step functions with inclusive
+    membership on BOTH edges (F_up steps at x >= p, F_lo at x > p), so a
+    homogeneous cell sitting exactly ON an interior bin edge deposits its
+    full mass into BOTH adjacent bins — exactly the reference's alpha=1
+    rule (transform.py:117-120), which deliberately double-counts there.
+
+    Returns (out, count) where count[..., j] is the number of contributing
+    cells per bin (for the untouched-bin -> NaN rule).
     """
     t1n = jnp.isnan(theta_1)
     t2n = jnp.isnan(theta_2)
     cell_empty = t1n & t2n
-    theta_min = jnp.where(t1n, theta_2, jnp.where(t2n, theta_1, jnp.minimum(theta_1, theta_2)))
-    theta_max = jnp.where(t1n, theta_2, jnp.where(t2n, theta_1, jnp.maximum(theta_1, theta_2)))
-
-    # broadcast cells (..., n, 1) against bins (m,)
-    tmin = theta_min[..., :, None]
-    tmax = theta_max[..., :, None]
-    th1 = theta_hat_1
-    th2 = theta_hat_2
-
-    no_overlap = (th1 > tmax) | (th2 < tmin)
-    degenerate = tmax == tmin
-
-    upper = jnp.minimum(tmax, th2)
-    lower = jnp.maximum(tmin, th1)
-    denom = jnp.where(degenerate, 1.0, tmax - tmin)
-    alpha = jnp.where(degenerate, 1.0, (upper - lower) / denom)
-
-    contributes = (
-        (~cell_empty[..., :, None]) & (~no_overlap) & phi_valid[..., :, None]
+    tmin = jnp.where(
+        t1n, theta_2, jnp.where(t2n, theta_1, jnp.minimum(theta_1, theta_2))
     )
-    return jnp.where(contributes, alpha, 0.0), contributes
+    tmax = jnp.where(
+        t1n, theta_2, jnp.where(t2n, theta_1, jnp.maximum(theta_1, theta_2))
+    )
+    phi_valid = ~jnp.isnan(phi)
+    valid = phi_valid & ~cell_empty
+    w = jnp.where(valid, jnp.nan_to_num(phi), 0.0)
+    # excluded cells keep NaN bounds; sanitise so 0-weight * NaN-frac does
+    # not poison the cumulative sums (their w and count terms are 0 anyway)
+    tmin = jnp.where(valid, tmin, 0.0)
+    tmax = jnp.where(valid, tmax, 0.0)
+
+    thick = tmax - tmin
+    degenerate = thick == 0.0
+    inv_thick = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, thick))
+
+    x = edges[..., :, None]  # (..., m, 1) vs cells (..., 1, n)
+    tmin_c = tmin[..., None, :]
+    deg_c = degenerate[..., None, :]
+    w_c = w[..., None, :]
+    frac = jnp.clip((x - tmin_c) * inv_thick[..., None, :], 0.0, 1.0)
+    frac_up = jnp.where(deg_c, (x >= tmin_c).astype(frac.dtype), frac)
+    frac_lo = jnp.where(deg_c, (x > tmin_c).astype(frac.dtype), frac)
+    F_up = jnp.sum(w_c * frac_up, axis=-1)  # (..., m)
+    F_lo = jnp.sum(w_c * frac_lo, axis=-1)
+    out = F_up[..., 1:] - F_lo[..., :-1]
+
+    # contributing-cell count per bin: a cell overlaps bin j iff
+    # tmin <= edge_{j+1} and tmax >= edge_j (touching counts, matching the
+    # reference's no_overlap = th1 > tmax | th2 < tmin)
+    vf = valid.astype(F_up.dtype)[..., None, :]
+    n_tmin_le = jnp.sum(vf * (tmin_c <= x), axis=-1)  # A(x)
+    n_tmax_lt = jnp.sum(vf * (tmax[..., None, :] < x), axis=-1)  # B(x)
+    count = n_tmin_le[..., 1:] - n_tmax_lt[..., :-1]
+    return out, count
 
 
 def interp_1d_conservative(phi, theta, target_theta_bins):
@@ -217,25 +269,10 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
 
     theta_1 = theta[..., :-1]
     theta_2 = theta[..., 1:]
-    theta_hat_1 = jnp.asarray(target[:-1])
-    theta_hat_2 = jnp.asarray(target[1:])
+    edges = jnp.asarray(target)
 
-    phi_valid = ~jnp.isnan(phi)
-    alpha, contributes = _conservative_weights(
-        theta_1, theta_2, theta_hat_1, theta_hat_2, phi_valid
-    )
-
-    phi_filled = jnp.where(phi_valid, phi, 0.0)
-    # batched mat-vec: out[..., m] = sum_n alpha[..., n, m] * phi[..., n].
-    # Accumulate in at least f32 (MXU-friendly for bf16/f16 inputs) but never
-    # BELOW the input precision — f64 inputs keep f64 accumulation so the
-    # conservative sum matches the reference's f64 numba kernel to ~1e-16.
-    acc_dtype = jnp.promote_types(phi_filled.dtype, jnp.float32)
-    out = jnp.einsum(
-        "...nm,...n->...m", alpha, phi_filled, preferred_element_type=acc_dtype
-    ).astype(phi.dtype)
-    any_contrib = jnp.any(contributes, axis=-2)
-    out = jnp.where(any_contrib, out, jnp.nan)
+    out, count = _conservative_rebin(phi, theta_1, theta_2, edges)
+    out = jnp.where(count > 0, out, jnp.nan)
 
     if flip_switch:
         out = out[..., ::-1]
@@ -316,7 +353,15 @@ def conservative_interpolation(
     transform.py:252-276).  The output has ``len(target) - 1`` cells along
     ``target_dim`` whose centres are the midpoints of the target bins."""
     phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
-    out = interp_1d_conservative(phi_t.data, theta_data, np.asarray(target.data))
+    # concrete targets let the kernel inspect the bin direction (decreasing
+    # bins are flipped); under jit the target may have become a tracer, in
+    # which case the kernel's traced branch (assume-increasing) applies
+    tdata = target.data
+    try:
+        tdata = np.asarray(tdata)
+    except Exception:
+        pass
+    out = interp_1d_conservative(phi_t.data, theta_data, tdata)
     name = (phi.name + suffix) if phi.name else None
     return GriddedArray(out, lead + [target_dim], name=name)
 
