@@ -96,11 +96,14 @@ def main():
         return (dvdx * gix - dudy * giy).data
 
     def chained(vort_fn):
+        # feed the output straight back as the next input: per-iteration
+        # traffic is exactly read(u) + read(v) + write(z) — the op's true
+        # lower bound.  (An `u + eps*z` update would add a whole extra
+        # read+write pass for any non-XLA-fused path.)
         @jax.jit
         def run(u, v, ix, iy):
             def body(_, uu):
-                z = vort_fn(uu, v, ix, iy)
-                return uu + jnp.float32(1e-20) * z
+                return vort_fn(uu, v, ix, iy)
             return jnp.sum(jax.lax.fori_loop(0, K, body, u))
         return run
 
@@ -142,8 +145,7 @@ def main():
         @jax.jit
         def run(u, v, ix, iy):
             def body(_, uu):
-                z = vort_fn(uu, v, ix, iy)
-                return uu + (jnp.float32(1e-20) * z).astype(uu.dtype)
+                return vort_fn(uu, v, ix, iy)
             return jnp.sum(
                 jax.lax.fori_loop(0, K, body, u).astype(jnp.float32)
             )
@@ -227,19 +229,20 @@ def main():
 
     @jax.jit
     def tr_chained(p, t, tt):
-        def body(_, carry):
-            pp, acc = carry
+        # serialise iterations through the tiny target vector (adding a
+        # scalar-dependent epsilon) so the big per-column inputs stay
+        # loop-invariant and no extra array-update pass is paid
+        def body(_, acc):
             out = grid_z.transform(
-                xt.GriddedArray(pp, ("col", "zc"), name="phi"),
+                xt.GriddedArray(p, ("col", "zc"), name="phi"),
                 "Z",
-                tt,
+                tt + jnp.float32(1e-12) * acc,
                 target_data=xt.GriddedArray(t, ("col", "zc"), name="theta"),
                 method="linear",
                 mask_edges=True,
             ).data
-            return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
-        _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
-        return acc
+            return jnp.nansum(out)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     _log("compiling chained transform (public grid.transform API)")
     try:
@@ -258,20 +261,20 @@ def main():
     )
     bins_np = np.linspace(-1, 31, 37).astype(np.float32)
 
+    bins_j = jnp.asarray(bins_np)
+
     @jax.jit
     def cons_chained(p, t):
-        def body(_, carry):
-            pp, acc = carry
+        def body(_, acc):
             out = grid_z.transform(
-                xt.GriddedArray(pp, ("col", "zc"), name="phi"),
+                xt.GriddedArray(p, ("col", "zc"), name="phi"),
                 "Z",
-                bins_np,
+                bins_j + jnp.float32(1e-12) * acc,
                 target_data=xt.GriddedArray(t, ("col", "zo"), name="theta"),
                 method="conservative",
             ).data
-            return pp + jnp.float32(1e-20) * jnp.sum(out), acc + jnp.sum(out)
-        _, acc = jax.lax.fori_loop(0, K, body, (p, jnp.float32(0)))
-        return acc
+            return jnp.nansum(out)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     _log("compiling chained conservative transform (public API)")
     try:
@@ -287,37 +290,42 @@ def main():
     # --- config 3: metric-weighted integrate THROUGH THE PUBLIC API:
     # grid.integrate resolves the ("X","Y") metric from the registry
     # (get_metric condition 1) and does the NaN-aware weighted reduce ---
-    area_np = (rng.rand(ny, nx) + 1.0).astype(np.float32)
-    ds_m = xt.Dataset(
-        coords={
-            "xc": ("xc", np.arange(nx, dtype=np.float32)),
-            "yc": ("yc", np.arange(ny, dtype=np.float32)),
-        },
-        data_vars={"area": (("yc", "xc"), area_np)},
-    )
-    grid_m = xt.Grid(
-        ds_m,
-        coords={"X": {"center": "xc"}, "Y": {"center": "yc"}},
-        metrics={("X", "Y"): ["area"]},
-        autoparse_metadata=False,
-    )
+    area = jnp.asarray((rng.rand(ny, nx) + 1.0).astype(np.float32))
 
     @jax.jit
-    def integ_chained(t):
-        def body(_, carry):
-            tt, acc = carry
-            s = grid_m.integrate(
-                xt.GriddedArray(tt, ("yc", "xc")), ["X", "Y"]
+    def integ_chained(t, area_arr):
+        # the Grid (and its 268 MB metric) is built INSIDE the trace from a
+        # traced argument — closing over it would bake the metric into the
+        # HLO as a constant (the remote compiler rejects the request size).
+        # Grid construction is pure static bookkeeping, free at runtime.
+        ds_m = xt.Dataset(
+            coords={
+                "xc": ("xc", np.arange(nx, dtype=np.float32)),
+                "yc": ("yc", np.arange(ny, dtype=np.float32)),
+            },
+            data_vars={"area": (("yc", "xc"), area_arr)},
+        )
+        grid_m = xt.Grid(
+            ds_m,
+            coords={"X": {"center": "xc"}, "Y": {"center": "yc"}},
+            metrics={("X", "Y"): ["area"]},
+            autoparse_metadata=False,
+        )
+
+        # scalar carry: the epsilon-shift fuses into integrate's reduce, so
+        # per-iteration traffic is exactly read(tracer) + read(area)
+        def body(_, acc):
+            return grid_m.integrate(
+                xt.GriddedArray(t + jnp.float32(1e-20) * acc, ("yc", "xc")),
+                ["X", "Y"],
             ).data
-            return tt + jnp.float32(1e-20) * s, acc + s
-        _, acc = jax.lax.fori_loop(0, K, body, (t, jnp.float32(0)))
-        return acc
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     _log("compiling chained integrate (public grid.integrate API)")
     try:
-        float(integ_chained(u))
+        float(integ_chained(u, area))
         t0 = time.perf_counter()
-        float(integ_chained(u))
+        float(integ_chained(u, area))
         t_int = (time.perf_counter() - t0) / K
         integrate_gps = ny * nx / t_int
     except Exception as e:
@@ -339,15 +347,13 @@ def main():
 
         @jax.jit
         def cs_chained(d):
-            def body(_, carry):
-                dd, acc = carry
-                out = grid_cs.diff(
+            # diff is length-preserving: feed the output straight back
+            def body(_, dd):
+                return grid_cs.diff(
                     xt.GriddedArray(dd, ("face", "y", "x")), "X",
                     boundary="fill",
                 ).data
-                return dd + jnp.float32(1e-20) * out, acc + jnp.sum(out)
-            _, acc = jax.lax.fori_loop(0, K, body, (d, jnp.float32(0)))
-            return acc
+            return jnp.sum(jax.lax.fori_loop(0, K, body, d))
 
         _log("compiling chained cubed-sphere diff")
         try:

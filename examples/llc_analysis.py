@@ -1,0 +1,142 @@
+"""Realistic LLC-shaped analysis: 13 faces x time x 50 levels x ny x nx.
+
+Walks the layout of an actual MITgcm LLC dataset (the LLC4320-style output
+that motivates the reference, README.rst) through a complete analysis
+pipeline: cross-face gradients with the rotated-halo topology, C-grid
+vorticity from staggered velocities with the sign-correcting vector halos,
+metric-weighted volume integration, and a depth->density conservative
+remap per column — everything the reference's ECCOv4 notebook does
+(docs/xgcm-examples/01_eccov4.ipynb), natively and jit-compiled.
+
+Run:  python examples/llc_analysis.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import xgcm_tpu as xt
+from xgcm_tpu.grids import LLC_CONNECTIONS
+
+
+def build_llc_dataset(n=16, nz=50, nt=3):
+    """An LLC-shaped Dataset: 13 faces, time, depth, with metric fields."""
+    rng = np.random.RandomState(0)
+    drf = (np.linspace(1.0, 10.0, nz)).astype(np.float64)  # layer thickness
+    ra = (rng.rand(13, n, n) + 1.0)  # cell area per face
+
+    ds = xt.Dataset(
+        coords={
+            "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+            "xl": ("xl", np.arange(n) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+            "yl": ("yl", np.arange(n) * 1.0,
+                   {"axis": "Y", "c_grid_axis_shift": -0.5}),
+            "zc": ("zc", -(np.arange(nz) + 0.5), {"axis": "Z",
+                                                  "c_grid_axis_shift": None}),
+            "zo": ("zo", -np.arange(nz + 1.0),
+                   {"axis": "Z", "c_grid_axis_shift": -0.5}),
+            "time": ("time", np.arange(nt) * 3600.0),
+            "face": ("face", np.arange(13)),
+        },
+        data_vars={
+            "drF": (("zc",), drf),
+            "rA": (("face", "y", "x"), ra),
+            # tracer (theta) on centers; u, v on the C-grid edges
+            "theta": (
+                ("time", "zc", "face", "y", "x"),
+                20.0
+                - 15.0 * (np.arange(nz) / nz)[None, :, None, None, None]
+                + 0.1 * rng.randn(nt, nz, 13, n, n),
+            ),
+            "u": (("time", "zc", "face", "y", "xl"),
+                  0.1 * rng.randn(nt, nz, 13, n, n)),
+            "v": (("time", "zc", "face", "yl", "x"),
+                  0.1 * rng.randn(nt, nz, 13, n, n)),
+        },
+    )
+    return ds
+
+
+def main():
+    n, nz, nt = 16, 50, 3
+    ds = build_llc_dataset(n=n, nz=nz, nt=nt)
+    grid = xt.Grid(
+        ds,
+        coords={
+            "X": {"center": "x", "left": "xl"},
+            "Y": {"center": "y", "left": "yl"},
+            "Z": {"center": "zc", "outer": "zo"},
+        },
+        boundary={"X": "fill", "Y": "fill", "Z": "extend"},
+        face_connections=LLC_CONNECTIONS,
+        metrics={("Z",): ["drF"], ("X", "Y"): ["rA"]},
+        autoparse_metadata=False,
+    )
+
+    theta, u, v = ds["theta"], ds["u"], ds["v"]
+
+    # 1. cross-face tracer gradients (rotated halos across the cap seams)
+    dtheta_dx = grid.diff(theta, "X")
+    dtheta_dy = grid.diff(theta, "Y")
+    print("gradients:", dtheta_dx.dims, dtheta_dy.dims)
+
+    # 2. C-grid vorticity with the vector sign rules at swapped seams
+    zeta = grid.diff({"X": v}, "X", other_component={"Y": u}) - grid.diff(
+        {"Y": u}, "Y", other_component={"X": v}
+    )
+    print("vorticity:", zeta.dims, tuple(zeta.data.shape))
+
+    # 3. volume-integrated heat content: integrate over X, Y, Z with the
+    # area x thickness metric product (get_metric condition 3)
+    heat = grid.integrate(theta, ["X", "Y", "Z"])  # reduces x, y, z
+    # the face dim is a broadcast dim (not a grid axis): sum it explicitly
+    print("heat content per time step:", np.asarray(heat.sum("face").data))
+
+    # 4. conservative remap of layer thickness onto temperature surfaces
+    # (depth -> density-like coordinate, per column, jit-compiled)
+    theta_bnds = grid.interp(theta, "Z", to="outer", boundary="extend")
+    thickness = xt.GriddedArray(
+        jnp.broadcast_to(
+            jnp.asarray(ds["drF"].data)[None, :, None, None, None],
+            theta.data.shape,
+        ),
+        theta.dims,
+        name="thickness",
+    )
+    t_bins = np.linspace(4.0, 21.0, 18)
+
+    @jax.jit
+    def remap(thickness_data, bounds_data):
+        return grid.transform(
+            xt.GriddedArray(thickness_data, theta.dims, name="thickness"),
+            "Z",
+            t_bins,
+            target_data=xt.GriddedArray(
+                bounds_data, theta_bnds.dims, name="theta_b"
+            ),
+            method="conservative",
+        ).data
+
+    layer_thickness_in_theta = remap(thickness.data, theta_bnds.data)
+    total_before = float(jnp.sum(thickness.data))
+    total_after = float(jnp.nansum(layer_thickness_in_theta))
+    print(
+        f"thickness conserved across remap: {total_before:.3f} -> "
+        f"{total_after:.3f}"
+    )
+    assert abs(total_before - total_after) / total_before < 1e-5
+
+    # 5. constant-field seam check: gradients of a constant vanish across
+    # every connection, including the rotated cap edges
+    const = xt.GriddedArray(
+        np.ones((13, n, n)), ("face", "y", "x"), name="one"
+    )
+    gx = grid.diff(const, "X", boundary="extend")
+    assert float(jnp.max(jnp.abs(gx.data))) == 0.0
+    print("seam-free topology check passed")
+
+
+if __name__ == "__main__":
+    main()

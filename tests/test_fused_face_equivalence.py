@@ -68,3 +68,38 @@ def test_fused_odd_dim_order():
     )
     assert fused.dims == generic.dims == ("y", "face", "xl")
     np.testing.assert_allclose(np.asarray(fused.data), np.asarray(generic.data))
+
+
+def test_extra_kwargs_force_generic_fallback_same_result():
+    """Unexpected kwargs make _maybe_fused_1d_op bypass silently
+    (core/grid.py); the generic-path result must equal the fused one
+    (VERDICT r1 weak #6)."""
+    ds, fc = cubed_sphere_dataset(n=5)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    da = GriddedArray(np.random.rand(6, 5, 5), ("face", "y", "x"))
+    fused = grid.diff(da, "X", boundary="fill")
+    # `dask` is accepted for API parity and lands in remaining_kwargs,
+    # forcing the generic engine path
+    generic = grid.diff(da, "X", boundary="fill", dask="forbidden")
+    assert fused.dims == generic.dims
+    np.testing.assert_allclose(np.asarray(fused.data), np.asarray(generic.data))
+
+
+def test_scalar_with_other_component_matches_plain():
+    """A scalar input with an (ignored) other_component must produce the
+    same result as without it, on both engine paths — other_component only
+    affects vector-dict inputs (reference padding.py:97-102)."""
+    ds, fc = cubed_sphere_dataset(n=5)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    da = GriddedArray(np.random.rand(6, 5, 5), ("face", "y", "x"))
+    oc = {"Y": GriddedArray(np.random.rand(6, 5, 5), ("face", "yl", "x"))}
+    plain = grid.diff(da, "X", boundary="fill")
+    with_oc = grid.diff(da, "X", boundary="fill", other_component=oc)
+    with_oc_generic = grid.diff(
+        da, "X", boundary="fill", other_component=oc, dask="forbidden"
+    )
+    for got in (with_oc, with_oc_generic):
+        assert got.dims == plain.dims
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(plain.data)
+        )

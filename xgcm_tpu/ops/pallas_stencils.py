@@ -77,8 +77,12 @@ def _vorticity_kernel(u_ref, u_up_ref, v_ref, inv_dx_ref, inv_dy_ref, out_ref):
     (wrapping to the array's last rows for the first tile).  The pipeline
     double-buffers all blocks automatically; no manual DMA.
     """
-    v_blk = v_ref[:, :]
-    u_blk = u_ref[:, :]
+    out_dtype = u_ref.dtype
+    f32 = jnp.float32
+    # compute in f32 (bf16 inputs round once at the output store, matching
+    # XLA's fused-elementwise behaviour and avoiding per-op bf16 rounding)
+    v_blk = v_ref[:, :].astype(f32)
+    u_blk = u_ref[:, :].astype(f32)
 
     dvdx = v_blk - _roll(v_blk, 1, 1)  # periodic x-neighbour via lane roll
 
@@ -86,11 +90,14 @@ def _vorticity_kernel(u_ref, u_up_ref, v_ref, inv_dx_ref, inv_dy_ref, out_ref):
     u_shift = _roll(u_blk, 1, 0)  # u[j-1] within the tile
     # neighbour row of row 0 = last row of the 8-row block above; rotate it
     # onto sublane 0 so it reads as an aligned (1, nx) slice
-    prev_row_vec = _roll(u_up_ref[:, :], 1, 0)[0:1, :]
+    prev_row_vec = _roll(u_up_ref[:, :].astype(f32), 1, 0)[0:1, :]
     u_prev = jnp.where(rows == 0, prev_row_vec, u_shift)
     dudy = u_blk - u_prev
 
-    out_ref[:, :] = dvdx * inv_dx_ref[0:1, :] - dudy * inv_dy_ref[:, :]
+    out_ref[:, :] = (
+        dvdx * inv_dx_ref[0:1, :].astype(f32)
+        - dudy * inv_dy_ref[:, :].astype(f32)
+    ).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
@@ -152,8 +159,10 @@ def _diagnostics_kernel(
     Reads u and v once, writes three outputs: 5 arrays of HBM traffic for
     what takes >=9 as separate padded ops.
     """
-    u_blk = u_ref[:, :]
-    v_blk = v_ref[:, :]
+    out_dtype = u_ref.dtype
+    f32 = jnp.float32
+    u_blk = u_ref[:, :].astype(f32)
+    v_blk = v_ref[:, :].astype(f32)
     T = u_blk.shape[0]
     nx = u_blk.shape[1]
 
@@ -164,21 +173,25 @@ def _diagnostics_kernel(
     u_xp = _roll(u_blk, nx - 1, 1)  # u[j, i+1]
     u_shift_up = _roll(u_blk, 1, 0)
     u_prev = jnp.where(
-        rows == 0, _roll(u_up_ref[:, :], 1, 0)[0:1, :], u_shift_up
+        rows == 0, _roll(u_up_ref[:, :].astype(f32), 1, 0)[0:1, :], u_shift_up
     )  # u[j-1, i]
     v_shift_dn = _roll(v_blk, T - 1, 0)
     v_next = jnp.where(
-        rows == T - 1, v_dn_ref[0:1, :], v_shift_dn
+        rows == T - 1, v_dn_ref[0:1, :].astype(f32), v_shift_dn
     )  # v[j+1, i]
 
-    ix = inv_dx_ref[0:1, :]
-    iy = inv_dy_ref[:, :]
+    ix = inv_dx_ref[0:1, :].astype(f32)
+    iy = inv_dy_ref[:, :].astype(f32)
 
-    zeta_ref[:, :] = (v_blk - v_xm) * ix - (u_blk - u_prev) * iy
-    div_ref[:, :] = (u_xp - u_blk) * ix + (v_next - v_blk) * iy
+    zeta_ref[:, :] = ((v_blk - v_xm) * ix - (u_blk - u_prev) * iy).astype(
+        out_dtype
+    )
+    div_ref[:, :] = ((u_xp - u_blk) * ix + (v_next - v_blk) * iy).astype(
+        out_dtype
+    )
     u_c = (u_blk + u_xp) * 0.5
     v_c = (v_blk + v_next) * 0.5
-    ke_ref[:, :] = (u_c * u_c + v_c * v_c) * 0.5
+    ke_ref[:, :] = ((u_c * u_c + v_c * v_c) * 0.5).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows",))
@@ -232,7 +245,8 @@ def fused_cgrid_diagnostics(
 def _shift_kernel(x_ref, out_ref, *, op, direction, bc, fill_value):
     """out = op(x, neighbour) where neighbour is x shifted by one along the
     last axis; BC fixes the wrapped column in-register."""
-    x = x_ref[:, :]
+    out_dtype = x_ref.dtype
+    x = x_ref[:, :].astype(jnp.float32)
     nx = x.shape[-1]
     if direction == "left":
         nb = _roll(x, 1, 1)  # nb[i] = x[i-1], nb[0] = x[-1] (periodic)
@@ -260,7 +274,7 @@ def _shift_kernel(x_ref, out_ref, *, op, direction, bc, fill_value):
         out = jnp.maximum(x, nb)
     else:
         raise ValueError(op)
-    out_ref[:, :] = out
+    out_ref[:, :] = out.astype(out_dtype)
 
 
 @functools.partial(

@@ -89,52 +89,56 @@ def interp_1d_linear(
     theta_b = jnp.broadcast_to(theta, lead_shape + (n,))
     target_b = jnp.broadcast_to(target, lead_shape + (m,))
 
-    # Interval-membership interpolation without gather/searchsorted/one-hot,
-    # in *telescoped* form.  The naive membership sum
-    #     out = sum_k [th_k <= t < th_{k+1}] * lerp_k(t)
-    # costs ~15 VPU ops (two compares, a divide, selects) per (target, knot)
-    # pair; writing lerp_k(t) = b_k + t * s_k with per-interval intercept/
-    # slope precomputed at O(n) cost, and the membership indicator as a
-    # difference of step functions c_k = [theta_k <= t], the sum telescopes:
-    #     out = sum_k c_k * db_k  +  t * sum_k c_k * ds_k
-    # with db/ds the running differences of b/s.  Per (target, knot) pair
-    # this is ONE compare and TWO fused multiply-adds — the hot loop of the
-    # 13M-point vertical remap at HBM-bound throughput on the VPU.
-    # Correctness notes:
-    # * degenerate intervals (equal knots) cancel exactly in the telescoped
-    #   sum because c_k == c_{k+1} there (their b/s values are zeroed so no
-    #   inf/NaN leaks in);
-    # * NaN knots sanitise to +inf, making their c_k = 0; targets at/above
-    #   the last valid knot are overwritten by the np.interp edge clamp
-    #   below, exactly like the reference's numba kernel relies on masking
-    #   (transform.py:35-41).
+    # Exact interval-membership interpolation without gather/searchsorted:
+    # each target matches exactly ONE half-open interval
+    # [theta_k, theta_{k+1}) with theta_{k+1} > t (duplicate knots match
+    # only the last; NaN knots sanitise to +inf so the trailing half-open
+    # interval has zero slope and the np.interp edge clamp below overwrites
+    # it, exactly like the reference's numba kernel relies on masking,
+    # transform.py:35-41).  The selected (th_lo, th_hi, ph_lo, ph_hi) are
+    # single-term one-hot sums — exact — and the final lerp is np.interp
+    # arithmetic (gathers and vmapped jnp.interp lower poorly on TPU; the
+    # compare/one-hot form is the TPU-native equivalent).  On TPU the whole
+    # selection runs in a VMEM-resident Pallas kernel (pallas_transform);
+    # XLA lowers the same reduction through a padded HBM intermediate.
     t = target_b  # (..., m)
     theta_s = jnp.where(jnp.isnan(theta_b), jnp.inf, theta_b)  # (..., n)
     phi_sane0 = jnp.nan_to_num(phi_b)
-    dth = theta_s[..., 1:] - theta_s[..., :-1]  # (..., n-1)
-    interval_ok = jnp.isfinite(dth) & (dth > 0)
-    slope = jnp.where(
-        interval_ok,
-        (phi_sane0[..., 1:] - phi_sane0[..., :-1])
-        / jnp.where(interval_ok, dth, 1.0),
-        0.0,
+
+    from .pallas_transform import (
+        interp_linear_columns_ad,
+        supports_pallas_transform,
     )
-    intercept = jnp.where(
-        interval_ok, phi_sane0[..., :-1] - theta_s[..., :-1] * slope, 0.0
-    )
-    # running differences over the n knots: db_0 = b_0, db_k = b_k - b_{k-1},
-    # db_{n-1} = -b_{n-2} (the subtraction of the last step closes the sum)
-    zero = jnp.zeros_like(intercept[..., :1])
-    db = jnp.concatenate([intercept, zero], -1) - jnp.concatenate(
-        [zero, intercept], -1
-    )  # (..., n)
-    ds = jnp.concatenate([slope, zero], -1) - jnp.concatenate(
-        [zero, slope], -1
-    )
-    c = (theta_s[..., None, :] <= t[..., :, None]).astype(phi_b.dtype)
-    acc_b = jnp.sum(c * db[..., None, :], axis=-1)  # (..., m)
-    acc_s = jnp.sum(c * ds[..., None, :], axis=-1)
-    out = acc_b + t * acc_s
+
+    # a target is "shared" when it carries no real lead dims (the Grid
+    # wrapper reshapes a 1D target to (1, ..., 1, m))
+    target_is_shared = all(s == 1 for s in target.shape[:-1])
+    th2 = theta_s.reshape(-1, n)
+    ph2 = phi_sane0.reshape(-1, n)
+    tgt1d = target.reshape(-1)  # `target` is already log-transformed
+    if target_is_shared and supports_pallas_transform(ph2, th2, tgt1d):
+        # hot path: VMEM-resident Pallas column kernel (XLA lowers this
+        # reduction through a padded (cols, 40, 128) HBM intermediate,
+        # measured ~30x off roofline)
+        out = interp_linear_columns_ad(th2, ph2, tgt1d).reshape(
+            lead_shape + (m,)
+        )
+    else:
+        from .pallas_transform import _shifted
+
+        th_next = _shifted(theta_s, jnp.inf)
+        ph_next = _shifted(phi_sane0, 0.0)
+        t_ = t[..., :, None]  # (..., m, 1)
+        memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
+
+        def _sel(x):
+            return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
+
+        th_lo, th_hi = _sel(theta_s), _sel(th_next)
+        ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
+        w = (t - th_lo) / (th_hi - th_lo)
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+        out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
     # np.interp edge clamping: below the first valid knot -> its value,
     # at/above the last valid knot -> its value.  Valid-edge values are
     # extracted with O(n) one-hot sums (cheap; no (m, n) blowup), which also
@@ -210,24 +214,36 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     degenerate = thick == 0.0
     inv_thick = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, thick))
 
-    x = edges[..., :, None]  # (..., m, 1) vs cells (..., 1, n)
+    # Two single-pass reductions over (..., m-1, n): per (bin, cell) the
+    # deposited-mass delta frac_up(hi) - frac_lo(lo) and the contribution
+    # indicator.  Computing F_up/F_lo/A/B as four separate edge-evaluated
+    # sums shares big (..., m, n) subexpressions that XLA materialises to
+    # HBM; these per-bin forms have none, so everything loop-fuses into
+    # the reduces and no (m, n)-sized tensor ever exists.
+    lo = edges[..., :-1, None]  # (..., m-1, 1) vs cells (..., 1, n)
+    hi = edges[..., 1:, None]
     tmin_c = tmin[..., None, :]
+    tmax_c = tmax[..., None, :]
     deg_c = degenerate[..., None, :]
+    inv_c = inv_thick[..., None, :]
     w_c = w[..., None, :]
-    frac = jnp.clip((x - tmin_c) * inv_thick[..., None, :], 0.0, 1.0)
-    frac_up = jnp.where(deg_c, (x >= tmin_c).astype(frac.dtype), frac)
-    frac_lo = jnp.where(deg_c, (x > tmin_c).astype(frac.dtype), frac)
-    F_up = jnp.sum(w_c * frac_up, axis=-1)  # (..., m)
-    F_lo = jnp.sum(w_c * frac_lo, axis=-1)
-    out = F_up[..., 1:] - F_lo[..., :-1]
+
+    def _frac(x):
+        return jnp.clip((x - tmin_c) * inv_c, 0.0, 1.0)
+
+    frac_up = jnp.where(deg_c, (hi >= tmin_c).astype(w.dtype), _frac(hi))
+    frac_lo = jnp.where(deg_c, (lo > tmin_c).astype(w.dtype), _frac(lo))
+    out = jnp.sum(w_c * (frac_up - frac_lo), axis=-1)  # (..., m-1)
 
     # contributing-cell count per bin: a cell overlaps bin j iff
     # tmin <= edge_{j+1} and tmax >= edge_j (touching counts, matching the
     # reference's no_overlap = th1 > tmax | th2 < tmin)
-    vf = valid.astype(F_up.dtype)[..., None, :]
-    n_tmin_le = jnp.sum(vf * (tmin_c <= x), axis=-1)  # A(x)
-    n_tmax_lt = jnp.sum(vf * (tmax[..., None, :] < x), axis=-1)  # B(x)
-    count = n_tmin_le[..., 1:] - n_tmax_lt[..., :-1]
+    vf = valid.astype(w.dtype)[..., None, :]
+    count = jnp.sum(
+        vf
+        * jnp.logical_and(tmin_c <= hi, ~(tmax_c < lo)).astype(w.dtype),
+        axis=-1,
+    )
     return out, count
 
 
