@@ -85,30 +85,37 @@ def _membership_jnp(theta_s, phi_s, target):
     return out.astype(phi_s.dtype)
 
 
-def _kernel(th_ref, thn_ref, ph_ref, phn_ref, t_ref, out_ref, *, m):
-    """One tile of columns: exact one-hot interval selection + one lerp
-    per target, with all intermediates in registers/VMEM.  The selected
-    (th_lo, th_hi, ph_lo, ph_hi) are exact (single-term masked sums), so
-    the result is np.interp-exact — no telescoped-accumulation noise."""
-    th = th_ref[:, :]  # (C, n)
-    th_n = thn_ref[:, :]
-    ph = ph_ref[:, :]
-    ph_n = phn_ref[:, :]
-    zeros = jnp.zeros_like(th)
-    # store each target's column immediately (static lane slice) so only
-    # ONE iteration's temporaries are live — a collected-then-concatenated
-    # list keeps all m iterations alive and blows the 16 MB scoped-VMEM
-    # stack at useful tile sizes
-    for j in range(m):
-        tj = t_ref[0, j]
-        c = (th <= tj) & (th_n > tj)
-        th_lo = jnp.sum(jnp.where(c, th, zeros), axis=1, keepdims=True)
-        th_hi = jnp.sum(jnp.where(c, th_n, zeros), axis=1, keepdims=True)
-        ph_lo = jnp.sum(jnp.where(c, ph, zeros), axis=1, keepdims=True)
-        ph_hi = jnp.sum(jnp.where(c, ph_n, zeros), axis=1, keepdims=True)
-        w = (tj - th_lo) / (th_hi - th_lo)
-        w = jnp.where(jnp.isfinite(w), w, 0.0)
-        out_ref[:, j : j + 1] = ph_lo + w * (ph_hi - ph_lo)
+def _kernel(th_ref, ph_ref, s_ref, t_ref, out_ref, *, n, m):
+    """One tile of columns, transposed layout: blocks th/ph/s are (n, C)
+    with columns in lanes and targets (m, 1) in sublanes; accumulators
+    live in (m, C) registers.  The knot loop is sequential-over-n with NO
+    lane reductions (a per-target masked-lane-reduction variant measured
+    10x slower — reductions dominate), one fresh step compare per knot
+    (the membership indicator [th_k <= t] & ![th_{k+1} <= t] reuses the
+    previous iteration's compare), and FMA accumulation of the exactly
+    selected (th_lo, ph_lo, slope).  Exactly one interval matches each
+    target, so the accumulators are exact single-term selections and the
+    final lerp is np.interp arithmetic."""
+    t = t_ref[:, 0:1]  # (m, 1)
+    C = th_ref.shape[1]
+    dtype = out_ref.dtype
+    th_lo = jnp.zeros((m, C), dtype)
+    ph_lo = jnp.zeros((m, C), dtype)
+    s_sel = jnp.zeros((m, C), dtype)
+    cs = th_ref[0:1, :] <= t  # (m, C) step for k = 0
+    for k in range(n - 1):
+        cs_next = th_ref[k + 1 : k + 2, :] <= t
+        c = (cs & ~cs_next).astype(dtype)
+        th_lo = th_lo + c * th_ref[k : k + 1, :]
+        ph_lo = ph_lo + c * ph_ref[k : k + 1, :]
+        s_sel = s_sel + c * s_ref[k : k + 1, :]
+        cs = cs_next
+    # trailing half-open interval [th_{n-1}, +inf): slope 0 (the np.interp
+    # edge clamp overwrites these targets anyway)
+    cl = cs.astype(dtype)
+    th_lo = th_lo + cl * th_ref[n - 1 : n, :]
+    ph_lo = ph_lo + cl * ph_ref[n - 1 : n, :]
+    out_ref[:, :] = ph_lo + (t - th_lo) * s_sel
 
 
 @functools.partial(jax.jit, static_argnames=("tile_cols",))
@@ -128,30 +135,39 @@ def interp_linear_columns(
     dtype = jnp.promote_types(phi_s.dtype, jnp.float32)
     th = theta_s.astype(dtype)
     ph = phi_s.astype(dtype)
-    th_n = _shifted(th, jnp.inf)
-    ph_n = _shifted(ph, 0.0)
+    # per-interval slopes (exact per-interval constants selected one-hot;
+    # invalid intervals — equal knots, +inf-sanitised NaN regions — get 0)
+    dth = th[:, 1:] - th[:, :-1]
+    ok = jnp.isfinite(dth) & (dth > 0)
+    slope = jnp.where(
+        ok, (ph[:, 1:] - ph[:, :-1]) / jnp.where(ok, dth, 1.0), 0.0
+    )
+    s_full = jnp.concatenate([slope, jnp.zeros_like(slope[:, :1])], 1)
+
+    # transposed layout (n, cols): columns ride the lanes; XLA fuses these
+    # transposes into the elementwise prep above
+    thT, phT, sT = th.T, ph.T, s_full.T
 
     C = tile_cols
     while cols % C:
         C //= 2
     grid = cols // C
-    t_row = jnp.broadcast_to(target.astype(dtype).reshape(1, m), (8, m))
+    t_col = jnp.broadcast_to(target.astype(dtype).reshape(m, 1), (m, 8))
 
-    tile = lambda i: (i, 0)  # noqa: E731
+    tile = lambda i: (0, i)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_kernel, m=m),
+        functools.partial(_kernel, n=n, m=m),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((C, n), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, n), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, n), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, n), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, m), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cols, m), dtype),
-    )(th, th_n, ph, ph_n, t_row)
-    return out.astype(phi_s.dtype)
+        out_specs=pl.BlockSpec((m, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, cols), dtype),
+    )(thT, phT, sT, t_col)
+    return out.T.astype(phi_s.dtype)
 
 
 @jax.custom_vjp

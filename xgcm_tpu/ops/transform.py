@@ -42,13 +42,24 @@ __all__ = [
 
 def _column_flip(phi, theta):
     """Flip columns whose theta decreases (first vs last non-NaN value),
-    branchlessly — reference transform.py:27-31."""
+    branchlessly — reference transform.py:27-31.
+
+    First/last non-NaN values are extracted with one-hot sums rather than
+    ``take_along_axis`` — TPU gathers on (cols, n) arrays measured
+    milliseconds at the benchmark size; the one-hot form fuses into plain
+    elementwise+reduce passes."""
     valid = ~jnp.isnan(theta)
     n = theta.shape[-1]
+    iota = jnp.arange(n)
     first_idx = jnp.argmax(valid, axis=-1)
     last_idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
-    first_val = jnp.take_along_axis(theta, first_idx[..., None], axis=-1)[..., 0]
-    last_val = jnp.take_along_axis(theta, last_idx[..., None], axis=-1)[..., 0]
+    theta_sane = jnp.nan_to_num(theta)
+    first_val = jnp.sum(
+        jnp.where(iota == first_idx[..., None], theta_sane, 0.0), axis=-1
+    )
+    last_val = jnp.sum(
+        jnp.where(iota == last_idx[..., None], theta_sane, 0.0), axis=-1
+    )
     flip = (last_val < first_val)[..., None]
     theta = jnp.where(flip, theta[..., ::-1], theta)
     phi = jnp.where(flip, phi[..., ::-1], phi)
@@ -214,34 +225,38 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     degenerate = thick == 0.0
     inv_thick = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, thick))
 
-    # Two single-pass reductions over (..., m-1, n): per (bin, cell) the
-    # deposited-mass delta frac_up(hi) - frac_lo(lo) and the contribution
-    # indicator.  Computing F_up/F_lo/A/B as four separate edge-evaluated
-    # sums shares big (..., m, n) subexpressions that XLA materialises to
-    # HBM; these per-bin forms have none, so everything loop-fuses into
-    # the reduces and no (m, n)-sized tensor ever exists.
-    lo = edges[..., :-1, None]  # (..., m-1, 1) vs cells (..., 1, n)
-    hi = edges[..., 1:, None]
-    tmin_c = tmin[..., None, :]
-    tmax_c = tmax[..., None, :]
-    deg_c = degenerate[..., None, :]
-    inv_c = inv_thick[..., None, :]
-    w_c = w[..., None, :]
+    # Two single-pass reductions per (bin, cell) pair: the deposited-mass
+    # delta frac_up(hi) - frac_lo(lo) and the contribution indicator.
+    # Computing F_up/F_lo/A/B as four separate edge-evaluated sums shares
+    # big (..., m, n) subexpressions that XLA materialises to HBM; these
+    # per-bin forms have none, so everything loop-fuses into the reduces
+    # and no (m, n)-sized tensor ever exists.
+    def _reduce(lo, hi, tmin_c, tmax_c, deg_c, inv_c, w_c, vf, axis):
+        def _frac(x):
+            return jnp.clip((x - tmin_c) * inv_c, 0.0, 1.0)
 
-    def _frac(x):
-        return jnp.clip((x - tmin_c) * inv_c, 0.0, 1.0)
+        frac_up = jnp.where(deg_c, (hi >= tmin_c).astype(w.dtype), _frac(hi))
+        frac_lo = jnp.where(deg_c, (lo > tmin_c).astype(w.dtype), _frac(lo))
+        out = jnp.sum(w_c * (frac_up - frac_lo), axis=axis)
+        # contributing-cell count per bin: a cell overlaps bin j iff
+        # tmin <= edge_{j+1} and tmax >= edge_j (touching counts, matching
+        # the reference's no_overlap = th1 > tmax | th2 < tmin)
+        count = jnp.sum(
+            vf
+            * jnp.logical_and(tmin_c <= hi, ~(tmax_c < lo)).astype(w.dtype),
+            axis=axis,
+        )
+        return out, count
 
-    frac_up = jnp.where(deg_c, (hi >= tmin_c).astype(w.dtype), _frac(hi))
-    frac_lo = jnp.where(deg_c, (lo > tmin_c).astype(w.dtype), _frac(lo))
-    out = jnp.sum(w_c * (frac_up - frac_lo), axis=-1)  # (..., m-1)
-
-    # contributing-cell count per bin: a cell overlaps bin j iff
-    # tmin <= edge_{j+1} and tmax >= edge_j (touching counts, matching the
-    # reference's no_overlap = th1 > tmax | th2 < tmin)
-    vf = valid.astype(w.dtype)[..., None, :]
-    count = jnp.sum(
-        vf
-        * jnp.logical_and(tmin_c <= hi, ~(tmax_c < lo)).astype(w.dtype),
+    # (A lane-major (cb, m, n, 128) variant of this reduce was measured
+    # SLOWER on v5e — 4.87 vs 4.43 ms at the benchmark shape — XLA already
+    # fuses this form acceptably; keep the simple layout.)
+    out, count = _reduce(
+        edges[..., :-1, None],  # (..., m-1, 1) vs cells (..., 1, n)
+        edges[..., 1:, None],
+        tmin[..., None, :], tmax[..., None, :], degenerate[..., None, :],
+        inv_thick[..., None, :], w[..., None, :],
+        valid.astype(w.dtype)[..., None, :],
         axis=-1,
     )
     return out, count
