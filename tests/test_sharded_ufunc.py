@@ -262,3 +262,48 @@ def test_uneven_shard_rejected(grid, da):
     sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
     with pytest.raises(ValueError, match="does not divide evenly"):
         sgrid.diff(da, "X", boundary="periodic")
+
+
+class TestWideHalos:
+    """Halos wider than one shard: ring exchange hops multiple neighbours
+    and global BCs apply per element (beyond the reference's map_overlap,
+    whose depth is bounded by the chunk size)."""
+
+    @pytest.mark.parametrize(
+        "boundary", ["periodic", "fill", "extend", "extrapolate"]
+    )
+    def test_width_exceeds_shard(self, grid, da, boundary):
+        # 8 shards of 4 elements; width 6 spans two neighbours
+        mesh = make_mesh({"x": 8}, devices=jax.devices()[:8])
+        sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+
+        def wide(a):
+            return a[..., 12:] - a[..., :-12] + a[..., 6:-6]
+
+        kw = dict(
+            axis=[("X",)],
+            signature="(X:center)->(X:left)",
+            boundary_width={"X": (6, 6)},
+            boundary=boundary,
+            fill_value=1.5,
+        )
+        s = sgrid.apply_as_grid_ufunc(wide, sgrid.shard(da), **kw)
+        e = grid.apply_as_grid_ufunc(wide, da, **kw)
+        _assert_matches(s, e)
+
+    def test_width_spanning_three_shards(self, grid, da):
+        mesh = make_mesh({"x": 8}, devices=jax.devices()[:8])
+        sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+
+        def very_wide(a):
+            return a[..., 18:] - a[..., :-18]
+
+        kw = dict(
+            axis=[("X",)],
+            signature="(X:center)->(X:left)",
+            boundary_width={"X": (9, 9)},
+            boundary="periodic",
+        )
+        s = sgrid.apply_as_grid_ufunc(very_wide, sgrid.shard(da), **kw)
+        e = grid.apply_as_grid_ufunc(very_wide, da, **kw)
+        _assert_matches(s, e)

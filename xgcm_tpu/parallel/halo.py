@@ -58,79 +58,109 @@ def ring_halo_pad(
     Must be called inside ``shard_map``.  ``x`` is the local block; the
     returned block has ``widths[0] + n_local + widths[1]`` elements along
     ``axis``.
+
+    Halos wider than one shard hop to as many ring neighbours as needed
+    (``ceil(width / n_local)`` ppermutes of the full block), and global
+    boundary conditions apply per ELEMENT: halo positions outside the
+    global domain are overwritten with the BC value, using the true global
+    edge values fetched with a one-element-per-shard ``all_gather`` (so an
+    edge shard's out-of-domain positions extend/extrapolate from the
+    domain edge even when the halo spans several shards).
     """
     lw, rw = widths
     if lw == 0 and rw == 0:
         return x
-    if max(lw, rw) > x.shape[axis]:
-        raise ValueError(
-            f"halo width {max(lw, rw)} exceeds the local shard size "
-            f"{x.shape[axis]} along axis {axis}; use fewer shards or a "
-            f"wider block"
-        )
+    n_local = x.shape[axis]
     n = lax.axis_size(mesh_axis)
+    if max(lw, rw) > n_local * (n - 1) and boundary in ("periodic", None):
+        raise ValueError(
+            f"halo width {max(lw, rw)} exceeds the rest of the periodic "
+            f"domain ({n_local * (n - 1)} elements on {n} shards)"
+        )
+    if boundary not in ("periodic", None, "fill", "extend", "extrapolate"):
+        raise ValueError(f"unknown boundary {boundary!r}")
     idx = lax.axis_index(mesh_axis)
-    parts = []
 
     def take(arr, sl):
         index = [slice(None)] * arr.ndim
         index[axis] = sl
         return arr[tuple(index)]
 
+    def pos_shape(w):
+        shape = [1] * x.ndim
+        shape[axis] = w
+        return shape
+
+    def edge_values():
+        # global first/second and last/second-to-last rows, on every shard
+        firsts = lax.all_gather(take(x, slice(0, 2)), mesh_axis, axis=0)
+        lasts = lax.all_gather(take(x, slice(-2, None)), mesh_axis, axis=0)
+        return firsts[0], lasts[-1]  # (2, ...) each along `axis`
+
+    need_edges = boundary in ("extend", "extrapolate")
+    if need_edges:
+        first2, last2 = edge_values()
+
+    def multi_hop(direction):
+        """Full blocks from `hops` neighbours in the given direction
+        (-1: from the left), concatenated in global order."""
+        w = lw if direction < 0 else rw
+        hops = -(-w // n_local)
+        perm = [
+            (i, (i - direction) % n) for i in range(n)
+        ]  # direction -1 -> data moves right
+        blocks = []
+        cur = x
+        for _ in range(hops):
+            cur = lax.ppermute(cur, mesh_axis, perm)
+            if direction < 0:
+                blocks.insert(0, cur)
+            else:
+                blocks.append(cur)
+        full = jnp.concatenate(blocks, axis=axis) if len(blocks) > 1 else blocks[0]
+        if direction < 0:
+            return take(full, slice(full.shape[axis] - w, None))
+        return take(full, slice(0, w))
+
+    parts = []
     if lw:
-        my_right_edge = take(x, slice(-lw, None))
-        # left halo <- left neighbour's right edge: shift data rightwards
-        from_left = lax.ppermute(
-            my_right_edge, mesh_axis, [(i, (i + 1) % n) for i in range(n)]
-        )
-        if boundary in ("periodic", None):
-            halo_l = from_left
-        elif boundary == "fill":
-            halo_l = jnp.where(idx == 0, jnp.full_like(from_left, fill_value), from_left)
-        elif boundary == "extend":
-            edge = take(x, slice(0, 1))
-            repeat = jnp.broadcast_to(edge, from_left.shape)
-            halo_l = jnp.where(idx == 0, repeat, from_left)
-        elif boundary == "extrapolate":
-            x0 = take(x, slice(0, 1))
-            x1 = take(x, slice(1, 2))
-            ks_shape = [1] * x.ndim
-            ks_shape[axis] = lw
-            ks = jnp.arange(lw, 0, -1, dtype=x.dtype).reshape(ks_shape)
-            extr = jnp.broadcast_to(x0, from_left.shape) - ks * (x1 - x0)
-            halo_l = jnp.where(idx == 0, extr, from_left)
-        else:
-            raise ValueError(f"unknown boundary {boundary!r}")
-        parts.append(halo_l)
+        halo = multi_hop(-1)
+        if boundary not in ("periodic", None):
+            # global positions of the halo elements: idx*n_local - lw + j
+            jpos = jnp.arange(lw).reshape(pos_shape(lw))
+            gpos = idx * n_local - lw + jpos
+            outside = gpos < 0
+            if boundary == "fill":
+                halo = jnp.where(outside, jnp.asarray(fill_value, x.dtype), halo)
+            elif boundary == "extend":
+                halo = jnp.where(outside, take(first2, slice(0, 1)), halo)
+            else:  # extrapolate: value at g<0 is x0 + g*(x1 - x0)
+                x0 = take(first2, slice(0, 1))
+                x1 = take(first2, slice(1, 2))
+                extr = x0 + gpos.astype(x.dtype) * (x1 - x0)
+                halo = jnp.where(outside, extr, halo)
+        parts.append(halo)
 
     parts.append(x)
 
     if rw:
-        my_left_edge = take(x, slice(0, rw))
-        from_right = lax.ppermute(
-            my_left_edge, mesh_axis, [(i, (i - 1) % n) for i in range(n)]
-        )
-        if boundary in ("periodic", None):
-            halo_r = from_right
-        elif boundary == "fill":
-            halo_r = jnp.where(
-                idx == n - 1, jnp.full_like(from_right, fill_value), from_right
-            )
-        elif boundary == "extend":
-            edge = take(x, slice(-1, None))
-            repeat = jnp.broadcast_to(edge, from_right.shape)
-            halo_r = jnp.where(idx == n - 1, repeat, from_right)
-        elif boundary == "extrapolate":
-            xn = take(x, slice(-1, None))
-            xm = take(x, slice(-2, -1))
-            ks_shape = [1] * x.ndim
-            ks_shape[axis] = rw
-            ks = jnp.arange(1, rw + 1, dtype=x.dtype).reshape(ks_shape)
-            extr = jnp.broadcast_to(xn, from_right.shape) + ks * (xn - xm)
-            halo_r = jnp.where(idx == n - 1, extr, from_right)
-        else:
-            raise ValueError(f"unknown boundary {boundary!r}")
-        parts.append(halo_r)
+        halo = multi_hop(+1)
+        if boundary not in ("periodic", None):
+            n_total = n * n_local
+            jpos = jnp.arange(rw).reshape(pos_shape(rw))
+            gpos = (idx + 1) * n_local + jpos
+            outside = gpos >= n_total
+            if boundary == "fill":
+                halo = jnp.where(outside, jnp.asarray(fill_value, x.dtype), halo)
+            elif boundary == "extend":
+                halo = jnp.where(outside, take(last2, slice(1, 2)), halo)
+            else:  # extrapolate: value at g>=N is xN + (g - (N-1))*(xN - xNm1)
+                xn = take(last2, slice(1, 2))
+                xm = take(last2, slice(0, 1))
+                ks = (gpos - (n_total - 1)).astype(x.dtype)
+                extr = xn + ks * (xn - xm)
+                halo = jnp.where(outside, extr, halo)
+        parts.append(halo)
 
     return jnp.concatenate(parts, axis=axis)
 
