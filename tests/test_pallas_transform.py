@@ -1,7 +1,9 @@
-"""Pallas linear-transform column kernel: interpreter-mode correctness
+"""Fused Pallas linear-transform kernel: interpreter-mode correctness
 (compiled-mode equivalence + throughput are checked on real TPU by
-bench.py).  The kernel must be np.interp-exact inside the knot range;
-edge clamps and NaN masking live in the jnp wrapper."""
+bench.py).  The fused kernel carries the FULL interp_1d_linear semantics
+— monotonicity flip, NaN handling, np.interp edge clamps, edge masking —
+so it is tested against both the jnp replica and the wrapper's generic
+XLA path."""
 
 import jax
 import jax.numpy as jnp
@@ -10,10 +12,11 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from xgcm_tpu.ops.pallas_transform import (
-    _membership_jnp,
-    interp_linear_columns,
-    interp_linear_columns_ad,
+    _fused_ref_jnp,
+    interp_linear_fused,
+    interp_linear_fused_ad,
 )
+from xgcm_tpu.ops.transform import interp_1d_linear
 
 
 def _columns(cols=64, n=50, seed=0):
@@ -23,59 +26,82 @@ def _columns(cols=64, n=50, seed=0):
     return th, ph
 
 
-class TestKernel:
-    def test_matches_np_interp_inside_range(self):
-        th, ph = _columns()
-        tt = np.linspace(1, 29, 36).astype(np.float32)
-        with pltpu.force_tpu_interpret_mode():
-            out = np.asarray(
-                interp_linear_columns(
-                    jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt),
-                    tile_cols=16,
-                )
-            )
-        for c in range(th.shape[0]):
-            exp = np.interp(tt, th[c], ph[c])
-            inside = (tt >= th[c, 0]) & (tt < th[c, -1])
-            np.testing.assert_allclose(
-                out[c][inside], exp[inside], rtol=1e-5, atol=1e-6
-            )
-
-    def test_matches_jnp_membership_reference(self):
-        th, ph = _columns(seed=5)
-        tt = np.linspace(-2, 33, 24).astype(np.float32)
-        with pltpu.force_tpu_interpret_mode():
-            out = interp_linear_columns(
+def _run(th, ph, tt, **kw):
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(
+            interp_linear_fused(
                 jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt),
-                tile_cols=16,
+                tile_cols=16, **kw
             )
-        ref = _membership_jnp(jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt))
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
         )
 
-    def test_nan_tail_sanitised_columns(self):
-        """+inf-sanitised NaN tails: targets beyond the last valid knot get
-        that knot's value (slope-0 trailing interval; the wrapper's edge
-        clamp yields the identical value)."""
-        th, ph = _columns(cols=16, n=10, seed=2)
-        th_s = th.copy()
-        th_s[:, 7:] = np.inf  # sanitised NaN region
-        tt = np.linspace(0, 40, 12).astype(np.float32)
-        with pltpu.force_tpu_interpret_mode():
-            out = np.asarray(
-                interp_linear_columns(
-                    jnp.asarray(th_s), jnp.asarray(ph), jnp.asarray(tt),
-                    tile_cols=8,
-                )
-            )
+
+class TestFusedKernel:
+    def test_matches_np_interp_with_clamps(self):
+        th, ph = _columns()
+        tt = np.linspace(-2, 33, 36).astype(np.float32)  # spans both edges
+        out = _run(th, ph, tt)
+        for c in range(th.shape[0]):
+            exp = np.interp(tt, th[c], ph[c])
+            np.testing.assert_allclose(out[c], exp, rtol=1e-5, atol=1e-6)
+
+    def test_mask_edges(self):
+        th, ph = _columns(cols=16)
+        tt = np.linspace(-2, 33, 24).astype(np.float32)
+        out = _run(th, ph, tt, mask_edges=True)
         for c in range(16):
-            exp = np.interp(tt, th[c, :7], ph[c, :7])
-            # below-range targets are the wrapper's edge-clamp job
-            sel = tt >= th[c, 0]
-            np.testing.assert_allclose(
-                out[c][sel], exp[sel], rtol=1e-5, atol=1e-6
+            inside = (tt >= th[c].min()) & (tt <= th[c].max())
+            exp = np.where(inside, np.interp(tt, th[c], ph[c]), np.nan)
+            np.testing.assert_allclose(out[c], exp, rtol=1e-5, atol=1e-6)
+
+    def test_descending_columns(self):
+        th, ph = _columns(cols=32, seed=7)
+        th[::2] = th[::2, ::-1]  # half the columns decreasing
+        tt = np.linspace(-1, 31, 20).astype(np.float32)
+        out = _run(th, ph, tt)
+        for c in range(32):
+            t_asc, p_asc = (
+                (th[c][::-1], ph[c][::-1]) if th[c][0] > th[c][-1]
+                else (th[c], ph[c])
             )
+            exp = np.interp(tt, t_asc, p_asc)
+            np.testing.assert_allclose(out[c], exp, rtol=1e-5, atol=1e-6)
+
+    def test_check_flip_false_skips_flip(self):
+        th, ph = _columns(cols=16, seed=3)
+        th_desc = th[:, ::-1].copy()
+        tt = np.linspace(1, 29, 12).astype(np.float32)
+        out = _run(th_desc, ph, tt, check_flip=False)
+        ref = np.asarray(
+            _fused_ref_jnp(
+                jnp.asarray(th_desc), jnp.asarray(ph), jnp.asarray(tt),
+                check_flip=False,
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("mask_edges", [False, True])
+    def test_nan_layouts_match_wrapper_xla_path(self, mask_edges):
+        """NaN tails/heads, all-NaN columns, mixed direction: the fused
+        kernel must agree with interp_1d_linear's generic XLA path (the
+        path every CPU test and the numpy oracle pin down)."""
+        th, ph = _columns(cols=48, n=20, seed=11)
+        th[0:8, 14:] = np.nan          # NaN tail
+        ph[0:8, 14:] = np.nan
+        th[8:16, :5] = np.nan          # NaN head
+        th[16:24, :] = np.nan          # all-NaN column
+        th[24:32] = th[24:32, ::-1]    # descending
+        th[32:40] = th[32:40, ::-1]    # descending with NaN tail (orig head)
+        th[32:40, :4] = np.nan
+        tt = np.linspace(-3, 34, 17).astype(np.float32)
+        out = _run(th, ph, tt, mask_edges=mask_edges)
+        exp = np.asarray(
+            interp_1d_linear(
+                jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt),
+                mask_edges=mask_edges,
+            )
+        )
+        np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-6)
 
     def test_grad_flows_through_custom_vjp(self):
         th, ph = _columns(cols=16, n=12, seed=3)
@@ -84,14 +110,14 @@ class TestKernel:
         def loss_pallas(p):
             with pltpu.force_tpu_interpret_mode():
                 return jnp.sum(
-                    interp_linear_columns_ad(
-                        jnp.asarray(th), p, jnp.asarray(tt)
+                    interp_linear_fused_ad(
+                        jnp.asarray(th), p, jnp.asarray(tt), False, True
                     )
                 )
 
         def loss_ref(p):
             return jnp.sum(
-                _membership_jnp(jnp.asarray(th), p, jnp.asarray(tt))
+                _fused_ref_jnp(jnp.asarray(th), p, jnp.asarray(tt))
             )
 
         g = jax.grad(loss_pallas)(jnp.asarray(ph))
@@ -108,5 +134,20 @@ class TestKernel:
         ph_j = jnp.asarray(ph, dtype=dtype)
         tt_j = jnp.asarray(tt, dtype=dtype)
         with pltpu.force_tpu_interpret_mode():
-            out = interp_linear_columns(th_j, ph_j, tt_j, tile_cols=8)
+            out = interp_linear_fused(th_j, ph_j, tt_j, tile_cols=8)
         assert str(out.dtype) == dtype
+
+    def test_ref_replica_matches_wrapper(self):
+        """_fused_ref_jnp (the VJP backward) is value-equivalent to the
+        wrapper's generic path on clean and NaN fixtures."""
+        th, ph = _columns(cols=24, n=15, seed=9)
+        th[:8] = th[:8, ::-1]
+        th[8:12, 11:] = np.nan
+        tt = np.linspace(-1, 31, 13).astype(np.float32)
+        ref = np.asarray(
+            _fused_ref_jnp(jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt))
+        )
+        exp = np.asarray(
+            interp_1d_linear(jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt))
+        )
+        np.testing.assert_allclose(ref, exp, rtol=1e-5, atol=1e-6)

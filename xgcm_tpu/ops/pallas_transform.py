@@ -1,23 +1,40 @@
-"""Pallas TPU kernel for the linear vertical transform.
+"""Fused Pallas TPU kernel for the linear vertical transform.
 
-The XLA path (:func:`xgcm_tpu.ops.transform.interp_1d_linear`) lowers the
-(cols, m, n) interval-membership reduction through a padded
-(cols, 40-sublane, 128-lane) intermediate — measured ~9.6 ms for the
-512^2 x 50 -> 36 benchmark column set (~1.4 Ggps), 30x off the HBM
-roofline (inputs + outputs total ~140 MB).  This kernel keeps everything
-in VMEM: each grid step loads a (C, n) tile of columns, builds the
-telescoped per-interval intercept/slope differences in-register, and
-accumulates the m target outputs with an unrolled loop of
-compare + FMA + masked lane-reductions.  HBM traffic is exactly
-theta + phi in, out out.
+One kernel computes the FULL ``interp_1d_linear`` semantics for
+(cols, n) columns onto a shared (m,) target vector: the per-column
+monotonicity flip (reference xgcm transform.py:27-31), NaN sanitisation,
+per-interval slopes, exact one-hot interval membership, the np.interp
+edge clamps, and optional edge masking — all in-VMEM.  HBM traffic is
+theta + phi in (one XLA transpose each), out out.
 
-Scope (checked by :func:`supports_pallas_transform`): TPU backend, 2D
-(cols, n) columns, shared 1D targets, f32/bf16.  Monotonicity flip, NaN
-sanitisation, and the np.interp edge clamps stay in the jnp wrapper
-(they are O(cols·n) elementwise, off the critical path).
+Why fused: the XLA prep it replaces was 2.6x the kernel cost at the
+512^2 x 50 benchmark shape — the one-hot column flip alone measured
+2.6 ms (TPU gathers via take_along_axis are milliseconds; argmax one-hot
+extraction takes several full passes over HBM), and the sanitise/slope/
+clamp epilogue another ~0.8 ms, vs ~1.4 ms for the membership loop
+itself.
+
+Descending columns are handled by NEGATION instead of index reversal:
+-theta of a descending column is ascending in the SAME index order, the
+lerp ``ph_lo + (t_eff - th_lo_eff) * s_eff`` is sign-invariant, and the
+membership rule in effective space ([th_k*d <= t*d < th_{k+1}*d))
+selects the identical interval as np.interp on the flipped array.  The
+only observable difference is the tie-break at interior DUPLICATE theta
+knots with differing phi (negation keeps original index order, flipping
+reverses it) — a measure-zero case the reference leaves to np.interp's
+own tie-break and no test pins down.
+
+Kernel layout (see also CLAUDE.md "Mosaic/Pallas restrictions"): columns
+ride the LANES ((n, C) blocks of the transposed inputs), targets ride
+the sublanes of the (m, C) accumulators, and the knot loop is sequential
+over n with NO lane reductions (a masked-lane-reduction variant measured
+10x slower).  Per-column scalar state (direction, first/last valid knot,
+range) is (1, C) rows, costing ~1/m of a main-loop step each.
 
 Semantics match the reference numba kernel's np.interp core
-(xgcm transform.py:15-41) exactly as specified by tests/test_transform*.
+(xgcm transform.py:15-41) as specified by tests/test_transform*; the
+pure-jnp replica :func:`_fused_ref_jnp` is both the interpret-mode test
+oracle and the custom-VJP backward.
 """
 
 from __future__ import annotations
@@ -29,11 +46,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["interp_linear_columns", "supports_pallas_transform"]
+__all__ = [
+    "interp_linear_fused",
+    "interp_linear_fused_ad",
+    "supports_fused_transform",
+]
 
 
-def supports_pallas_transform(phi, theta, target) -> bool:
-    """Kernel constraints: TPU, 2D column layout, shared 1D target."""
+def supports_fused_transform(phi, theta, target) -> bool:
+    """Kernel constraints: TPU backend, 2D (cols, n) columns with a shared
+    1D target, f32/bf16 data, n and m small enough to tile in VMEM."""
     if jax.default_backend() != "tpu":
         return False
     if phi.ndim != 2 or theta.ndim != 2 or target.ndim != 1:
@@ -41,6 +63,10 @@ def supports_pallas_transform(phi, theta, target) -> bool:
     if phi.shape != theta.shape:
         return False
     if phi.shape[-1] < 2 or phi.shape[-1] > 256 or target.shape[0] > 256:
+        return False
+    # Mosaic needs lane blocks of 128 (or one block spanning the array):
+    # odd column counts run single-tile, so cap the VMEM they may claim
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * phi.shape[-1] > 262144:
         return False
     if any(
         a.dtype not in (jnp.float32, jnp.bfloat16)
@@ -56,139 +82,242 @@ def _shifted(x, fill):
     return jnp.concatenate([x[..., 1:], pad], axis=-1)
 
 
-def _membership_jnp(theta_s, phi_s, target):
-    """Pure-jnp exact interval-membership interpolation — the
-    differentiable fallback used as the custom-VJP reference for the
-    kernel.  Each target matches exactly ONE interval
-    [theta_k, theta_{k+1}) with theta_{k+1} > t (duplicate knots match
-    only the last, +inf-sanitised NaN regions match the trailing
-    half-open interval whose slope resolves to 0), so the masked sums
-    below are exact single-term selections and the final lerp is
-    bit-for-bit np.interp arithmetic."""
-    dtype = jnp.promote_types(phi_s.dtype, jnp.float32)
-    th = theta_s.astype(dtype)
-    ph = phi_s.astype(dtype)
-    th_n = _shifted(th, jnp.inf)
-    ph_n = _shifted(ph, 0.0)
-    t_ = target.astype(dtype)[None, :, None]
-    m = (th[:, None, :] <= t_) & (th_n[:, None, :] > t_)
+def _fused_kernel(
+    th_ref, ph_ref, t_ref, out_ref, *, n, m, mask_edges, check_flip
+):
+    """One (n, C) tile of raw columns -> (m, C) finished output.
 
-    def sel(x):
-        return jnp.sum(jnp.where(m, x[:, None, :], 0.0), axis=-1)
-
-    th_lo, th_hi = sel(th), sel(th_n)
-    ph_lo, ph_hi = sel(ph), sel(ph_n)
-    dth = th_hi - th_lo
-    w = (target.astype(dtype)[None, :] - th_lo) / dth
-    w = jnp.where(jnp.isfinite(w), w, 0.0)
-    out = ph_lo + w * (ph_hi - ph_lo)
-    return out.astype(phi_s.dtype)
-
-
-def _kernel(th_ref, ph_ref, s_ref, t_ref, out_ref, *, n, m):
-    """One tile of columns, transposed layout: blocks th/ph/s are (n, C)
-    with columns in lanes and targets (m, 1) in sublanes; accumulators
-    live in (m, C) registers.  The knot loop is sequential-over-n with NO
-    lane reductions (a per-target masked-lane-reduction variant measured
-    10x slower — reductions dominate), one fresh step compare per knot
-    (the membership indicator [th_k <= t] & ![th_{k+1} <= t] reuses the
-    previous iteration's compare), and FMA accumulation of the exactly
-    selected (th_lo, ph_lo, slope).  Exactly one interval matches each
-    target, so the accumulators are exact single-term selections and the
-    final lerp is np.interp arithmetic."""
-    t = t_ref[:, 0:1]  # (m, 1)
+    All per-column scalar prep (first/last valid knot, direction, NaN
+    sanitisation, per-interval slopes) is VECTORISED over full (n, C)
+    tiles — a sequential row-at-a-time scan wastes 7/8 sublanes and
+    measured ~20% of the whole kernel.  Only the membership loop itself
+    is sequential over knots (its accumulators are (m, C))."""
+    f32 = jnp.float32
+    t = t_ref[:, 0:1].astype(f32)  # (m, 1) original targets
     C = th_ref.shape[1]
-    dtype = out_ref.dtype
-    th_lo = jnp.zeros((m, C), dtype)
-    ph_lo = jnp.zeros((m, C), dtype)
-    s_sel = jnp.zeros((m, C), dtype)
-    cs = th_ref[0:1, :] <= t  # (m, C) step for k = 0
-    for k in range(n - 1):
-        cs_next = th_ref[k + 1 : k + 2, :] <= t
-        c = (cs & ~cs_next).astype(dtype)
-        th_lo = th_lo + c * th_ref[k : k + 1, :]
-        ph_lo = ph_lo + c * ph_ref[k : k + 1, :]
-        s_sel = s_sel + c * s_ref[k : k + 1, :]
-        cs = cs_next
-    # trailing half-open interval [th_{n-1}, +inf): slope 0 (the np.interp
-    # edge clamp overwrites these targets anyway)
-    cl = cs.astype(dtype)
-    th_lo = th_lo + cl * th_ref[n - 1 : n, :]
-    ph_lo = ph_lo + cl * ph_ref[n - 1 : n, :]
-    out_ref[:, :] = ph_lo + (t - th_lo) * s_sel
+    inf = f32(jnp.inf)
+    # Finite NaN sentinel: the masked accumulations below multiply
+    # unselected rows by 0, and real-TPU IEEE gives 0*inf = NaN (interpret
+    # mode silently differs here) — 3e38 is beyond any physical coordinate,
+    # and intervals reaching it are forced to slope 0 exactly.
+    big = f32(3.0e38)
 
+    th_t = th_ref[:, :].astype(f32)  # (n, C)
+    ph_raw = ph_ref[:, :].astype(f32)
+    th_nan = jnp.isnan(th_t)
+    valid = ~th_nan
+    ph_t = jnp.where(jnp.isnan(ph_raw), 0.0, ph_raw)  # sanitised phi
 
-@functools.partial(jax.jit, static_argnames=("tile_cols",))
-def interp_linear_columns(
-    theta_s: jax.Array,
-    phi_s: jax.Array,
-    target: jax.Array,
-    tile_cols: int = 512,
-) -> jax.Array:
-    """Raw telescoped interpolation sum for (cols, n) columns onto (m,)
-    shared targets; inputs must already be sanitised (NaN theta -> +inf,
-    NaN phi -> 0) and monotonicity-flipped.  Returns (cols, m) BEFORE the
-    np.interp edge clamps (the jnp wrapper applies those).
-    """
-    cols, n = theta_s.shape
-    (m,) = target.shape
-    dtype = jnp.promote_types(phi_s.dtype, jnp.float32)
-    th = theta_s.astype(dtype)
-    ph = phi_s.astype(dtype)
-    # per-interval slopes (exact per-interval constants selected one-hot;
-    # invalid intervals — equal knots, +inf-sanitised NaN regions — get 0)
-    dth = th[:, 1:] - th[:, :-1]
-    ok = jnp.isfinite(dth) & (dth > 0)
-    slope = jnp.where(
-        ok, (ph[:, 1:] - ph[:, :-1]) / jnp.where(ok, dth, 1.0), 0.0
+    # ---- vectorised first/last-valid extraction + range + any-valid ----
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, C), 0)
+    fidx = jnp.min(jnp.where(valid, iota, n), axis=0, keepdims=True)
+    lidx = jnp.max(jnp.where(valid, iota, -1), axis=0, keepdims=True)
+    eq_f = iota == fidx
+    eq_l = iota == lidx
+
+    def _pick(eq, x):
+        return jnp.sum(jnp.where(eq, x, 0.0), axis=0, keepdims=True)
+
+    first_th = _pick(eq_f, jnp.where(valid, th_t, 0.0))
+    first_ph = _pick(eq_f, ph_t)
+    last_th = _pick(eq_l, jnp.where(valid, th_t, 0.0))
+    last_ph = _pick(eq_l, ph_t)
+    th_min = jnp.min(jnp.where(valid, th_t, inf), axis=0, keepdims=True)
+    th_max = jnp.max(jnp.where(valid, th_t, -inf), axis=0, keepdims=True)
+    seen = fidx < n  # (1, C)
+
+    if check_flip:
+        desc = last_th < first_th
+        dsign = jnp.where(desc, f32(-1.0), f32(1.0))
+    else:
+        desc = jnp.zeros((1, C), jnp.bool_)
+        dsign = jnp.ones((1, C), f32)
+
+    # ---- vectorised effective knots + per-interval slopes ----
+    th_e_full = jnp.where(th_nan, big, th_t * dsign)  # (n, C)
+    dth = th_e_full[1:, :] - th_e_full[:-1, :]
+    ok = (dth > 0) & (th_e_full[1:, :] < big)
+    s_full = jnp.where(
+        ok, (ph_t[1:, :] - ph_t[:-1, :]) / jnp.where(ok, dth, 1.0), 0.0
     )
-    s_full = jnp.concatenate([slope, jnp.zeros_like(slope[:, :1])], 1)
 
-    # transposed layout (n, cols): columns ride the lanes; XLA fuses these
-    # transposes into the elementwise prep above
-    thT, phT, sT = th.T, ph.T, s_full.T
+    # ---- main membership loop in effective (direction-normalised) space.
+    # Exactly one interval [th_e_k, th_e_{k+1}) with th_e_{k+1} > t matches
+    # each in-range target (duplicate knots match only the last; NaN knots
+    # sanitise to `big` so trailing intervals have slope 0 and the edge
+    # clamps below overwrite them), so the accumulators are exact
+    # single-term selections and the final lerp is np.interp arithmetic.
+    t_eff = t * dsign  # (m, C)
 
-    C = tile_cols
-    while cols % C:
+    th_e = th_e_full[0:1, :]
+    cs = th_e <= t_eff  # (m, C)
+    th_lo = jnp.zeros((m, C), f32)
+    ph_lo = jnp.zeros((m, C), f32)
+    s_sel = jnp.zeros((m, C), f32)
+    for k in range(n - 1):
+        th_e_n = th_e_full[k + 1 : k + 2, :]
+        cs_n = th_e_n <= t_eff
+        # cs > cs_n == cs & ~cs_n for bools, in one VPU op
+        c = (cs > cs_n).astype(f32)
+        th_lo = th_lo + c * th_e
+        ph_lo = ph_lo + c * ph_t[k : k + 1, :]
+        s_sel = s_sel + c * s_full[k : k + 1, :]
+        cs = cs_n
+        th_e = th_e_n
+    # trailing half-open interval [th_e_{n-1}, +inf): slope 0
+    cl = cs.astype(f32)
+    th_lo = th_lo + cl * th_e
+    ph_lo = ph_lo + cl * ph_t[n - 1 : n, :]
+    out = ph_lo + (t_eff - th_lo) * s_sel
+
+    # ---- np.interp edge clamps + NaN masking (original-space) ----
+    lo_ph = jnp.where(desc, last_ph, first_ph)  # value at the min-theta end
+    hi_ph = jnp.where(desc, first_ph, last_ph)
+    out = jnp.where(t < th_min, lo_ph, out)
+    out = jnp.where(t >= th_max, hi_ph, out)
+    out = jnp.where(seen, out, f32(jnp.nan))
+    if mask_edges:
+        out = jnp.where((t < th_min) | (t > th_max), f32(jnp.nan), out)
+    out_ref[:, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mask_edges", "check_flip", "tile_cols")
+)
+def interp_linear_fused(
+    theta: jax.Array,
+    phi: jax.Array,
+    target: jax.Array,
+    mask_edges: bool = False,
+    check_flip: bool = True,
+    tile_cols: int = 128,
+) -> jax.Array:
+    """np.interp of (cols, n) RAW columns (NaNs allowed, either direction)
+    onto (m,) shared targets, returning the finished (cols, m) result —
+    edge clamps and NaN masking included (the full semantics of
+    :func:`xgcm_tpu.ops.transform.interp_1d_linear`).
+
+    ``check_flip=False`` mirrors ``bypass_checks=True`` (assume ascending).
+    """
+    cols, n = theta.shape
+    (m,) = target.shape
+    thT = theta.T  # raw transposes: the only XLA work on the hot path
+    phT = phi.T
+    # lane blocks must be multiples of 128, or a single block spanning the
+    # whole array (Mosaic block-shape rule)
+    C = max(tile_cols, 128)
+    while cols % C and C > 128:
         C //= 2
+    if cols % C:
+        C = cols
     grid = cols // C
-    t_col = jnp.broadcast_to(target.astype(dtype).reshape(m, 1), (m, 8))
+    t_col = jnp.broadcast_to(
+        target.astype(jnp.float32).reshape(m, 1), (m, 8)
+    )
 
     tile = lambda i: (0, i)  # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_kernel, n=n, m=m),
+        functools.partial(
+            _fused_kernel, n=n, m=m,
+            mask_edges=mask_edges, check_flip=check_flip,
+        ),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, C), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, cols), dtype),
-    )(thT, phT, sT, t_col)
-    return out.T.astype(phi_s.dtype)
+        out_shape=jax.ShapeDtypeStruct((m, cols), phi.dtype),
+    )(thT, phT, t_col)
+    return out.T
 
 
-@jax.custom_vjp
-def interp_linear_columns_ad(theta_s, phi_s, target):
-    """Differentiable front for the kernel: forward runs Pallas, backward
-    differentiates the identical jnp formulation (pallas_call has no
-    autodiff rule; transform gradients are rare enough that the recompute
-    cost is irrelevant)."""
-    return interp_linear_columns(theta_s, phi_s, target)
+def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
+    """Differentiable pure-jnp replica of the fused kernel (negation
+    formulation) — the custom-VJP backward and the interpret-mode test
+    oracle.  Operates on raw (cols, n) columns like the kernel."""
+    f32 = jnp.promote_types(phi.dtype, jnp.float32)
+    th = theta.astype(f32)
+    ph = jnp.nan_to_num(phi.astype(f32))
+    t = target.astype(f32)[None, :]  # (1, m)
+    n = th.shape[-1]
+    valid = ~jnp.isnan(th)
+    iota = jnp.arange(n)
+    first_idx = jnp.argmax(valid, axis=-1)
+    last_idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
+    th0 = jnp.nan_to_num(th)
+
+    def _at(x, idx):
+        return jnp.sum(
+            jnp.where(iota == idx[..., None], x, 0.0), -1, keepdims=True
+        )
+
+    first_th, first_ph = _at(th0, first_idx), _at(ph, first_idx)
+    last_th, last_ph = _at(th0, last_idx), _at(ph, last_idx)
+    if check_flip:
+        desc = last_th < first_th
+        dsign = jnp.where(desc, -1.0, 1.0)
+    else:
+        desc = jnp.zeros_like(first_th, dtype=bool)
+        dsign = jnp.ones_like(first_th)
+    th_e = jnp.where(valid, th * dsign, jnp.inf)
+    t_eff = t * dsign  # (cols, m)
+    th_e_n = _shifted(th_e, jnp.inf)
+    ph_n = _shifted(ph, 0.0)
+    dth = th_e_n - th_e
+    ok = (dth > 0) & (dth < jnp.inf)
+    slope = jnp.where(ok, (ph_n - ph) / jnp.where(ok, dth, 1.0), 0.0)
+    memb = (th_e[..., None, :] <= t_eff[..., :, None]) & ~(
+        th_e_n[..., None, :] <= t_eff[..., :, None]
+    )
+
+    def sel(x):
+        return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
+
+    out = sel(ph) + (t_eff - sel(th_e)) * sel(slope)
+    th_min = jnp.min(jnp.where(valid, th, jnp.inf), -1, keepdims=True)
+    th_max = jnp.max(jnp.where(valid, th, -jnp.inf), -1, keepdims=True)
+    lo_ph = jnp.where(desc, last_ph, first_ph)
+    hi_ph = jnp.where(desc, first_ph, last_ph)
+    out = jnp.where(t < th_min, lo_ph, out)
+    out = jnp.where(t >= th_max, hi_ph, out)
+    out = jnp.where(jnp.any(valid, -1, keepdims=True), out, jnp.nan)
+    if mask_edges:
+        out = jnp.where((t < th_min) | (t > th_max), jnp.nan, out)
+    return out.astype(phi.dtype)
 
 
-def _ilc_fwd(theta_s, phi_s, target):
-    return interp_linear_columns(theta_s, phi_s, target), (
-        theta_s, phi_s, target,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def interp_linear_fused_ad(theta, phi, target, mask_edges, check_flip):
+    """Differentiable front for the fused kernel: forward runs Pallas,
+    backward differentiates the identical jnp formulation (pallas_call has
+    no autodiff rule; transform gradients are rare enough that the
+    recompute cost is irrelevant)."""
+    return interp_linear_fused(
+        theta, phi, target, mask_edges=mask_edges, check_flip=check_flip
     )
 
 
-def _ilc_bwd(res, g):
-    theta_s, phi_s, target = res
-    _, vjp = jax.vjp(_membership_jnp, theta_s, phi_s, target)
+def _ilf_fwd(theta, phi, target, mask_edges, check_flip):
+    return (
+        interp_linear_fused(
+            theta, phi, target, mask_edges=mask_edges, check_flip=check_flip
+        ),
+        (theta, phi, target),
+    )
+
+
+def _ilf_bwd(mask_edges, check_flip, res, g):
+    theta, phi, target = res
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    _, vjp = jax.vjp(
+        lambda th, ph, tt: _fused_ref_jnp(
+            th, ph, tt, mask_edges=mask_edges, check_flip=check_flip
+        ),
+        theta, phi, target,
+    )
     return vjp(g)
 
 
-interp_linear_columns_ad.defvjp(_ilc_fwd, _ilc_bwd)
+interp_linear_fused_ad.defvjp(_ilf_fwd, _ilf_bwd)

@@ -88,6 +88,37 @@ def interp_1d_linear(
         theta = jnp.log(theta)
         target = jnp.log(target)
 
+    # Fully fused TPU path: raw NaN-carrying columns go straight into one
+    # Pallas kernel that does the monotonicity flip (by negation), NaN
+    # sanitisation, membership selection, and the np.interp edge clamps
+    # in-VMEM (ops/pallas_transform.interp_linear_fused).  The XLA prep it
+    # replaces (one-hot column flip + sanitise + clamps) measured 2.6x the
+    # kernel cost at the benchmark shape.
+    from .pallas_transform import (
+        interp_linear_fused_ad,
+        supports_fused_transform,
+    )
+
+    fused_lead = jnp.broadcast_shapes(
+        phi.shape[:-1], theta.shape[:-1], target.shape[:-1]
+    )
+    # target must carry no real lead dims (shared targets) and must not add
+    # broadcast dims beyond phi/theta's, so the output shape contract of the
+    # generic path below is preserved exactly
+    if all(s == 1 for s in target.shape[:-1]) and fused_lead == (
+        jnp.broadcast_shapes(phi.shape[:-1], theta.shape[:-1])
+    ):
+        n_f = phi.shape[-1]
+        m_f = target.shape[-1]
+        ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
+        th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
+        tgt1f = target.reshape(-1)
+        if supports_fused_transform(ph2f, th2f, tgt1f):
+            out = interp_linear_fused_ad(
+                th2f, ph2f, tgt1f, mask_edges, not bypass_checks
+            )
+            return out.reshape(fused_lead + (m_f,))
+
     if not bypass_checks:
         phi, theta = _column_flip(phi, theta)
 
@@ -109,47 +140,28 @@ def interp_1d_linear(
     # transform.py:35-41).  The selected (th_lo, th_hi, ph_lo, ph_hi) are
     # single-term one-hot sums — exact — and the final lerp is np.interp
     # arithmetic (gathers and vmapped jnp.interp lower poorly on TPU; the
-    # compare/one-hot form is the TPU-native equivalent).  On TPU the whole
-    # selection runs in a VMEM-resident Pallas kernel (pallas_transform);
-    # XLA lowers the same reduction through a padded HBM intermediate.
+    # compare/one-hot form is the TPU-native equivalent).  This is the
+    # generic XLA path (per-column targets, x64, CPU); the shared-target
+    # TPU case returned above through the fused Pallas kernel.
     t = target_b  # (..., m)
     theta_s = jnp.where(jnp.isnan(theta_b), jnp.inf, theta_b)  # (..., n)
     phi_sane0 = jnp.nan_to_num(phi_b)
 
-    from .pallas_transform import (
-        interp_linear_columns_ad,
-        supports_pallas_transform,
-    )
+    from .pallas_transform import _shifted
 
-    # a target is "shared" when it carries no real lead dims (the Grid
-    # wrapper reshapes a 1D target to (1, ..., 1, m))
-    target_is_shared = all(s == 1 for s in target.shape[:-1])
-    th2 = theta_s.reshape(-1, n)
-    ph2 = phi_sane0.reshape(-1, n)
-    tgt1d = target.reshape(-1)  # `target` is already log-transformed
-    if target_is_shared and supports_pallas_transform(ph2, th2, tgt1d):
-        # hot path: VMEM-resident Pallas column kernel (XLA lowers this
-        # reduction through a padded (cols, 40, 128) HBM intermediate,
-        # measured ~30x off roofline)
-        out = interp_linear_columns_ad(th2, ph2, tgt1d).reshape(
-            lead_shape + (m,)
-        )
-    else:
-        from .pallas_transform import _shifted
+    th_next = _shifted(theta_s, jnp.inf)
+    ph_next = _shifted(phi_sane0, 0.0)
+    t_ = t[..., :, None]  # (..., m, 1)
+    memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
 
-        th_next = _shifted(theta_s, jnp.inf)
-        ph_next = _shifted(phi_sane0, 0.0)
-        t_ = t[..., :, None]  # (..., m, 1)
-        memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
+    def _sel(x):
+        return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
 
-        def _sel(x):
-            return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
-
-        th_lo, th_hi = _sel(theta_s), _sel(th_next)
-        ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
-        w = (t - th_lo) / (th_hi - th_lo)
-        w = jnp.where(jnp.isfinite(w), w, 0.0)
-        out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
+    th_lo, th_hi = _sel(theta_s), _sel(th_next)
+    ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
+    w = (t - th_lo) / (th_hi - th_lo)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
     # np.interp edge clamping: below the first valid knot -> its value,
     # at/above the last valid knot -> its value.  Valid-edge values are
     # extracted with O(n) one-hot sums (cheap; no (m, n) blowup), which also
