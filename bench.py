@@ -114,7 +114,28 @@ def main():
         return (time.perf_counter() - t0) / K
 
     jnp.asarray(0.0).block_until_ready()
-    _log("device claim acquired; compiling chained Grid-API vorticity")
+
+    # --- measured streaming roofline: y = x + 1 chained = one read + one
+    # write per iteration, the best HBM rate any op here can sustain under
+    # this harness (assumed nominal bandwidths overstate what's reachable:
+    # this probe measured ~286 GB/s on the v5e-1 tunnel vs the chip's
+    # ~819 GB/s spec) ---
+    @jax.jit
+    def _stream(x):
+        def body(_, a):
+            return a + jnp.float32(1.0)
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
+
+    _log("compiling streaming-bandwidth roofline probe")
+    try:
+        t_stream = time_chained(_stream, u)
+        hbm_gbps = 2 * ny * nx * 4 / t_stream / 1e9
+        _log(f"measured streaming bandwidth: {hbm_gbps:.0f} GB/s")
+    except Exception as e:
+        _log(f"stream probe failed: {e}")
+        hbm_gbps = None
+
+    _log("compiling chained Grid-API vorticity")
     t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy)
     _log(f"api path: {t_api*1e3:.3f} ms/iter")
 
@@ -368,8 +389,10 @@ def main():
 
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; fraction of
-    # the ~500 GB/s marginal bandwidth measured on this chip (CLAUDE.md)
-    HBM_GBPS = 500.0
+    # the streaming bandwidth MEASURED by the probe above under the same
+    # chained-loop harness (falls back to the chip's ~500 GB/s nominal
+    # marginal rate if the probe failed)
+    HBM_GBPS = hbm_gbps or 500.0
     N = ny * nx
 
     def _bw(bytes_moved, gps_value, points):
@@ -421,6 +444,7 @@ def main():
                 round(cs_gps / 1e9, 3) if cs_gps else None
             ),
             "effective_bandwidth": bandwidth,
+            "measured_stream_GBps": round(hbm_gbps, 1) if hbm_gbps else None,
             "backend": backend,
         },
     }

@@ -13,10 +13,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xgcm_tpu.ops.pallas_transform import (
     _fused_ref_jnp,
+    conservative_fused,
     interp_linear_fused,
     interp_linear_fused_ad,
 )
-from xgcm_tpu.ops.transform import interp_1d_linear
+from xgcm_tpu.ops.transform import _conservative_rebin, interp_1d_linear
 
 
 def _columns(cols=64, n=50, seed=0):
@@ -136,6 +137,52 @@ class TestFusedKernel:
         with pltpu.force_tpu_interpret_mode():
             out = interp_linear_fused(th_j, ph_j, tt_j, tile_cols=8)
         assert str(out.dtype) == dtype
+
+    def test_conservative_matches_rebin(self):
+        """Fused conservative kernel == the XLA cumulative-mass rebin,
+        including NaN cells (single-NaN homogeneous rule), NaN data,
+        degenerate cells on edges, and the untouched-bin -> NaN rule."""
+        rng = np.random.RandomState(13)
+        cols, n = 48, 12
+        th = np.sort(rng.rand(cols, n + 1).astype(np.float32), -1) * 20
+        ph = rng.rand(cols, n).astype(np.float32)
+        th[0:8, 9:] = np.nan        # NaN bound tail
+        ph[8:16, 3] = np.nan        # NaN data cell
+        th[16:24, 5] = th[16:24, 4]  # degenerate cell
+        th[24:32, :] = np.nan       # all-NaN column
+        edges = np.linspace(-2, 23, 17).astype(np.float32)
+        # put one edge exactly on a degenerate cell bound
+        edges[7] = th[16, 4]
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(
+                conservative_fused(
+                    jnp.asarray(th), jnp.asarray(ph), jnp.asarray(edges),
+                    tile_cols=16,
+                )
+            )
+        ref, cnt = _conservative_rebin(
+            jnp.asarray(ph), jnp.asarray(th[:, :-1]), jnp.asarray(th[:, 1:]),
+            jnp.asarray(edges),
+        )
+        ref = np.asarray(jnp.where(cnt > 0, ref, jnp.nan))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_conservative_conserves(self):
+        rng = np.random.RandomState(3)
+        cols, n = 32, 10
+        th = np.sort(rng.rand(cols, n + 1).astype(np.float32), -1) * 20
+        ph = rng.rand(cols, n).astype(np.float32)
+        edges = np.linspace(-1, 21, 9).astype(np.float32)  # covers all
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(
+                conservative_fused(
+                    jnp.asarray(th), jnp.asarray(ph), jnp.asarray(edges),
+                    tile_cols=16,
+                )
+            )
+        np.testing.assert_allclose(
+            np.nansum(out, -1), ph.sum(-1), rtol=1e-5
+        )
 
     def test_ref_replica_matches_wrapper(self):
         """_fused_ref_jnp (the VJP backward) is value-equivalent to the

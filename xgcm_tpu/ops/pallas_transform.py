@@ -50,6 +50,9 @@ __all__ = [
     "interp_linear_fused",
     "interp_linear_fused_ad",
     "supports_fused_transform",
+    "conservative_fused",
+    "conservative_fused_ad",
+    "supports_fused_conservative",
 ]
 
 
@@ -286,6 +289,175 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
     if mask_edges:
         out = jnp.where((t < th_min) | (t > th_max), jnp.nan, out)
     return out.astype(phi.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused conservative rebin kernel.  Same layout and fusion strategy as the
+# linear kernel; evaluates the cumulative-mass formulation of
+# ops.transform._conservative_rebin (out[j] = F_up(edge_{j+1}) -
+# F_lo(edge_j), F(x) = sum_k phi_k * clip((x - tmin_k)/thick_k, 0, 1),
+# degenerate cells as step functions inclusive on BOTH edges) entirely
+# in-VMEM, including the NaN-cell rules and the untouched-bin -> NaN mask.
+# ---------------------------------------------------------------------------
+
+
+def supports_fused_conservative(phi, theta, edges) -> bool:
+    """Kernel constraints: TPU, 2D (cols, n) cells with (cols, n+1) bounds,
+    shared increasing 1D bin edges, f32/bf16."""
+    if jax.default_backend() != "tpu":
+        return False
+    if phi.ndim != 2 or theta.ndim != 2 or edges.ndim != 1:
+        return False
+    if theta.shape != (phi.shape[0], phi.shape[1] + 1):
+        return False
+    if phi.shape[-1] < 1 or phi.shape[-1] > 255 or edges.shape[0] > 256:
+        return False
+    if edges.shape[0] < 2:
+        return False
+    if any(
+        a.dtype not in (jnp.float32, jnp.bfloat16)
+        for a in (phi, theta, edges)
+    ):
+        return False
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * phi.shape[-1] > 262144:
+        return False
+    return True
+
+
+def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
+    """One (n+1, C) bounds + (n, C) cells tile -> (m-1, C) rebinned output.
+
+    Per-cell scalar state (bounds, thickness, degeneracy, weight) is
+    vectorised over (n, C) tiles; the accumulation loop is sequential over
+    cells with (m, C) work per cell, mirroring the linear kernel."""
+    f32 = jnp.float32
+    C = th_ref.shape[1]
+    e = e_ref[:, 0:1].astype(f32)  # (m, 1) bin edges, increasing
+
+    th = th_ref[:, :].astype(f32)  # (n+1, C)
+    ph_raw = ph_ref[:, :].astype(f32)  # (n, C)
+    t1 = th[:-1, :]
+    t2 = th[1:, :]
+    t1n = jnp.isnan(t1)
+    t2n = jnp.isnan(t2)
+    cell_empty = t1n & t2n
+    tmin = jnp.where(t1n, t2, jnp.where(t2n, t1, jnp.minimum(t1, t2)))
+    tmax = jnp.where(t1n, t2, jnp.where(t2n, t1, jnp.maximum(t1, t2)))
+    valid = ~jnp.isnan(ph_raw) & ~cell_empty
+    w_full = jnp.where(valid, jnp.where(jnp.isnan(ph_raw), 0.0, ph_raw), 0.0)
+    tmin = jnp.where(valid, tmin, 0.0)
+    tmax = jnp.where(valid, tmax, 0.0)
+    thick = tmax - tmin
+    deg_full = thick == 0.0
+    inv_full = jnp.where(
+        deg_full, 0.0, 1.0 / jnp.where(deg_full, 1.0, thick)
+    )
+    vf_full = valid.astype(f32)
+    # degenerate-cell weights, pre-masked: the loop body applies the step
+    # correction arithmetically (wdeg * (g_up - g_lo)) instead of blending
+    # with where(deg, ...) — a bool-row-broadcast select inside the loop
+    # measured 5x the cost of the whole mass term
+    wdeg_full = w_full * deg_full.astype(f32)
+
+    # pre-shifted edge vectors: e_up[j] = edge_{j+1}, e_lo[j] = edge_j —
+    # sliced ONCE here so the per-cell loop has no sublane-shifted slices
+    # (a shifted (m, C) slice costs a full-tensor rotate per use), and
+    # pre-BROADCAST to (m-1, C) so the loop body never re-materialises the
+    # lane broadcast (the analog of the linear kernel's hoisted t_eff)
+    e_up = jnp.broadcast_to(e[1:, :], (m - 1, C))
+    e_lo = jnp.broadcast_to(e[: m - 1, :], (m - 1, C))
+
+    out = jnp.zeros((m - 1, C), f32)
+    count = jnp.zeros((m - 1, C), f32)
+    for k in range(n):
+        tmin_k = tmin[k : k + 1, :]
+        tmax_k = tmax[k : k + 1, :]
+        inv_k = inv_full[k : k + 1, :]
+        w_k = w_full[k : k + 1, :]
+        wdeg_k = wdeg_full[k : k + 1, :]
+        vf_k = vf_full[k : k + 1, :]
+        # cumulative-mass function of cell k at the upper/lower bin edges;
+        # degenerate cells have inv == 0 so their mass term is exactly 0
+        # and the step correction below carries their whole deposit
+        frac_up = jnp.clip((e_up - tmin_k) * inv_k, 0.0, 1.0)
+        frac_lo = jnp.clip((e_lo - tmin_k) * inv_k, 0.0, 1.0)
+        out = out + w_k * (frac_up - frac_lo)
+        g_up = (e_up >= tmin_k).astype(f32)  # degenerate step, inclusive
+        g_lo = (e_lo > tmin_k).astype(f32)  # degenerate step, exclusive
+        out = out + wdeg_k * (g_up - g_lo)
+        # a cell overlaps bin j iff tmin <= edge_{j+1} and not tmax < edge_j
+        # (touching counts): reuse g_up for the first test
+        h = (e_lo <= tmax_k).astype(f32)
+        count = count + vf_k * (g_up * h)
+    out = jnp.where(count > 0, out, f32(jnp.nan))
+    out_ref[:, :] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_cols",))
+def conservative_fused(
+    theta: jax.Array,
+    phi: jax.Array,
+    edges: jax.Array,
+    tile_cols: int = 128,
+) -> jax.Array:
+    """Conservative rebin of (cols, n) cells with (cols, n+1) RAW bounds
+    (NaNs allowed) into (m-1,) shared increasing bins, returning the
+    finished (cols, m-1) result with untouched bins NaN — the full
+    semantics of :func:`xgcm_tpu.ops.transform.interp_1d_conservative`
+    for increasing targets (decreasing targets flip outside)."""
+    cols, n = phi.shape
+    (m,) = edges.shape
+    thT = theta.T
+    phT = phi.T
+    C = max(tile_cols, 128)
+    while cols % C and C > 128:
+        C //= 2
+    if cols % C:
+        C = cols
+    grid = cols // C
+    e_col = jnp.broadcast_to(edges.astype(jnp.float32).reshape(m, 1), (m, 8))
+
+    tile = lambda i: (0, i)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_conservative_kernel, n=n, m=m),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m - 1, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m - 1, cols), phi.dtype),
+    )(thT, phT, e_col)
+    return out.T
+
+
+@jax.custom_vjp
+def conservative_fused_ad(theta, phi, edges):
+    """Differentiable front for the fused conservative kernel (backward
+    differentiates the jnp formulation in ops.transform)."""
+    return conservative_fused(theta, phi, edges)
+
+
+def _cf_fwd(theta, phi, edges):
+    return conservative_fused(theta, phi, edges), (theta, phi, edges)
+
+
+def _cf_bwd(res, g):
+    theta, phi, edges = res
+    from .transform import _conservative_rebin
+
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+
+    def ref(th, ph, ed):
+        out, cnt = _conservative_rebin(ph, th[..., :-1], th[..., 1:], ed)
+        return jnp.where(cnt > 0, out, jnp.nan)
+
+    _, vjp = jax.vjp(ref, theta, phi, edges)
+    return vjp(g)
+
+
+conservative_fused_ad.defvjp(_cf_fwd, _cf_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

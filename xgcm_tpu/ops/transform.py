@@ -314,8 +314,25 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     theta_2 = theta[..., 1:]
     edges = jnp.asarray(target)
 
-    out, count = _conservative_rebin(phi, theta_1, theta_2, edges)
-    out = jnp.where(count > 0, out, jnp.nan)
+    # Fully fused TPU path: raw NaN-carrying cells go straight into one
+    # Pallas kernel evaluating the cumulative-mass rebin in-VMEM
+    # (ops/pallas_transform.conservative_fused)
+    from .pallas_transform import (
+        conservative_fused_ad,
+        supports_fused_conservative,
+    )
+
+    n = phi.shape[-1]
+    lead = jnp.broadcast_shapes(phi.shape[:-1], theta.shape[:-1])
+    ph2 = jnp.broadcast_to(phi, lead + (n,)).reshape(-1, n)
+    th2 = jnp.broadcast_to(theta, lead + (n + 1,)).reshape(-1, n + 1)
+    if supports_fused_conservative(ph2, th2, edges):
+        out = conservative_fused_ad(th2, ph2, edges).reshape(
+            lead + (edges.shape[0] - 1,)
+        )
+    else:
+        out, count = _conservative_rebin(phi, theta_1, theta_2, edges)
+        out = jnp.where(count > 0, out, jnp.nan)
 
     if flip_switch:
         out = out[..., ::-1]
