@@ -265,6 +265,63 @@ def main():
             return jnp.nansum(out)
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
+    # real-hardware correctness gate for the fused transform kernels:
+    # compiled-mode (not interpret-mode) semantics on a NaN/descending
+    # fixture must match the generic XLA formulation bit-for-bit — the CPU
+    # test suite cannot catch Mosaic-only divergences (e.g. 0*inf)
+    transform_kernels_exact = None
+    try:
+        from xgcm_tpu.ops.pallas_transform import (
+            _fused_ref_jnp,
+            conservative_fused,
+            interp_linear_fused,
+            supports_fused_transform,
+        )
+        from xgcm_tpu.ops.transform import _conservative_rebin
+
+        thc = np.sort(rng.rand(1024, 20).astype(np.float32), -1) * 30
+        phc = rng.rand(1024, 20).astype(np.float32)
+        thc[0:128, 14:] = np.nan
+        thc[128:256, :5] = np.nan
+        thc[256:384, :] = np.nan
+        thc[384:512] = thc[384:512, ::-1]
+        ttc = jnp.asarray(np.linspace(-3, 34, 17).astype(np.float32))
+        if supports_fused_transform(
+            jnp.asarray(phc), jnp.asarray(thc), ttc
+        ):
+            lin = interp_linear_fused(
+                jnp.asarray(thc), jnp.asarray(phc), ttc, mask_edges=True
+            )
+            lin_ref = _fused_ref_jnp(
+                jnp.asarray(thc), jnp.asarray(phc), ttc, mask_edges=True
+            )
+            thb2 = np.sort(rng.rand(1024, 13).astype(np.float32), -1) * 20
+            phb2 = rng.rand(1024, 12).astype(np.float32)
+            thb2[0:128, 9:] = np.nan
+            thb2[128:256, 5] = thb2[128:256, 4]
+            ed2 = jnp.asarray(np.linspace(-2, 23, 17).astype(np.float32))
+            cons = conservative_fused(
+                jnp.asarray(thb2), jnp.asarray(phb2), ed2
+            )
+            cref, ccnt = _conservative_rebin(
+                jnp.asarray(phb2), jnp.asarray(thb2[:, :-1]),
+                jnp.asarray(thb2[:, 1:]), ed2,
+            )
+            cref = jnp.where(ccnt > 0, cref, jnp.nan)
+
+            def _same(a, b):
+                a, b = np.asarray(a), np.asarray(b)
+                return bool(
+                    np.array_equal(np.nan_to_num(a, nan=-7.25),
+                                   np.nan_to_num(b, nan=-7.25))
+                )
+
+            transform_kernels_exact = _same(lin, lin_ref) and _same(cons, cref)
+            _log(f"fused transform kernels == XLA bit-exact: "
+                 f"{transform_kernels_exact}")
+    except Exception as e:
+        _log(f"transform kernel exactness check failed: {e}")
+
     _log("compiling chained transform (public grid.transform API)")
     try:
         float(tr_chained(phi, theta, targets))
@@ -436,6 +493,7 @@ def main():
             ),
             "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3) if gps_bf16 else None,
             "bf16_pallas_bitexact_vs_xla": bf16_pallas_exact,
+            "transform_kernels_bitexact_vs_xla": transform_kernels_exact,
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,

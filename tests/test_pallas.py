@@ -135,3 +135,55 @@ class TestFusedDiagnostics:
         np.testing.assert_allclose(np.asarray(zeta), zeta_ref, atol=1e-5)
         np.testing.assert_allclose(np.asarray(div), div_ref, atol=1e-5)
         np.testing.assert_allclose(np.asarray(ke), ke_ref, atol=1e-5)
+
+
+class TestFaceShiftOp:
+    """Pallas face-shift kernel vs the XLA roll + edge-set formulation it
+    replaces (the tail of ops/fused.fused_face_shift_op)."""
+
+    def _xla_ref(self, x, halo, op, direction, axis_is_x):
+        import jax.numpy as jnp
+
+        roll_axis = -1 if axis_is_x else -2
+        n = x.shape[roll_axis]
+        edge = 0 if direction == "left" else n - 1
+        shift = 1 if direction == "left" else -1
+        nb = jnp.roll(x, shift, axis=roll_axis)
+        if axis_is_x:
+            nb = nb.at[..., :, edge].set(halo)
+        else:
+            nb = nb.at[..., edge, :].set(halo)
+        if op == "diff":
+            return x - nb if direction == "left" else nb - x
+        if op == "interp":
+            return (x + nb) * 0.5
+        if op == "min":
+            return jnp.minimum(x, nb)
+        return jnp.maximum(x, nb)
+
+    @pytest.mark.parametrize("op", ["diff", "interp", "min", "max"])
+    @pytest.mark.parametrize("direction", ["left", "right"])
+    @pytest.mark.parametrize("axis_is_x", [True, False])
+    def test_matches_xla_formulation(self, op, direction, axis_is_x):
+        nf, ny, nx = 6, 32, 256
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.rand(nf, ny, nx).astype(np.float32))
+        L = ny if axis_is_x else nx
+        halo = jnp.asarray(rng.rand(nf, L).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = ps.face_shift_op(
+                x, halo, op, direction, axis_is_x, tile_rows=8
+            )
+        ref = self._xla_ref(x, halo, op, direction, axis_is_x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_single_row_tile(self):
+        """ny == tile_rows: the y-neighbour block wraps within the face."""
+        nf, ny, nx = 3, 8, 128
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.rand(nf, ny, nx).astype(np.float32))
+        halo = jnp.asarray(rng.rand(nf, nx).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = ps.face_shift_op(x, halo, "diff", "left", False, tile_rows=8)
+        ref = self._xla_ref(x, halo, "diff", "left", False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

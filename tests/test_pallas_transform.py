@@ -138,6 +138,40 @@ class TestFusedKernel:
             out = interp_linear_fused(th_j, ph_j, tt_j, tile_cols=8)
         assert str(out.dtype) == dtype
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_fuzz_vs_numpy_reference(self, seed):
+        """Randomised columns (direction, NaN head/tail run lengths) vs a
+        pure-numpy oracle implementing the reference numba kernel's
+        semantics (flip on first-vs-last valid, np.interp over the valid
+        run, np.interp edge clamps) — independent of the jnp wrapper."""
+        rng = np.random.RandomState(100 + seed)
+        cols, n = 32, 16
+        th = np.sort(rng.rand(cols, n).astype(np.float32), -1) * 25
+        ph = rng.rand(cols, n).astype(np.float32)
+        desc = rng.rand(cols) < 0.5
+        th[desc] = th[desc, ::-1]
+        n_tail = rng.randint(0, 6, cols)
+        n_head = rng.randint(0, 4, cols)
+        for c in range(cols):
+            if n_tail[c]:
+                th[c, n - n_tail[c]:] = np.nan
+            if n_head[c]:
+                th[c, : n_head[c]] = np.nan
+        tt = np.sort(rng.rand(11).astype(np.float32)) * 30 - 2
+        out = _run(th, ph, tt)
+        for c in range(cols):
+            v = ~np.isnan(th[c])
+            tv, pv = th[c][v], ph[c][v]
+            if tv.size == 0:
+                assert np.isnan(out[c]).all()
+                continue
+            if tv[-1] < tv[0]:
+                tv, pv = tv[::-1], pv[::-1]
+            exp = np.interp(tt, tv, pv)
+            np.testing.assert_allclose(
+                out[c], exp, rtol=1e-5, atol=1e-6, err_msg=f"col {c}"
+            )
+
     def test_conservative_matches_rebin(self):
         """Fused conservative kernel == the XLA cumulative-mass rebin,
         including NaN cells (single-NaN homogeneous rule), NaN data,

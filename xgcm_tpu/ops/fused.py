@@ -166,6 +166,14 @@ def fused_face_shift_op(
 
     halo = jnp.where(connected[:, None], picked, basic)  # (..., F, L)
 
+    # TPU hot path: one Pallas pass (x in, out out) instead of the
+    # roll + at[].set + op sequence below (~4 HBM passes)
+    if x.ndim == 3:
+        from .pallas_stencils import face_shift_op, supports_face_shift
+
+        if supports_face_shift(x):
+            return face_shift_op(x, halo, op, direction, axis_is_x)
+
     shift = 1 if direction == "left" else -1
     nb = jnp.roll(x, shift, axis=roll_axis)
     if axis_is_x:

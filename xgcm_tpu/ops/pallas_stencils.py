@@ -34,7 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_vorticity", "fused_cgrid_diagnostics", "shift_op", "supports_pallas"]
+__all__ = [
+    "fused_vorticity",
+    "fused_cgrid_diagnostics",
+    "shift_op",
+    "face_shift_op",
+    "supports_pallas",
+    "supports_face_shift",
+]
 
 
 def supports_pallas(*arrays, tile_rows: int = 128) -> bool:
@@ -308,3 +315,147 @@ def shift_op(
         out_specs=pl.BlockSpec((T, nx), lambda t: (t, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
     )(x)
+
+
+# ---------------------------------------------------------------------------
+# Face-connected fused 1D shift stencil
+# ---------------------------------------------------------------------------
+
+
+def _apply_shift_pair(op, direction, x, nb):
+    if op == "diff":
+        return x - nb if direction == "left" else nb - x
+    if op == "interp":
+        return (x + nb) * 0.5
+    if op == "min":
+        return jnp.minimum(x, nb)
+    if op == "max":
+        return jnp.maximum(x, nb)
+    raise ValueError(op)
+
+
+def supports_face_shift(x) -> bool:
+    """Pallas face-shift constraints: TPU, exactly (F, ny, nx) layout,
+    lane-aligned nx, 8-row-aligned ny, f32/bf16."""
+    if jax.default_backend() != "tpu":
+        return False
+    if x.ndim != 3:
+        return False
+    if x.shape[-1] % 128 != 0 or x.shape[-2] % 8 != 0:
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return True
+
+
+def _face_shift_x_kernel(x_ref, h_ref, out_ref, *, op, direction):
+    """One (1, T, nx) row-tile of one face; the wrapped edge COLUMN is
+    replaced by this tile's slice of the precomputed halo strip."""
+    out_dtype = x_ref.dtype
+    x = x_ref[0].astype(jnp.float32)  # (T, nx)
+    h = h_ref[0].astype(jnp.float32)  # (T, 1)
+    nx = x.shape[-1]
+    if direction == "left":
+        nb = _roll(x, 1, 1)
+        edge = 0
+    else:
+        nb = _roll(x, nx - 1, 1)
+        edge = nx - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    nb = jnp.where(col == edge, h, nb)
+    out_ref[0] = _apply_shift_pair(op, direction, x, nb).astype(out_dtype)
+
+
+def _face_shift_y_kernel(x_ref, x_nb_ref, h_ref, out_ref, *, op, direction,
+                         n_tiles):
+    """One (1, T, nx) row-tile of one face; the y-neighbour of the tile's
+    boundary row comes from an 8-row block of the adjacent tile, and the
+    face-edge row is replaced by the halo strip on the edge tile."""
+    out_dtype = x_ref.dtype
+    x = x_ref[0].astype(jnp.float32)  # (T, nx)
+    h = h_ref[0].astype(jnp.float32)  # (1, nx)
+    T = x.shape[0]
+    t = pl.program_id(1)
+    if direction == "left":
+        # nb[j] = x[j-1]; row 0's neighbour is the tile above's last row
+        prev = x_nb_ref[0][7:8, :].astype(jnp.float32)
+        nb = jnp.concatenate([prev, x[: T - 1, :]], axis=0)
+        is_edge_tile = t == 0
+        edge_row = 0
+    else:
+        # nb[j] = x[j+1]; last row's neighbour is the tile below's first row
+        nxt = x_nb_ref[0][0:1, :].astype(jnp.float32)
+        nb = jnp.concatenate([x[1:, :], nxt], axis=0)
+        is_edge_tile = t == n_tiles - 1
+        edge_row = T - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    nb = jnp.where((rows == edge_row) & is_edge_tile, h, nb)
+    out_ref[0] = _apply_shift_pair(op, direction, x, nb).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("op", "direction", "axis_is_x", "tile_rows")
+)
+def face_shift_op(
+    x: jax.Array,
+    halo: jax.Array,
+    op: str,
+    direction: str,
+    axis_is_x: bool,
+    tile_rows: int = 128,
+) -> jax.Array:
+    """Fused per-face shift stencil: out = op(x, neighbour) on (F, ny, nx)
+    faces, where the one wrapped edge line per face is replaced by the
+    caller-provided ``halo`` strip ((F, ny) for an x-axis op, (F, nx) for
+    a y-axis op) — the correctly rotated/flipped neighbour-face line from
+    the compiled face plan, with basic BCs already applied on unconnected
+    edges (see ops/fused.fused_face_shift_op).  HBM traffic is x in + out
+    out; the reference's pad-and-concat assembly materialises every padded
+    face (xgcm padding.py:70-335)."""
+    nf, ny, nx = x.shape
+    T = min(tile_rows, ny)
+    while ny % T:
+        T //= 2
+    n_tiles = ny // T
+    bpt = T // 8
+    tile3 = lambda f, t: (f, t, 0)  # noqa: E731
+
+    if axis_is_x:
+        h3 = halo.reshape(nf, ny, 1)
+        return pl.pallas_call(
+            functools.partial(_face_shift_x_kernel, op=op, direction=direction),
+            grid=(nf, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, T, nx), tile3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, 1), tile3, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, nx), tile3, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x, h3)
+
+    h3 = halo.reshape(nf, 1, nx)
+    if direction == "left":
+        # 8-row block ending just above this tile (clamped for tile 0: its
+        # content is unused — the halo row overwrites it)
+        def nb_index(f, t):
+            tt = jnp.maximum(t - 1, 0)
+            return (f, tt * bpt + bpt - 1, 0)
+    else:
+        def nb_index(f, t):
+            tt = jnp.minimum(t + 1, n_tiles - 1)
+            return (f, tt * bpt, 0)
+
+    return pl.pallas_call(
+        functools.partial(
+            _face_shift_y_kernel, op=op, direction=direction, n_tiles=n_tiles
+        ),
+        grid=(nf, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T, nx), tile3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nx), nb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx), lambda f, t: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, nx), tile3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, x, h3)
