@@ -333,6 +333,36 @@ def main():
         _log(f"transform bench failed: {e}")
         transform_gps = None
 
+    # --- multi-variable transform: 4 tracers onto the same surfaces in one
+    # fused kernel (the density-space analysis pattern) ---
+    phis4 = tuple(
+        jnp.asarray(rng.rand(ncol, nz).astype(np.float32)) for _ in range(4)
+    )
+
+    @jax.jit
+    def trm_chained(t, ps, tt):
+        def body(_, acc):
+            outs = grid_z.transform_multi(
+                [xt.GriddedArray(p, ("col", "zc"), name="p") for p in ps],
+                "Z",
+                tt + jnp.float32(1e-12) * acc,
+                target_data=xt.GriddedArray(t, ("col", "zc"), name="theta"),
+                method="linear",
+            )
+            return sum(jnp.nansum(o.data) for o in outs)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    _log("compiling chained 4-variable transform_multi")
+    try:
+        float(trm_chained(theta, phis4, targets))
+        t0 = time.perf_counter()
+        float(trm_chained(theta, phis4, targets))
+        t_trm = (time.perf_counter() - t0) / K
+        transform_multi_gps = 4 * ncol * nz / t_trm
+    except Exception as e:
+        _log(f"transform_multi bench failed: {e}")
+        transform_multi_gps = None
+
     # --- conservative transform (cumulative-mass rebin) THROUGH THE API ---
     theta_b = jnp.asarray(
         np.sort(rng.rand(ncol, nz + 1).astype(np.float32), axis=-1) * 30
@@ -496,6 +526,10 @@ def main():
             "transform_kernels_bitexact_vs_xla": transform_kernels_exact,
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
+            "transform_multi4_Ggps": (
+                round(transform_multi_gps / 1e9, 3)
+                if transform_multi_gps else None
+            ),
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,
             "integrate_Ggps": round(integrate_gps / 1e9, 3) if integrate_gps else None,
             "cubed_sphere_diff_Ggps": (

@@ -16,6 +16,7 @@ from xgcm_tpu.ops.pallas_transform import (
     conservative_fused,
     interp_linear_fused,
     interp_linear_fused_ad,
+    interp_linear_fused_multi,
 )
 from xgcm_tpu.ops.transform import _conservative_rebin, interp_1d_linear
 
@@ -170,6 +171,36 @@ class TestFusedKernel:
             exp = np.interp(tt, tv, pv)
             np.testing.assert_allclose(
                 out[c], exp, rtol=1e-5, atol=1e-6, err_msg=f"col {c}"
+            )
+
+    @pytest.mark.parametrize("mask_edges", [False, True])
+    def test_multi_matches_per_variable(self, mask_edges):
+        """The shared-selection multi-variable kernel must agree with V
+        independent single-variable calls, including NaN/descending
+        columns."""
+        rng = np.random.RandomState(21)
+        cols, n, nv = 32, 14, 3
+        th = np.sort(rng.rand(cols, n).astype(np.float32), -1) * 25
+        th[0:8, 10:] = np.nan
+        th[8:16] = th[8:16, ::-1]
+        th[16:20, :] = np.nan
+        phis = [rng.rand(cols, n).astype(np.float32) for _ in range(nv)]
+        tt = np.linspace(-2, 28, 13).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            outs = interp_linear_fused_multi(
+                jnp.asarray(th), tuple(jnp.asarray(p) for p in phis),
+                jnp.asarray(tt), mask_edges=mask_edges, tile_cols=16,
+            )
+            singles = [
+                interp_linear_fused(
+                    jnp.asarray(th), jnp.asarray(p), jnp.asarray(tt),
+                    mask_edges=mask_edges, tile_cols=16,
+                )
+                for p in phis
+            ]
+        for o, s in zip(outs, singles):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(s), rtol=1e-6, atol=1e-7
             )
 
     def test_conservative_matches_rebin(self):

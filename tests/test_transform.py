@@ -334,3 +334,82 @@ class TestGridTransform:
             interp_1d_linear(phi, theta, np.array([1.0, 2.0]), mask_edges=False)
         )
         assert np.all(np.isnan(out))
+
+
+class TestTransformMulti:
+    """grid.transform_multi == [grid.transform(da) for da in das] on every
+    path (the CPU path exercises the fallback loop; the fused TPU kernel
+    is checked against singles in test_pallas_transform)."""
+
+    def test_matches_individual_transforms(self):
+        import numpy as np
+
+        import xgcm_tpu as xt
+
+        rng = np.random.RandomState(7)
+        nz, ncol = 12, 6
+        ds = xt.Dataset(coords={
+            "zc": ("zc", np.arange(nz) + 0.5),
+            "zo": ("zo", np.arange(nz + 1) * 1.0),
+        })
+        grid = xt.Grid(
+            ds, coords={"Z": {"center": "zc", "outer": "zo"}},
+            periodic=False, autoparse_metadata=False,
+        )
+        theta = xt.GriddedArray(
+            np.sort(rng.rand(ncol, nz), -1) * 20, ("col", "zc"),
+            name="theta",
+        )
+        das = [
+            xt.GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name=f"v{i}")
+            for i in range(3)
+        ]
+        target = np.linspace(1, 19, 9)
+        outs = grid.transform_multi(
+            das, "Z", target, target_data=theta, method="linear"
+        )
+        assert len(outs) == 3
+        for da, out in zip(das, outs):
+            single = grid.transform(
+                da, "Z", target, target_data=theta, method="linear"
+            )
+            assert out.dims == single.dims
+            assert out.name == single.name
+            np.testing.assert_allclose(
+                np.asarray(out.data), np.asarray(single.data), rtol=1e-12
+            )
+
+    def test_conservative_falls_back_to_loop(self):
+        import numpy as np
+
+        import xgcm_tpu as xt
+
+        rng = np.random.RandomState(3)
+        nz, ncol = 10, 4
+        ds = xt.Dataset(coords={
+            "zc": ("zc", np.arange(nz) + 0.5),
+            "zo": ("zo", np.arange(nz + 1) * 1.0),
+        })
+        grid = xt.Grid(
+            ds, coords={"Z": {"center": "zc", "outer": "zo"}},
+            periodic=False, autoparse_metadata=False,
+        )
+        theta = xt.GriddedArray(
+            np.sort(rng.rand(ncol, nz + 1), -1) * 20, ("col", "zo"),
+            name="theta",
+        )
+        das = [
+            xt.GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name=f"v{i}")
+            for i in range(2)
+        ]
+        bins = np.linspace(-1, 21, 8)
+        outs = grid.transform_multi(
+            das, "Z", bins, target_data=theta, method="conservative"
+        )
+        for da, out in zip(das, outs):
+            single = grid.transform(
+                da, "Z", bins, target_data=theta, method="conservative"
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.data), np.asarray(single.data), rtol=1e-12
+            )

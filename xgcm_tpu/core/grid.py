@@ -905,6 +905,17 @@ class Grid:
 
         return transform(self, axis, da, target, **kwargs)
 
+    def transform_multi(self, das, axis, target, **kwargs):
+        """Transform SEVERAL arrays onto the same target coordinate —
+        equivalent to ``[grid.transform(da, ...) for da in das]`` but on
+        TPU the linear/log case runs ONE fused kernel sharing the
+        membership selection across variables (beyond-reference; the
+        density-space analysis pattern of remapping T, S, u, v onto the
+        same sigma surfaces)."""
+        from ..ops.transform import transform_multi
+
+        return transform_multi(self, axis, das, target, **kwargs)
+
 
 def raw_interp_function(data_left, data_right):
     """Legacy two-point interpolation helper (reference grid.py:1593-1596)."""

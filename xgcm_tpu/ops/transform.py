@@ -32,6 +32,7 @@ __all__ = [
     "linear_interpolation",
     "conservative_interpolation",
     "transform",
+    "transform_multi",
 ]
 
 
@@ -431,6 +432,59 @@ def conservative_interpolation(
 # ---------------------------------------------------------------------------
 
 
+def _handle_nameless_target_data(td):
+    if td.name is None:
+        warnings.warn(
+            "Input `target_data` has no name, but we need a name for the "
+            "transformed dimension. The name `TRANSFORMED_DIMENSION` will "
+            "be used. To avoid this warning, rename `target_data` before "
+            "calling `transform`."
+        )
+        return td.rename("TRANSFORMED_DIMENSION")
+    return td
+
+
+def _check_other_dims(axis, da, target_da):
+    da_other = set(da.dims) - set(axis.coords.values())
+    target_other = set(target_da.dims) - set(axis.coords.values())
+    if not target_other.issubset(da_other):
+        raise ValueError(
+            f"Found additional dimensions [{target_other - da_other}]"
+            "in `target_data` not found in `da`. This could mean that the "
+            "target array is not on the same position along other axes. "
+            "If the additional dimensions are associated with a staggered "
+            "axis, use grid.interp() to move values to other grid "
+            "position. If additional dimensions are not related to the "
+            "grid (e.g. climate model ensemble members or similar), "
+            "broadcast arrays before using transform."
+        )
+
+
+def _parse_transform_target(
+    grid, axis, da, target, target_dim, target_data_dim, target_data
+):
+    if target_data is None:
+        target_data = grid._ds.coords.get(target_data_dim) or grid._ds[
+            target_data_dim
+        ]
+    if target_dim is None:
+        if isinstance(target, GriddedArray):
+            if len(target.dims) == 1:
+                target_dim = target.dims[0]
+        else:
+            target_data = _handle_nameless_target_data(target_data)
+            target_dim = target_data.name
+    if not isinstance(target, GriddedArray):
+        target = GriddedArray(jnp.asarray(target), (target_dim,), name=target_dim)
+    if target_dim is None:
+        raise ValueError(
+            "`target_dim` must be given explicitly for multi-dimensional "
+            "targets."
+        )
+    _check_other_dims(axis, da, target_data)
+    return target, target_dim, target_data
+
+
 def transform(
     grid,
     axis_name: str,
@@ -471,53 +525,10 @@ def transform(
                 f"Found {type(variable)}"
             )
 
-    def _handle_nameless_target_data(td):
-        if td.name is None:
-            warnings.warn(
-                "Input `target_data` has no name, but we need a name for the "
-                "transformed dimension. The name `TRANSFORMED_DIMENSION` will "
-                "be used. To avoid this warning, rename `target_data` before "
-                "calling `transform`."
-            )
-            return td.rename("TRANSFORMED_DIMENSION")
-        return td
-
-    def _check_other_dims(target_da):
-        da_other = set(da.dims) - set(axis.coords.values())
-        target_other = set(target_da.dims) - set(axis.coords.values())
-        if not target_other.issubset(da_other):
-            raise ValueError(
-                f"Found additional dimensions [{target_other - da_other}]"
-                "in `target_data` not found in `da`. This could mean that the "
-                "target array is not on the same position along other axes. "
-                "If the additional dimensions are associated with a staggered "
-                "axis, use grid.interp() to move values to other grid "
-                "position. If additional dimensions are not related to the "
-                "grid (e.g. climate model ensemble members or similar), "
-                "broadcast arrays before using transform."
-            )
-
     def _parse_target(target, target_dim, target_data_dim, target_data):
-        if target_data is None:
-            target_data = grid._ds.coords.get(target_data_dim) or grid._ds[
-                target_data_dim
-            ]
-        if target_dim is None:
-            if isinstance(target, GriddedArray):
-                if len(target.dims) == 1:
-                    target_dim = target.dims[0]
-            else:
-                target_data = _handle_nameless_target_data(target_data)
-                target_dim = target_data.name
-        if not isinstance(target, GriddedArray):
-            target = GriddedArray(jnp.asarray(target), (target_dim,), name=target_dim)
-        if target_dim is None:
-            raise ValueError(
-                "`target_dim` must be given explicitly for multi-dimensional "
-                "targets."
-            )
-        _check_other_dims(target_data)
-        return target, target_dim, target_data
+        return _parse_transform_target(
+            grid, axis, da, target, target_dim, target_data_dim, target_data
+        )
 
     _, dim = axis._get_position_name(da)
 
@@ -584,3 +595,124 @@ def transform(
         raise ValueError(f"Unknown transform method {method!r}")
 
     return out
+
+
+def transform_multi(
+    grid,
+    axis_name: str,
+    das,
+    target,
+    target_data: Optional[GriddedArray] = None,
+    target_dim: Optional[str] = None,
+    method: str = "linear",
+    mask_edges: bool = True,
+    bypass_checks: bool = False,
+    suffix: str = "_transformed",
+):
+    """Transform SEVERAL arrays onto the same target coordinate at once.
+
+    Beyond-reference convenience for the density-space analysis pattern
+    (remap T, S, u, v, ... onto the same sigma surfaces): on TPU, linear/
+    log transforms of variables that share dims run in ONE fused Pallas
+    kernel — the membership selection (which depends only on
+    ``target_data`` and ``target``) is computed once and shared, so V
+    variables cost ~(3 + 3V)/(6V) of V separate transforms and pay
+    ``target_data``'s HBM traffic once.  Everywhere else this is exactly
+    ``[grid.transform(da, ...) for da in das]``.
+
+    Returns a list of transformed :class:`GriddedArray`s in input order.
+    """
+    das = list(das)
+    if not das:
+        return []
+
+    def _loop():
+        return [
+            transform(
+                grid, axis_name, da, target,
+                target_data=target_data, target_dim=target_dim,
+                method=method, mask_edges=mask_edges,
+                bypass_checks=bypass_checks, suffix=suffix,
+            )
+            for da in das
+        ]
+
+    if method not in ("linear", "log") or len(das) < 2:
+        return _loop()
+    axis = grid.axes[axis_name]
+    if axis.boundary == "periodic":
+        return _loop()  # the per-da path raises the parity error
+    if not all(isinstance(da, GriddedArray) for da in das):
+        return _loop()
+    if any(da.dims != das[0].dims for da in das[1:]):
+        return _loop()
+
+    try:
+        _, dim = axis._get_position_name(das[0])
+        tgt, tgt_dim, tdata = _parse_transform_target(
+            grid, axis, das[0], target, target_dim, dim, target_data
+        )
+    except (ValueError, KeyError):
+        return _loop()
+    if len(tgt.dims) != 1:
+        return _loop()  # multidim targets take the generic per-da path
+    theta_dim = axis._get_position_name(tdata)[1]
+
+    from .pallas_transform import (
+        interp_linear_fused_multi_ad,
+        supports_fused_transform,
+    )
+
+    phi_ts = []
+    lead = None
+    theta_arr = None
+    for da in das:
+        phi_t, lead_i, theta_data = _broadcast_columns(
+            grid, da, tdata, dim, theta_dim
+        )
+        if lead is None:
+            lead, theta_arr = lead_i, theta_data
+        elif lead_i != lead:
+            return _loop()
+        phi_ts.append(phi_t)
+
+    n = phi_ts[0].data.shape[-1]
+    theta_j = jnp.asarray(theta_arr)
+    tgt_j = jnp.asarray(tgt.data).reshape(-1)
+    if method == "log":
+        theta_j = jnp.log(theta_j)
+        tgt_j = jnp.log(tgt_j)
+    lead_shape = jnp.broadcast_shapes(
+        phi_ts[0].data.shape[:-1], theta_j.shape[:-1]
+    )
+    th2 = jnp.broadcast_to(theta_j, lead_shape + (n,)).reshape(-1, n)
+    ph2s = []
+    for phi_t in phi_ts:
+        if (
+            jnp.broadcast_shapes(phi_t.data.shape[:-1], theta_j.shape[:-1])
+            != lead_shape
+        ):
+            return _loop()
+        ph2s.append(
+            jnp.broadcast_to(phi_t.data, lead_shape + (n,)).reshape(-1, n)
+        )
+    if not all(
+        supports_fused_transform(p2, th2, tgt_j) for p2 in ph2s
+    ):
+        return _loop()
+
+    outs = interp_linear_fused_multi_ad(
+        th2, tuple(ph2s), tgt_j, mask_edges, not bypass_checks
+    )
+    m = tgt_j.shape[0]
+    results = []
+    for da, phi_t, out in zip(das, phi_ts, outs):
+        name = (da.name + suffix) if da.name else None
+        lead_dims = [d for d in phi_t.dims if d != dim]
+        results.append(
+            GriddedArray(
+                out.reshape(lead_shape + (m,)), lead_dims + [tgt_dim],
+                name=name,
+            )
+        )
+    return results
