@@ -14,6 +14,7 @@ from jax.experimental.pallas import tpu as pltpu
 from xgcm_tpu.ops.pallas_transform import (
     _fused_ref_jnp,
     conservative_fused,
+    conservative_fused_multi,
     interp_linear_fused,
     interp_linear_fused_ad,
     interp_linear_fused_multi,
@@ -248,6 +249,35 @@ class TestFusedKernel:
         np.testing.assert_allclose(
             np.nansum(out, -1), ph.sum(-1), rtol=1e-5
         )
+
+    def test_conservative_multi_matches_singles(self):
+        """Shared-selection conservative kernel == V independent calls,
+        including NaN-phi cells (whose geometry sanitisation differs
+        per variable in the single kernel but multiplies to the same 0)."""
+        rng = np.random.RandomState(17)
+        cols, n, nv = 32, 10, 3
+        th = np.sort(rng.rand(cols, n + 1).astype(np.float32), -1) * 20
+        th[0:8, 8:] = np.nan
+        th[8:12, 5] = th[8:12, 4]  # degenerate cell
+        phis = [rng.rand(cols, n).astype(np.float32) for _ in range(nv)]
+        phis[1][4:10, 3] = np.nan  # variable-specific NaN data
+        edges = np.linspace(-2, 23, 11).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            outs = conservative_fused_multi(
+                jnp.asarray(th), tuple(jnp.asarray(p) for p in phis),
+                jnp.asarray(edges), tile_cols=16,
+            )
+            singles = [
+                conservative_fused(
+                    jnp.asarray(th), jnp.asarray(p), jnp.asarray(edges),
+                    tile_cols=16,
+                )
+                for p in phis
+            ]
+        for o, s in zip(outs, singles):
+            np.testing.assert_allclose(
+                np.asarray(o), np.asarray(s), rtol=1e-6, atol=1e-7
+            )
 
     def test_ref_replica_matches_wrapper(self):
         """_fused_ref_jnp (the VJP backward) is value-equivalent to the

@@ -620,6 +620,159 @@ def conservative_fused(
     return out.T
 
 
+def _conservative_multi_kernel(*refs, n, m, nv):
+    """Multi-variable conservative rebin: every fraction/step/count term
+    depends only on theta, so V variables share the whole selection and
+    each costs just two extra FMAs per cell."""
+    th_ref = refs[0]
+    ph_refs = refs[1 : 1 + nv]
+    e_ref = refs[1 + nv]
+    out_refs = refs[2 + nv :]
+    f32 = jnp.float32
+    C = th_ref.shape[1]
+    e = e_ref[:, 0:1].astype(f32)
+
+    th = th_ref[:, :].astype(f32)
+    t1 = th[:-1, :]
+    t2 = th[1:, :]
+    t1n = jnp.isnan(t1)
+    t2n = jnp.isnan(t2)
+    cell_empty = t1n & t2n
+    tmin0 = jnp.where(t1n, t2, jnp.where(t2n, t1, jnp.minimum(t1, t2)))
+    tmax0 = jnp.where(t1n, t2, jnp.where(t2n, t1, jnp.maximum(t1, t2)))
+
+    ph_raws = [r[:, :].astype(f32) for r in ph_refs]
+    valids = [~jnp.isnan(p) & ~cell_empty for p in ph_raws]
+    ws = [
+        jnp.where(v, jnp.where(jnp.isnan(p), 0.0, p), 0.0)
+        for v, p in zip(valids, ph_raws)
+    ]
+    # per-variable validity differs only through NaN phi; the geometry
+    # (tmin/tmax/deg/inv) must ignore cells invalid for ALL variables the
+    # same way the single kernel does per variable.  Use per-variable
+    # masks for w/count but a shared sanitised geometry: a cell's bounds
+    # are well-defined whenever its theta pair isn't double-NaN, and
+    # cells excluded for one variable contribute 0 through w/vf.
+    geom_valid = ~cell_empty
+    tmin = jnp.where(geom_valid, tmin0, 0.0)
+    tmax = jnp.where(geom_valid, tmax0, 0.0)
+    thick = tmax - tmin
+    deg_full = thick == 0.0
+    inv_full = jnp.where(
+        deg_full, 0.0, 1.0 / jnp.where(deg_full, 1.0, thick)
+    )
+    vfs = [v.astype(f32) for v in valids]
+    wdegs = [w * deg_full.astype(f32) for w in ws]
+
+    e_up = jnp.broadcast_to(e[1:, :], (m - 1, C))
+    e_lo = jnp.broadcast_to(e[: m - 1, :], (m - 1, C))
+
+    outs = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
+    counts = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
+    for k in range(n):
+        tmin_k = tmin[k : k + 1, :]
+        tmax_k = tmax[k : k + 1, :]
+        inv_k = inv_full[k : k + 1, :]
+        frac_up = jnp.clip((e_up - tmin_k) * inv_k, 0.0, 1.0)
+        frac_lo = jnp.clip((e_lo - tmin_k) * inv_k, 0.0, 1.0)
+        dfrac = frac_up - frac_lo
+        g_up = (e_up >= tmin_k).astype(f32)
+        g_lo = (e_lo > tmin_k).astype(f32)
+        dstep = g_up - g_lo
+        h = (e_lo <= tmax_k).astype(f32)
+        overlap = g_up * h
+        for v in range(nv):
+            outs[v] = (
+                outs[v]
+                + ws[v][k : k + 1, :] * dfrac
+                + wdegs[v][k : k + 1, :] * dstep
+            )
+            counts[v] = counts[v] + vfs[v][k : k + 1, :] * overlap
+    for v in range(nv):
+        o = jnp.where(counts[v] > 0, outs[v], f32(jnp.nan))
+        out_refs[v][:, :] = o.astype(out_refs[v].dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_cols",))
+def conservative_fused_multi(
+    theta: jax.Array,
+    phis,
+    edges: jax.Array,
+    tile_cols: int = 128,
+):
+    """Conservative rebin of several (cols, n) variables with the SAME
+    (cols, n+1) raw bounds into shared increasing bins, one kernel pass;
+    returns a tuple of (cols, m-1) results with full
+    :func:`conservative_fused` semantics per variable."""
+    phis = tuple(phis)
+    nv = len(phis)
+    cols, n = phis[0].shape
+    (m,) = edges.shape
+    thT = theta.T
+    phTs = [p.T for p in phis]
+    C = max(tile_cols, 128)
+    while cols % C and C > 128:
+        C //= 2
+    if cols % C:
+        C = cols
+    grid = cols // C
+    e_col = jnp.broadcast_to(edges.astype(jnp.float32).reshape(m, 1), (m, 8))
+
+    tile = lambda i: (0, i)  # noqa: E731
+    outs = pl.pallas_call(
+        functools.partial(_conservative_multi_kernel, n=n, m=m, nv=nv),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM)
+        ] * nv + [
+            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((m - 1, C), tile, memory_space=pltpu.VMEM)
+        ] * nv,
+        out_shape=[
+            jax.ShapeDtypeStruct((m - 1, cols), p.dtype) for p in phis
+        ],
+    )(thT, *phTs, e_col)
+    return tuple(o.T for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conservative_fused_multi_ad(theta, phis, edges):
+    """Differentiable front for the multi-variable conservative kernel."""
+    return conservative_fused_multi(theta, phis, edges)
+
+
+def _cfm_fwd(theta, phis, edges):
+    return conservative_fused_multi(theta, phis, edges), (theta, phis, edges)
+
+
+def _cfm_bwd(res, gs):
+    theta, phis, edges = res
+    from .transform import _conservative_rebin
+
+    def ref(th, ph, ed):
+        out, cnt = _conservative_rebin(ph, th[..., :-1], th[..., 1:], ed)
+        return jnp.where(cnt > 0, out, jnp.nan)
+
+    th_g = jnp.zeros_like(theta)
+    ed_g = jnp.zeros_like(edges)
+    ph_gs = []
+    for p, g in zip(phis, gs):
+        g = jnp.where(jnp.isnan(g), 0.0, g)
+        _, vjp = jax.vjp(ref, theta, p, edges)
+        a, b, c = vjp(g)
+        th_g = th_g + a
+        ed_g = ed_g + c
+        ph_gs.append(b)
+    return th_g, tuple(ph_gs), ed_g
+
+
+conservative_fused_multi_ad.defvjp(_cfm_fwd, _cfm_bwd)
+
+
 @jax.custom_vjp
 def conservative_fused_ad(theta, phi, edges):
     """Differentiable front for the fused conservative kernel (backward

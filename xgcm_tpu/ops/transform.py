@@ -637,7 +637,7 @@ def transform_multi(
             for da in das
         ]
 
-    if method not in ("linear", "log") or len(das) < 2:
+    if method not in ("linear", "log", "conservative") or len(das) < 2:
         return _loop()
     axis = grid.axes[axis_name]
     if axis.boundary == "periodic":
@@ -646,6 +646,12 @@ def transform_multi(
         return _loop()
     if any(da.dims != das[0].dims for da in das[1:]):
         return _loop()
+
+    if method == "conservative":
+        return _transform_multi_conservative(
+            grid, axis, axis_name, das, target, target_data, target_dim,
+            suffix, _loop,
+        )
 
     try:
         _, dim = axis._get_position_name(das[0])
@@ -714,5 +720,98 @@ def transform_multi(
                 out.reshape(lead_shape + (m,)), lead_dims + [tgt_dim],
                 name=name,
             )
+        )
+    return results
+
+
+def _transform_multi_conservative(
+    grid, axis, axis_name, das, target, target_data, target_dim, suffix,
+    _loop,
+):
+    """Fused multi-variable conservative path; falls back to the
+    per-variable loop whenever the single-variable path would not hit the
+    fused kernel (multidim targets, bounds not on `outer`, CPU, x64,
+    odd shapes)."""
+    if isinstance(target, GriddedArray) and len(target.dims) > 1:
+        return _loop()  # per-da path raises NotImplementedError
+    try:
+        target_data_dim = axis.coords["outer"]
+    except KeyError:
+        return _loop()  # per-da path raises the parity RuntimeError
+    try:
+        tgt, tgt_dim, tdata = _parse_transform_target(
+            grid, axis, das[0], target, target_dim, target_data_dim,
+            target_data,
+        )
+    except (ValueError, KeyError):
+        return _loop()
+    if len(tgt.dims) != 1 or target_data_dim not in tdata.dims:
+        return _loop()  # auto-interp-to-bounds warning path
+    _, dim = axis._get_position_name(das[0])
+
+    from .pallas_transform import (
+        conservative_fused_multi_ad,
+        supports_fused_conservative,
+    )
+
+    phi_ts = []
+    lead = None
+    theta_arr = None
+    for da in das:
+        phi_t, lead_i, theta_data = _broadcast_columns(
+            grid, da, tdata, dim, target_data_dim
+        )
+        if lead is None:
+            lead, theta_arr = lead_i, theta_data
+        elif lead_i != lead:
+            return _loop()
+        phi_ts.append(phi_t)
+
+    # concrete targets expose the bin direction (decreasing bins flip);
+    # traced targets assume increasing, like interp_1d_conservative
+    tdata_arr = tgt.data
+    flip_switch = False
+    if not isinstance(tdata_arr, jax.core.Tracer):
+        t_np = np.asarray(tdata_arr)
+        t_diff = np.diff(t_np)
+        if np.all(t_diff < 0):
+            flip_switch = True
+            tdata_arr = t_np[::-1].copy()
+        elif not np.all(t_diff > 0):
+            raise ValueError("Target values are not monotonic")
+
+    n = phi_ts[0].data.shape[-1]
+    theta_j = jnp.asarray(theta_arr)
+    edges_j = jnp.asarray(tdata_arr).reshape(-1)
+    lead_shape = jnp.broadcast_shapes(
+        phi_ts[0].data.shape[:-1], theta_j.shape[:-1]
+    )
+    th2 = jnp.broadcast_to(theta_j, lead_shape + (n + 1,)).reshape(-1, n + 1)
+    ph2s = []
+    for phi_t in phi_ts:
+        if (
+            jnp.broadcast_shapes(phi_t.data.shape[:-1], theta_j.shape[:-1])
+            != lead_shape
+        ):
+            return _loop()
+        ph2s.append(
+            jnp.broadcast_to(phi_t.data, lead_shape + (n,)).reshape(-1, n)
+        )
+    if not all(
+        supports_fused_conservative(p2, th2, edges_j) for p2 in ph2s
+    ):
+        return _loop()
+
+    outs = conservative_fused_multi_ad(th2, tuple(ph2s), edges_j)
+    m1 = edges_j.shape[0] - 1
+    results = []
+    for da, phi_t, out in zip(das, phi_ts, outs):
+        out = out.reshape(lead_shape + (m1,))
+        if flip_switch:
+            out = out[..., ::-1]
+        name = (da.name + suffix) if da.name else None
+        lead_dims = [d for d in phi_t.dims if d != dim]
+        results.append(
+            GriddedArray(out, lead_dims + [tgt_dim], name=name)
         )
     return results

@@ -255,3 +255,17 @@ class ShardedGrid:
                 "shard the horizontal dims instead"
             )
         return self.grid.transform(da, axis, target, **kwargs)
+
+    def transform_multi(self, das, axis, target, **kwargs):
+        """Multi-variable vertical transform (same sharding restriction as
+        :meth:`transform`; the fused shared-selection kernel applies per
+        shard)."""
+        ax = self.grid.axes[axis]
+        for da in das:
+            _, dim = ax._get_position_name(da)
+            if self.dim_to_mesh_axis.get(dim) is not None:
+                raise NotImplementedError(
+                    f"cannot transform along the sharded dimension {dim!r}; "
+                    "shard the horizontal dims instead"
+                )
+        return self.grid.transform_multi(das, axis, target, **kwargs)
