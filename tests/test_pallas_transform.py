@@ -175,6 +175,33 @@ class TestFusedKernel:
             )
 
     @pytest.mark.parametrize("mask_edges", [False, True])
+    def test_per_column_targets_match_wrapper(self, mask_edges):
+        """Spatially varying (cols, m) targets (reference
+        transform.py:346-349 multidim-target support): the per-column
+        kernel layout must agree with the generic XLA formulation."""
+        rng = np.random.RandomState(31)
+        cols, n, m = 32, 14, 9
+        th = np.sort(rng.rand(cols, n).astype(np.float32), -1) * 25
+        th[0:8, 10:] = np.nan
+        th[8:16] = th[8:16, ::-1]
+        ph = rng.rand(cols, n).astype(np.float32)
+        tt = np.sort(rng.rand(cols, m).astype(np.float32), -1) * 30 - 2
+        with pltpu.force_tpu_interpret_mode():
+            out = interp_linear_fused(
+                jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt),
+                mask_edges=mask_edges, tile_cols=16,
+            )
+        exp = np.asarray(
+            interp_1d_linear(
+                jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt),
+                mask_edges=mask_edges,
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), exp, rtol=1e-5, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("mask_edges", [False, True])
     def test_multi_matches_per_variable(self, mask_edges):
         """The shared-selection multi-variable kernel must agree with V
         independent single-variable calls, including NaN/descending

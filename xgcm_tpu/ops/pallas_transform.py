@@ -60,14 +60,17 @@ __all__ = [
 
 def supports_fused_transform(phi, theta, target) -> bool:
     """Kernel constraints: TPU backend, 2D (cols, n) columns with a shared
-    1D target, f32/bf16 data, n and m small enough to tile in VMEM."""
+    (m,) or per-column (cols, m) target, f32/bf16 data, n and m small
+    enough to tile in VMEM."""
     if jax.default_backend() != "tpu":
         return False
-    if phi.ndim != 2 or theta.ndim != 2 or target.ndim != 1:
+    if phi.ndim != 2 or theta.ndim != 2 or target.ndim not in (1, 2):
         return False
     if phi.shape != theta.shape:
         return False
-    if phi.shape[-1] < 2 or phi.shape[-1] > 256 or target.shape[0] > 256:
+    if target.ndim == 2 and target.shape[0] != phi.shape[0]:
+        return False
+    if phi.shape[-1] < 2 or phi.shape[-1] > 256 or target.shape[-1] > 256:
         return False
     # Mosaic needs lane blocks of 128 (or one block spanning the array):
     # odd column counts run single-tile, so cap the VMEM they may claim
@@ -88,7 +91,8 @@ def _shifted(x, fill):
 
 
 def _fused_kernel(
-    th_ref, ph_ref, t_ref, out_ref, *, n, m, mask_edges, check_flip
+    th_ref, ph_ref, t_ref, out_ref, *, n, m, mask_edges, check_flip,
+    shared_target=True,
 ):
     """One (n, C) tile of raw columns -> (m, C) finished output.
 
@@ -96,9 +100,17 @@ def _fused_kernel(
     sanitisation, per-interval slopes) is VECTORISED over full (n, C)
     tiles — a sequential row-at-a-time scan wastes 7/8 sublanes and
     measured ~20% of the whole kernel.  Only the membership loop itself
-    is sequential over knots (its accumulators are (m, C))."""
+    is sequential over knots (its accumulators are (m, C)).
+
+    ``shared_target=False`` reads an (m, C) per-column target block (a
+    spatially varying target coordinate, reference
+    transform.py:346-349) — every broadcast below degrades gracefully
+    to elementwise (m, C) arithmetic."""
     f32 = jnp.float32
-    t = t_ref[:, 0:1].astype(f32)  # (m, 1) original targets
+    if shared_target:
+        t = t_ref[:, 0:1].astype(f32)  # (m, 1) shared targets
+    else:
+        t = t_ref[:, :].astype(f32)  # (m, C) per-column targets
     C = th_ref.shape[1]
     inf = f32(jnp.inf)
     # Finite NaN sentinel: the masked accumulations below multiply
@@ -198,14 +210,15 @@ def interp_linear_fused(
     tile_cols: int = 128,
 ) -> jax.Array:
     """np.interp of (cols, n) RAW columns (NaNs allowed, either direction)
-    onto (m,) shared targets, returning the finished (cols, m) result —
-    edge clamps and NaN masking included (the full semantics of
-    :func:`xgcm_tpu.ops.transform.interp_1d_linear`).
+    onto (m,) shared OR (cols, m) per-column targets, returning the
+    finished (cols, m) result — edge clamps and NaN masking included (the
+    full semantics of :func:`xgcm_tpu.ops.transform.interp_1d_linear`).
 
     ``check_flip=False`` mirrors ``bypass_checks=True`` (assume ascending).
     """
     cols, n = theta.shape
-    (m,) = target.shape
+    m = target.shape[-1]
+    shared_target = target.ndim == 1
     thT = theta.T  # raw transposes: the only XLA work on the hot path
     phT = phi.T
     # lane blocks must be multiples of 128, or a single block spanning the
@@ -216,21 +229,31 @@ def interp_linear_fused(
     if cols % C:
         C = cols
     grid = cols // C
-    t_col = jnp.broadcast_to(
-        target.astype(jnp.float32).reshape(m, 1), (m, 8)
-    )
+    if shared_target:
+        t_col = jnp.broadcast_to(
+            target.astype(jnp.float32).reshape(m, 1), (m, 8)
+        )
+        t_spec = pl.BlockSpec(
+            (m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        t_col = target.astype(jnp.float32).T  # (m, cols)
+        t_spec = pl.BlockSpec(
+            (m, C), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
 
     tile = lambda i: (0, i)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, n=n, m=m,
             mask_edges=mask_edges, check_flip=check_flip,
+            shared_target=shared_target,
         ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            t_spec,
         ],
         out_specs=pl.BlockSpec((m, C), tile, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, cols), phi.dtype),
@@ -245,7 +268,9 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
     f32 = jnp.promote_types(phi.dtype, jnp.float32)
     th = theta.astype(f32)
     ph = jnp.nan_to_num(phi.astype(f32))
-    t = target.astype(f32)[None, :]  # (1, m)
+    t = target.astype(f32)
+    if t.ndim == 1:
+        t = t[None, :]  # (1, m) shared; (cols, m) stays per-column
     n = th.shape[-1]
     valid = ~jnp.isnan(th)
     iota = jnp.arange(n)

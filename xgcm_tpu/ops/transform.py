@@ -103,22 +103,25 @@ def interp_1d_linear(
     fused_lead = jnp.broadcast_shapes(
         phi.shape[:-1], theta.shape[:-1], target.shape[:-1]
     )
-    # target must carry no real lead dims (shared targets) and must not add
-    # broadcast dims beyond phi/theta's, so the output shape contract of the
-    # generic path below is preserved exactly
-    if all(s == 1 for s in target.shape[:-1]) and fused_lead == (
-        jnp.broadcast_shapes(phi.shape[:-1], theta.shape[:-1])
-    ):
-        n_f = phi.shape[-1]
-        m_f = target.shape[-1]
-        ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
-        th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
-        tgt1f = target.reshape(-1)
-        if supports_fused_transform(ph2f, th2f, tgt1f):
-            out = interp_linear_fused_ad(
-                th2f, ph2f, tgt1f, mask_edges, not bypass_checks
-            )
-            return out.reshape(fused_lead + (m_f,))
+    # broadcasting all three operands to the joint lead shape reproduces
+    # the generic path's output contract exactly; a target with no real
+    # lead dims takes the cheaper shared-target kernel layout, any other
+    # (spatially varying) target rides along per column
+    n_f = phi.shape[-1]
+    m_f = target.shape[-1]
+    ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
+    th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
+    if all(s == 1 for s in target.shape[:-1]):
+        tgt2f = target.reshape(-1)
+    else:
+        tgt2f = jnp.broadcast_to(target, fused_lead + (m_f,)).reshape(
+            -1, m_f
+        )
+    if supports_fused_transform(ph2f, th2f, tgt2f):
+        out = interp_linear_fused_ad(
+            th2f, ph2f, tgt2f, mask_edges, not bypass_checks
+        )
+        return out.reshape(fused_lead + (m_f,))
 
     if not bypass_checks:
         phi, theta = _column_flip(phi, theta)
