@@ -474,6 +474,37 @@ def main():
             _log(f"cubed-sphere bench failed: {e}")
             cs_gps = None
 
+    # --- LLC (lat-lon-cap) 13-face topology: the BASELINE.json north-star
+    # grid layout (LLC4320-class analysis); same fused face-shift path ---
+    llc_gps = None
+    try:
+        from xgcm_tpu.grids import llc_grid
+
+        n_llc = 1024
+        ds_llc, grid_llc = llc_grid(n=n_llc)
+        llc_data = jnp.asarray(
+            rng.rand(13, n_llc, n_llc).astype(np.float32)
+        )
+
+        @jax.jit
+        def llc_chained(d):
+            def body(_, dd):
+                return grid_llc.diff(
+                    xt.GriddedArray(dd, ("face", "y", "x")), "X",
+                    boundary="fill",
+                ).data
+            return jnp.sum(jax.lax.fori_loop(0, K, body, d))
+
+        _log("compiling chained LLC 13-face diff")
+        float(llc_chained(llc_data))
+        t0 = time.perf_counter()
+        float(llc_chained(llc_data))
+        t_llc = (time.perf_counter() - t0) / K
+        llc_gps = 13 * n_llc * n_llc / t_llc
+    except Exception as e:
+        _log(f"LLC bench failed: {e}")
+        llc_gps = None
+
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; fraction of
     # the streaming bandwidth MEASURED by the probe above under the same
@@ -534,6 +565,9 @@ def main():
             "integrate_Ggps": round(integrate_gps / 1e9, 3) if integrate_gps else None,
             "cubed_sphere_diff_Ggps": (
                 round(cs_gps / 1e9, 3) if cs_gps else None
+            ),
+            "llc13_diff_Ggps": (
+                round(llc_gps / 1e9, 3) if llc_gps else None
             ),
             "effective_bandwidth": bandwidth,
             "measured_stream_GBps": round(hbm_gbps, 1) if hbm_gbps else None,

@@ -59,7 +59,22 @@ def main():
     total_out = float(np.nansum(np.asarray(heat_by_class.data)))
     print(f"heat conserved: in={total_in:.3f} out={total_out:.3f}")
 
-    # 3. the whole thing is jittable
+    # 3. several variables onto the same surfaces in one fused pass:
+    # the standard T/S/velocity density-space analysis pattern
+    salt = xt.GriddedArray(
+        35.0 + 0.5 * (z_c / z_c[-1])[None, None, :] + 0.1 * rng.rand(ny, nx, nz),
+        ("y", "x", "zc"),
+        name="salt",
+    )
+    t_sig, s_sig = grid.transform_multi(
+        [temp, salt], "Z", sigma_levels, target_data=sigma
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_sig.data), np.asarray(temp_on_sigma.data), rtol=1e-6
+    )
+    print("transform_multi:", t_sig.name, s_sig.name, s_sig.shape)
+
+    # 4. the whole thing is jittable
     @jax.jit
     def pipeline(t, s):
         return grid.transform(
