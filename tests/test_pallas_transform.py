@@ -231,6 +231,74 @@ class TestFusedKernel:
                 np.asarray(o), np.asarray(s), rtol=1e-6, atol=1e-7
             )
 
+    def test_multi_grad_flows(self):
+        from xgcm_tpu.ops.pallas_transform import (
+            interp_linear_fused_multi_ad,
+        )
+
+        th, ph = _columns(cols=16, n=10, seed=8)
+        ph2 = rngs = np.random.RandomState(9).rand(16, 10).astype(np.float32)
+        tt = np.linspace(1, 29, 7).astype(np.float32)
+
+        def loss_multi(p_pair):
+            with pltpu.force_tpu_interpret_mode():
+                outs = interp_linear_fused_multi_ad(
+                    jnp.asarray(th), p_pair, jnp.asarray(tt), False, True
+                )
+            return sum(jnp.sum(o) for o in outs)
+
+        def loss_ref(p_pair):
+            return sum(
+                jnp.sum(_fused_ref_jnp(jnp.asarray(th), p, jnp.asarray(tt)))
+                for p in p_pair
+            )
+
+        pair = (jnp.asarray(ph), jnp.asarray(ph2))
+        g = jax.grad(loss_multi)(pair)
+        g_ref = jax.grad(loss_ref)(pair)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_conservative_multi_grad_flows(self):
+        from xgcm_tpu.ops.pallas_transform import (
+            conservative_fused_multi_ad,
+        )
+        from xgcm_tpu.ops.transform import _conservative_rebin
+
+        rng = np.random.RandomState(12)
+        cols, n = 16, 8
+        th = np.sort(rng.rand(cols, n + 1).astype(np.float32), -1) * 20
+        phis = tuple(
+            jnp.asarray(rng.rand(cols, n).astype(np.float32))
+            for _ in range(2)
+        )
+        edges = jnp.asarray(np.linspace(-1, 21, 7).astype(np.float32))
+
+        def loss_multi(ps):
+            with pltpu.force_tpu_interpret_mode():
+                outs = conservative_fused_multi_ad(
+                    jnp.asarray(th), ps, edges
+                )
+            return sum(jnp.nansum(o) for o in outs)
+
+        def ref_one(p):
+            out, cnt = _conservative_rebin(
+                p, jnp.asarray(th[:, :-1]), jnp.asarray(th[:, 1:]), edges
+            )
+            return jnp.nansum(jnp.where(cnt > 0, out, jnp.nan))
+
+        def loss_ref(ps):
+            return sum(ref_one(p) for p in ps)
+
+        g = jax.grad(loss_multi)(phis)
+        g_ref = jax.grad(loss_ref)(phis)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
     def test_conservative_matches_rebin(self):
         """Fused conservative kernel == the XLA cumulative-mass rebin,
         including NaN cells (single-NaN homogeneous rule), NaN data,
