@@ -103,3 +103,61 @@ def test_scalar_with_other_component_matches_plain():
         np.testing.assert_allclose(
             np.asarray(got.data), np.asarray(plain.data)
         )
+
+
+@pytest.mark.parametrize("op", ["diff", "interp"])
+@pytest.mark.parametrize("boundary", ["fill", "extend"])
+def test_fused_vector_equals_generic(op, boundary):
+    """Vector components (dict input + other_component) through the fused
+    face path must match the generic pad-and-concat engine, including the
+    partner-strip selection on swapped connections and the sign rules."""
+    ds, fc = cubed_sphere_dataset(n=6)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    rng = np.random.RandomState(3)
+    u = GriddedArray(rng.rand(6, 6, 6), ("face", "y", "x"), name="u")
+    v = GriddedArray(rng.rand(6, 6, 6), ("face", "y", "x"), name="v")
+
+    for vec_axis, arr, partner, ax in [
+        ("X", u, v, "X"),
+        ("Y", v, u, "Y"),
+        ("X", u, v, "Y"),
+        ("Y", v, u, "X"),
+    ]:
+        other_ax = "Y" if vec_axis == "X" else "X"
+        fused = getattr(grid, op)(
+            {vec_axis: arr}, ax, to="left", boundary=boundary,
+            other_component={other_ax: partner},
+        )
+        generic = GENERIC[(op, "left")](
+            grid, {vec_axis: arr}, axis=[(ax,)], boundary=boundary,
+            other_component={other_ax: partner},
+        )
+        assert fused.dims == generic.dims
+        np.testing.assert_allclose(
+            np.asarray(fused.data), np.asarray(generic.data),
+            err_msg=f"{op} {vec_axis}-component along {ax} ({boundary})",
+        )
+
+
+def test_fused_vector_2d_wrappers_match_generic_path():
+    """diff_2d_vector (staggered C-grid components -> center) produces
+    identical results whether the fused face path engages or the generic
+    engine runs."""
+    ds, fc = cubed_sphere_dataset(n=6)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    rng = np.random.RandomState(9)
+    xl = grid.axes["X"].coords["left"]
+    yl = grid.axes["Y"].coords["left"]
+    u = GriddedArray(rng.rand(6, 6, 6), ("face", "y", xl), name="u")
+    v = GriddedArray(rng.rand(6, 6, 6), ("face", yl, "x"), name="v")
+    out = grid.diff_2d_vector({"X": u, "Y": v}, boundary="fill")
+    exp_u = gridops.diff_left_to_center(
+        grid, {"X": u}, axis=[("X",)], boundary="fill",
+        other_component={"Y": v},
+    )
+    exp_v = gridops.diff_left_to_center(
+        grid, {"Y": v}, axis=[("Y",)], boundary="fill",
+        other_component={"X": u},
+    )
+    np.testing.assert_allclose(np.asarray(out["X"].data), np.asarray(exp_u.data))
+    np.testing.assert_allclose(np.asarray(out["Y"].data), np.asarray(exp_v.data))

@@ -500,7 +500,8 @@ class Grid:
                 array = array * metric
 
             fused = self._maybe_fused_1d_op(
-                funcname, array, ax_name, signature_1d, remaining_kwargs
+                funcname, array, ax_name, signature_1d, remaining_kwargs,
+                other_component=other_component,
             )
             if fused is not None:
                 array = fused
@@ -521,13 +522,16 @@ class Grid:
         return array
 
     def _maybe_fused_1d_op(
-        self, funcname, array, ax_name, signature_1d, call_kwargs
+        self, funcname, array, ax_name, signature_1d, call_kwargs,
+        other_component=None,
     ) -> Optional[GriddedArray]:
         """Fused roll-based fast path for the hot 1D stencils.
 
-        Applies only to scalar inputs, face-less grids, length-preserving
-        position pairs, and the standard boundary kwargs; bit-identical to
-        the generic pad-then-stencil path (see ops/fused.py).
+        Applies to scalar inputs and (on face-connected grids) vector
+        components with their ``other_component`` partner, for
+        length-preserving position pairs and the standard boundary kwargs;
+        bit-identical to the generic pad-then-stencil path (see
+        ops/fused.py).
         """
         from ..ops.fused import (
             FUSABLE_OPS,
@@ -536,8 +540,19 @@ class Grid:
             fused_shift_op,
         )
 
-        if funcname not in FUSABLE_OPS or isinstance(array, dict):
+        if funcname not in FUSABLE_OPS:
             return None
+        vector_axis = None
+        partner = None
+        if isinstance(array, dict):
+            (vector_axis, array), = array.items()
+            if self._face_connections is not None:
+                # cross-face vector halos need the partner component
+                if not isinstance(other_component, dict):
+                    return None
+                (_, partner), = other_component.items()
+            # face-less grids: basic BCs ignore the partner, so the
+            # component behaves exactly like a scalar
         extra = set(call_kwargs) - {"boundary", "fill_value"}
         if extra:
             return None
@@ -563,7 +578,7 @@ class Grid:
         if self._face_connections is not None:
             fused = self._maybe_fused_face_op(
                 funcname, array, ax_name, dim, direction, boundary,
-                float(fill_value),
+                float(fill_value), vector_axis=vector_axis, partner=partner,
             )
             if fused is None:
                 return None
@@ -585,7 +600,8 @@ class Grid:
         return GriddedArray(data, dims, name=array.name)
 
     def _maybe_fused_face_op(
-        self, funcname, array, ax_name, dim, direction, boundary, fill_value
+        self, funcname, array, ax_name, dim, direction, boundary, fill_value,
+        vector_axis=None, partner=None,
     ):
         """Fused face-connected fast path: roll per face + per-edge strip
         fixup from the compiled plan (see ops/fused.fused_face_shift_op).
@@ -649,6 +665,28 @@ class Grid:
 
         rest = [d for d in array.dims if d not in (facedim, ydim, xdim)]
         arranged = array.transpose(*rest, facedim, ydim, xdim)
+        partner_data = None
+        vector_axis_code = None
+        if vector_axis is not None:
+            if vector_axis not in (x_axis, y_axis):
+                return None
+            vector_axis_code = 0 if vector_axis == x_axis else 1
+            if partner is not None:
+                try:
+                    p_ydim = self.axes[y_axis]._get_position_name(partner)[1]
+                    p_xdim = self.axes[x_axis]._get_position_name(partner)[1]
+                except KeyError:
+                    return None
+                p_rest = [
+                    d for d in partner.dims
+                    if d not in (facedim, p_ydim, p_xdim)
+                ]
+                arranged_p = partner.transpose(
+                    *p_rest, facedim, p_ydim, p_xdim
+                )
+                if arranged_p.data.shape != arranged.data.shape:
+                    return None  # staggered sizes differ: generic path
+                partner_data = arranged_p.data
         try:
             data = fused_face_shift_op(
                 arranged.data,
@@ -659,6 +697,8 @@ class Grid:
                 direction=direction,
                 boundary=boundary,
                 fill_value=fill_value,
+                partner=partner_data,
+                vector_axis_code=vector_axis_code,
             )
         except ValueError:
             return None

@@ -98,6 +98,8 @@ def fused_face_shift_op(
     direction: str,
     boundary: Optional[str],
     fill_value: float = 0.0,
+    partner: Optional[jnp.ndarray] = None,
+    vector_axis_code: Optional[int] = None,
 ) -> jnp.ndarray:
     """Face-connected 1D shift stencil without materialising padded faces.
 
@@ -106,9 +108,13 @@ def fused_face_shift_op(
     with the correctly-oriented neighbour strip selected from the compiled
     :class:`~xgcm_tpu.parallel.face_sharded.FaceHaloPlan` — 2 arrays of HBM
     traffic plus O(F * L) strip work, versus the pad-and-concat path's full
-    padded intermediates.  Scalar fields only (vector sign rules take the
-    generic path).  Semantics identical to the halo-assembly padding
-    (xgcm padding.py:201-258) away from (unread) corner cells.
+    padded intermediates.  Vector components pass the partner component's
+    array as ``partner`` and ``vector_axis_code`` (0 = the x_axis
+    component, 1 = y_axis): on axis-swapping connections the halo strip
+    comes from the partner, and the reference's sign rules apply
+    (orthogonal component negated on reverse, tangential on
+    swap-without-reverse — xgcm padding.py:239-258).  Semantics identical
+    to the halo-assembly padding away from (unread) corner cells.
     """
     assert face_axis == x.ndim - 3, "expected (..., face, ny, nx) layout"
     ny, nx = x.shape[-2:]
@@ -143,9 +149,33 @@ def fused_face_shift_op(
     # gather each face's source strip: (..., F, 4, L) -> (..., F, L);
     # side selection via a tiny (F, 4) one-hot sum (no gather)
     src_strips = jnp.take(strips, src_face, axis=-3)
+    if partner is not None:
+        # axis-swapping connections read the PARTNER component's edge
+        strips_p = jnp.stack(
+            [
+                partner[..., :, 0],
+                partner[..., :, nx - 1],
+                partner[..., 0, :],
+                partner[..., ny - 1, :],
+            ],
+            axis=-2,
+        )
+        src_strips_p = jnp.take(strips_p, src_face, axis=-3)
+        swap_side = jnp.asarray(plan.swap[:, side])  # (F,)
+        src_strips = jnp.where(
+            swap_side[:, None, None], src_strips_p, src_strips
+        )
     side_sel = (jnp.arange(4) == src_side[:, None]).astype(x.dtype)  # (F, 4)
     picked = jnp.sum(src_strips * side_sel[:, :, None], axis=-2)
     picked = jnp.where(tang_flip[:, None], picked[..., ::-1], picked)
+    if vector_axis_code is not None:
+        # sides 0/1 are x-axis halos, 2/3 y-axis halos
+        is_parallel = vector_axis_code == (side // 2)
+        sign = jnp.asarray(
+            plan.sign_ortho[:, side] if is_parallel
+            else plan.sign_tang[:, side]
+        ).astype(x.dtype)
+        picked = picked * sign[:, None]
 
     # basic BC for unconnected edges (within-face wrap / fill / extend)
     opposite = {0: 1, 1: 0, 2: 3, 3: 2}[side]
