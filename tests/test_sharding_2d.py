@@ -228,3 +228,59 @@ def test_sharded_transform_matches_single_device():
     s8 = shard_gridded(GriddedArray(sigma, ("col", "zc")), mesh, {"col": "c"})
     out = jax.jit(run)(d8.data, s8.data)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-12)
+
+
+def test_sharded_transform_multi_matches_single_device():
+    """ShardedGrid.transform_multi with horizontal columns sharded equals
+    the per-variable single-device transforms."""
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+    nz, ncol = 10, 64
+    ds = Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    gridz = Grid(
+        ds, coords={"Z": {"center": "zc"}}, periodic=False,
+        autoparse_metadata=False,
+    )
+    rng = np.random.RandomState(1)
+    das = [rng.rand(ncol, nz) for _ in range(2)]
+    sigma = np.sort(rng.rand(ncol, nz), axis=-1) * 8 + 20
+    target = np.linspace(21, 27, 5)
+
+    expected = [
+        gridz.transform(
+            GriddedArray(d, ("col", "zc"), name=f"q{i}"), "Z", target,
+            target_data=GriddedArray(sigma, ("col", "zc"), name="sigma"),
+            target_dim="sigma", mask_edges=False,
+        )
+        for i, d in enumerate(das)
+    ]
+
+    mesh = make_mesh({"c": 8})
+    sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+    sh = [
+        shard_gridded(
+            GriddedArray(d, ("col", "zc"), name=f"q{i}"), mesh, {"col": "c"}
+        )
+        for i, d in enumerate(das)
+    ]
+    s8 = shard_gridded(
+        GriddedArray(sigma, ("col", "zc"), name="sigma"), mesh, {"col": "c"}
+    )
+    outs = sgrid.transform_multi(
+        sh, "Z", target, target_data=s8, target_dim="sigma",
+        mask_edges=False,
+    )
+    for o, e in zip(outs, expected):
+        assert o.dims == e.dims
+        np.testing.assert_allclose(
+            np.asarray(o.data), np.asarray(e.data), rtol=1e-12
+        )
+
+    # transforming along a sharded dim refuses, like transform
+    sgrid_z = ShardedGrid(gridz, mesh, {"zc": "c"})
+    shz = shard_gridded(
+        GriddedArray(das[0], ("col", "zc")), mesh, {"zc": "c"}
+    )
+    with pytest.raises(NotImplementedError):
+        sgrid_z.transform_multi([shz], "Z", target,
+                                target_data=s8, target_dim="sigma")

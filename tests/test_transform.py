@@ -413,3 +413,42 @@ class TestTransformMulti:
             np.testing.assert_allclose(
                 np.asarray(out.data), np.asarray(single.data), rtol=1e-12
             )
+
+
+class TestDeepColumnScanPath:
+    """Columns deep enough to exceed the dense membership-tensor budget
+    take a lax.scan-over-knots formulation with O(cols*m) peak memory;
+    it must match the dense path exactly."""
+
+    def test_scan_matches_dense(self):
+        import jax.numpy as jnp
+
+        from xgcm_tpu.ops import transform as tr
+
+        rng = np.random.RandomState(8)
+        cols, n, m = 8, 40, 7
+        th = np.sort(rng.rand(cols, n), -1) * 25
+        th[0, 33:] = np.nan
+        th[1] = th[1, ::-1]
+        ph = rng.rand(cols, n)
+        tt = np.linspace(-1, 27, m)
+
+        dense = np.asarray(
+            tr.interp_1d_linear(
+                jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt),
+                mask_edges=True,
+            )
+        )
+        # force the scan branch by shrinking the dense budget
+        orig = tr._DENSE_MEMB_BUDGET
+        try:
+            tr._DENSE_MEMB_BUDGET = 0
+            scanned = np.asarray(
+                tr.interp_1d_linear(
+                    jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt),
+                    mask_edges=True,
+                )
+            )
+        finally:
+            tr._DENSE_MEMB_BUDGET = orig
+        np.testing.assert_allclose(scanned, dense, rtol=1e-12)

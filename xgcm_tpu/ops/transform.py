@@ -40,6 +40,10 @@ __all__ = [
 # Low level kernels (raw arrays, act along the last axis)
 # ---------------------------------------------------------------------------
 
+# largest (cols * m * n) membership tensor the dense linear formulation may
+# materialise; deeper columns stream a lax.scan over knots instead
+_DENSE_MEMB_BUDGET = 2**27
+
 
 def _column_flip(phi, theta):
     """Flip columns whose theta decreases (first vs last non-NaN value),
@@ -153,19 +157,58 @@ def interp_1d_linear(
 
     from .pallas_transform import _shifted
 
-    th_next = _shifted(theta_s, jnp.inf)
-    ph_next = _shifted(phi_sane0, 0.0)
-    t_ = t[..., :, None]  # (..., m, 1)
-    memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
+    if int(np.prod(lead_shape, dtype=np.int64)) * n * m <= _DENSE_MEMB_BUDGET:
+        # dense membership tensor (..., m, n): best XLA fusion for the
+        # common shallow-column case
+        th_next = _shifted(theta_s, jnp.inf)
+        ph_next = _shifted(phi_sane0, 0.0)
+        t_ = t[..., :, None]  # (..., m, 1)
+        memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
 
-    def _sel(x):
-        return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
+        def _sel(x):
+            return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
 
-    th_lo, th_hi = _sel(theta_s), _sel(th_next)
-    ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
-    w = (t - th_lo) / (th_hi - th_lo)
-    w = jnp.where(jnp.isfinite(w), w, 0.0)
-    out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
+        th_lo, th_hi = _sel(theta_s), _sel(th_next)
+        ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
+        w = (t - th_lo) / (th_hi - th_lo)
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+        out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
+    else:
+        # deep columns: scan the SAME one-hot selection over knots so peak
+        # memory is O(cols * m) instead of the (cols, m, n) tensor (the
+        # reference's per-column numba loop has the same O(1)-in-n memory)
+        thT = jnp.moveaxis(theta_s, -1, 0)  # (n, ...)
+        phT = jnp.moveaxis(phi_sane0, -1, 0)
+        th_next = jnp.concatenate(
+            [thT[1:], jnp.full_like(thT[:1], jnp.inf)], axis=0
+        )
+        ph_next = jnp.concatenate([phT[1:], jnp.zeros_like(phT[:1])], axis=0)
+
+        def step(carry, knot):
+            th_lo, th_hi, ph_lo, ph_hi = carry
+            th_k, thn_k, ph_k, phn_k = knot
+            # th_k has shape lead_shape; one target axis appended.  Select
+            # with where, NOT multiply: thn_k is +inf beyond the last valid
+            # knot and 0 * inf = NaN would poison the sums
+            c = (th_k[..., None] <= t) & (thn_k[..., None] > t)
+
+            def acc(s, x):
+                return s + jnp.where(c, x[..., None], 0.0)
+
+            return (
+                acc(th_lo, th_k),
+                acc(th_hi, thn_k),
+                acc(ph_lo, ph_k),
+                acc(ph_hi, phn_k),
+            ), None
+
+        zero = jnp.zeros(t.shape, t.dtype)
+        (th_lo, th_hi, ph_lo, ph_hi), _ = jax.lax.scan(
+            step, (zero, zero, zero, zero), (thT, th_next, phT, ph_next)
+        )
+        w = (t - th_lo) / (th_hi - th_lo)
+        w = jnp.where(jnp.isfinite(w), w, 0.0)
+        out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
     # np.interp edge clamping: below the first valid knot -> its value,
     # at/above the last valid knot -> its value.  Valid-edge values are
     # extracted with O(n) one-hot sums (cheap; no (m, n) blowup), which also
