@@ -452,3 +452,33 @@ class TestDeepColumnScanPath:
         finally:
             tr._DENSE_MEMB_BUDGET = orig
         np.testing.assert_allclose(scanned, dense, rtol=1e-12)
+
+    def test_conservative_scan_matches_dense(self):
+        import jax.numpy as jnp
+
+        from xgcm_tpu.ops import transform as tr
+
+        rng = np.random.RandomState(5)
+        cols, n = 6, 20
+        th = np.sort(rng.rand(cols, n + 1), -1) * 20
+        th[0, 16:] = np.nan
+        th[1, 7] = th[1, 6]  # degenerate cell
+        ph = rng.rand(cols, n)
+        ph[2, 4] = np.nan
+        edges = np.linspace(-1, 21, 9)
+        dense = np.asarray(
+            tr.interp_1d_conservative(
+                jnp.asarray(ph), jnp.asarray(th), jnp.asarray(edges)
+            )
+        )
+        orig = tr._DENSE_MEMB_BUDGET
+        try:
+            tr._DENSE_MEMB_BUDGET = 0
+            scanned = np.asarray(
+                tr.interp_1d_conservative(
+                    jnp.asarray(ph), jnp.asarray(th), jnp.asarray(edges)
+                )
+            )
+        finally:
+            tr._DENSE_MEMB_BUDGET = orig
+        np.testing.assert_allclose(scanned, dense, rtol=1e-12)
