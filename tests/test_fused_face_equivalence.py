@@ -106,7 +106,7 @@ def test_scalar_with_other_component_matches_plain():
 
 
 @pytest.mark.parametrize("op", ["diff", "interp"])
-@pytest.mark.parametrize("boundary", ["fill", "extend"])
+@pytest.mark.parametrize("boundary", ["fill", "extend", "periodic", "extrapolate"])
 def test_fused_vector_equals_generic(op, boundary):
     """Vector components (dict input + other_component) through the fused
     face path must match the generic pad-and-concat engine, including the
