@@ -82,3 +82,29 @@ def test_missing_other_component_raises(ds):
         sharded_face_op(
             grid, "interp", {"Y": ds["v"]}, "X", mesh, "f", "X", "Y"
         )
+
+
+@pytest.mark.parametrize("op", ["interp", "diff"])
+def test_vector_through_sharded_grid_proxy(ds, op):
+    """ShardedGrid routes vector-dict inputs with other_component through
+    sharded_face_op when the face dim is mesh-mapped."""
+    from xgcm_tpu.parallel import ShardedGrid
+
+    grid = Grid(ds, face_connections=FC_XY, periodic=False)
+    mesh = make_mesh({"f": 2})
+    u, v = ds["u"], ds["v"]
+
+    expected = getattr(grid, op)(
+        {"Y": v}, "X", other_component={"X": u}, boundary="fill",
+        fill_value=0.0,
+    )
+
+    sgrid = ShardedGrid(grid, mesh, {"face": "f"})
+    v_sh = shard_gridded(v, mesh, {"face": "f"})
+    u_sh = shard_gridded(u, mesh, {"face": "f"})
+    out = getattr(sgrid, op)(
+        {"Y": v_sh}, "X", other_component={"X": u_sh}, boundary="fill",
+        fill_value=0.0,
+    )
+    assert out.dims == expected.dims
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))

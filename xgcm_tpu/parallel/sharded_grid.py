@@ -73,8 +73,11 @@ class ShardedGrid:
 
     def _face_sharded_args(self, da):
         """(mesh_axis, x_axis, y_axis) when the grid's face dim is sharded
-        and the array spans exactly two connection axes; else None."""
+        and the array spans exactly two connection axes; else None.
+        Vector inputs (single-entry dicts) are judged by their component."""
         grid = self.grid
+        if isinstance(da, dict):
+            (da,) = da.values()
         if grid._face_connections is None:
             return None
         facedim = grid._facedim
@@ -147,6 +150,7 @@ class ShardedGrid:
                     self.grid, name, out, ax_name, self.mesh, mesh_axis,
                     x_axis, y_axis, to=ax_to, boundary=boundary,
                     fill_value=fill_value,
+                    other_component=kw.get("other_component"),
                 )
             elif not isinstance(out, dict) and self._core_dim_sharded(
                 out, ax_name, ax_to
