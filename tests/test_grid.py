@@ -267,3 +267,29 @@ class TestMoreReferenceParity:
         like = GriddedArray(np.random.rand(ds.dims["XG"]), ("XG",))
         out = grid.interp_like(arr, like, boundary="extend")
         assert out.dims == ("XG",)
+
+
+class TestVectorDictNoFaceConnections:
+    """Reference GH #581 (test_grid.py:258-283): diff_2d_vector /
+    interp_2d_vector accept {axis: array} dicts on grids WITHOUT face
+    connections, and equal the corresponding scalar ops per component."""
+
+    @pytest.mark.parametrize("func", ["diff_2d_vector", "interp_2d_vector"])
+    @pytest.mark.parametrize("boundary", ["fill", "extend"])
+    def test_matches_scalar_ops(self, func, boundary):
+        from .datasets import datasets_grid_metric
+
+        ds, coords, _ = datasets_grid_metric("C")
+        grid = Grid(ds, coords=coords, periodic=True, autoparse_metadata=False)
+        scalar = getattr(grid, func.replace("_2d_vector", ""))
+        u, v = ds["u"], ds["v"]
+        expected = {
+            "X": scalar(u, "X", boundary=boundary),
+            "Y": scalar(v, "Y", boundary=boundary),
+        }
+        result = getattr(grid, func)({"X": u, "Y": v}, boundary=boundary)
+        for k in ("X", "Y"):
+            assert result[k].dims == expected[k].dims
+            np.testing.assert_allclose(
+                np.asarray(result[k].data), np.asarray(expected[k].data)
+            )
