@@ -482,3 +482,26 @@ class TestDeepColumnScanPath:
         finally:
             tr._DENSE_MEMB_BUDGET = orig
         np.testing.assert_allclose(scanned, dense, rtol=1e-12)
+
+    def test_nan_targets_yield_nan_like_np_interp(self):
+        """np.interp(nan, ...) is NaN; the generic path must agree with
+        the fused TPU kernel instead of silently producing 0.0 from the
+        empty membership sum."""
+        import jax.numpy as jnp
+
+        from xgcm_tpu.ops import transform as tr
+        from xgcm_tpu.ops.pallas_transform import _fused_ref_jnp
+
+        th = np.asarray([[1.0, 2.0, 3.0, 4.0]])
+        ph = np.asarray([[10.0, 20.0, 30.0, 40.0]])
+        tt = np.asarray([[2.5, np.nan]])
+        out = np.asarray(
+            tr.interp_1d_linear(jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt))
+        )
+        assert out[0, 0] == 25.0
+        assert np.isnan(out[0, 1])
+        ref = np.asarray(
+            _fused_ref_jnp(jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt))
+        )
+        np.testing.assert_allclose(np.nan_to_num(out, nan=-9),
+                                   np.nan_to_num(ref, nan=-9))

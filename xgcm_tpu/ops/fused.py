@@ -11,8 +11,10 @@ pad-then-stencil path for every length-preserving position pair.
 
 Two fast paths live here: :func:`fused_shift_op` for face-less grids and
 :func:`fused_face_shift_op` for face-connected grids (per-face roll + a
-plan-driven edge-line fixup).  Both serve scalar (non-vector) inputs; the
-dispatch falls back to the generic engine otherwise.
+plan-driven edge-line fixup).  Both serve scalars; the face path also
+serves vector components (partner strips + sign rules via
+``partner``/``vector_axis_code``); anything else falls back to the
+generic engine.
 """
 
 from __future__ import annotations

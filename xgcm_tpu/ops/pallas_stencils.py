@@ -323,15 +323,10 @@ def shift_op(
 
 
 def _apply_shift_pair(op, direction, x, nb):
-    if op == "diff":
-        return x - nb if direction == "left" else nb - x
-    if op == "interp":
-        return (x + nb) * 0.5
-    if op == "min":
-        return jnp.minimum(x, nb)
-    if op == "max":
-        return jnp.maximum(x, nb)
-    raise ValueError(op)
+    # single source of truth for the op -> expression mapping
+    from .fused import _apply_pair
+
+    return _apply_pair(op, direction, x, nb)
 
 
 def supports_face_shift(x) -> bool:

@@ -18,11 +18,16 @@ Descending columns are handled by NEGATION instead of index reversal:
 -theta of a descending column is ascending in the SAME index order, the
 lerp ``ph_lo + (t_eff - th_lo_eff) * s_eff`` is sign-invariant, and the
 membership rule in effective space ([th_k*d <= t*d < th_{k+1}*d))
-selects the identical interval as np.interp on the flipped array.  The
-only observable difference is the tie-break at interior DUPLICATE theta
-knots with differing phi (negation keeps original index order, flipping
-reverses it) — a measure-zero case the reference leaves to np.interp's
-own tie-break and no test pins down.
+selects the identical interval as np.interp on the flipped array.  Two
+inputs OUTSIDE the reference's defined contract (monotonic coordinate
+with NaN only in contiguous masked runs at the column ends) can
+observably differ from the XLA flip path: (a) interior DUPLICATE theta
+knots with differing phi hit np.interp's tie-break from the other side
+(negation keeps original index order, flipping reverses it); (b) an
+interior NaN knot in a DESCENDING column sanitises in place here but is
+carried to the other end by the index reversal there.  Both paths are
+deterministic; the reference's own numba kernel feeds such columns to
+np.interp unchecked.
 
 Kernel layout (see also CLAUDE.md "Mosaic/Pallas restrictions"): columns
 ride the LANES ((n, C) blocks of the transposed inputs), targets ride
@@ -73,8 +78,12 @@ def supports_fused_transform(phi, theta, target) -> bool:
     if phi.shape[-1] < 2 or phi.shape[-1] > 256 or target.shape[-1] > 256:
         return False
     # Mosaic needs lane blocks of 128 (or one block spanning the array):
-    # odd column counts run single-tile, so cap the VMEM they may claim
-    if phi.shape[0] % 128 != 0 and phi.shape[0] * phi.shape[-1] > 262144:
+    # odd column counts run single-tile, so cap the VMEM ALL single-tile
+    # blocks (theta + phi in, output and any per-column target out) may
+    # claim, not just the inputs
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * (
+        2 * phi.shape[-1] + 2 * target.shape[-1]
+    ) > 262144:
         return False
     if any(
         a.dtype not in (jnp.float32, jnp.bfloat16)
@@ -532,7 +541,10 @@ def supports_fused_conservative(phi, theta, edges) -> bool:
         for a in (phi, theta, edges)
     ):
         return False
-    if phi.shape[0] % 128 != 0 and phi.shape[0] * phi.shape[-1] > 262144:
+    # single-tile odd-cols case: bound ALL blocks (bounds + cells + output)
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * (
+        2 * phi.shape[-1] + 1 + edges.shape[0]
+    ) > 262144:
         return False
     return True
 

@@ -110,18 +110,35 @@ def interp_1d_linear(
     # broadcasting all three operands to the joint lead shape reproduces
     # the generic path's output contract exactly; a target with no real
     # lead dims takes the cheaper shared-target kernel layout, any other
-    # (spatially varying) target rides along per column
+    # (spatially varying) target rides along per column.  The support
+    # check runs on shape/dtype STAND-INS first so unsupported (CPU, x64,
+    # odd-shape) calls never materialise the broadcast copies eagerly.
     n_f = phi.shape[-1]
     m_f = target.shape[-1]
-    ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
-    th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
-    if all(s == 1 for s in target.shape[:-1]):
-        tgt2f = target.reshape(-1)
-    else:
-        tgt2f = jnp.broadcast_to(target, fused_lead + (m_f,)).reshape(
-            -1, m_f
-        )
-    if supports_fused_transform(ph2f, th2f, tgt2f):
+    cols_f = int(np.prod(fused_lead, dtype=np.int64))
+    shared_t = all(s == 1 for s in target.shape[:-1])
+    _stub = type("_S", (), {})
+
+    def _as2d(dtype, shape):
+        s = _stub()
+        s.shape = shape
+        s.ndim = len(shape)
+        s.dtype = dtype
+        return s
+
+    if supports_fused_transform(
+        _as2d(phi.dtype, (cols_f, n_f)),
+        _as2d(theta.dtype, (cols_f, n_f)),
+        _as2d(target.dtype, (m_f,) if shared_t else (cols_f, m_f)),
+    ):
+        ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
+        th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
+        if shared_t:
+            tgt2f = target.reshape(-1)
+        else:
+            tgt2f = jnp.broadcast_to(target, fused_lead + (m_f,)).reshape(
+                -1, m_f
+            )
         out = interp_linear_fused_ad(
             th2f, ph2f, tgt2f, mask_edges, not bypass_checks
         )
@@ -232,6 +249,10 @@ def interp_1d_linear(
     out = jnp.where(target_b < th_min, first_phi, out)
     out = jnp.where(target_b >= th_max, last_phi, out)
     out = jnp.where(jnp.any(valid, axis=-1, keepdims=True), out, jnp.nan)
+    # NaN targets -> NaN, like np.interp (and like the fused TPU kernel,
+    # where nan * 0 propagates through the lerp); without this the zero
+    # membership sum would silently yield 0.0
+    out = jnp.where(jnp.isnan(target_b), jnp.nan, out)
 
     if mask_edges:
         theta_max = jnp.nanmax(theta_b, axis=-1, keepdims=True)
@@ -312,7 +333,10 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     # fuses this form acceptably; keep the simple layout.)
     n = phi.shape[-1]
     m = edges.shape[-1]
-    lead = int(np.prod(phi.shape[:-1], dtype=np.int64))
+    lead_shape = jnp.broadcast_shapes(
+        phi.shape[:-1], theta_1.shape[:-1], theta_2.shape[:-1]
+    )
+    lead = int(np.prod(lead_shape, dtype=np.int64))
     if lead * n * m <= _DENSE_MEMB_BUDGET:
         out, count = _reduce(
             edges[..., :-1, None],  # (..., m-1, 1) vs cells (..., 1, n)
@@ -348,11 +372,14 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
         ).astype(w.dtype)
         return (out_acc, cnt_acc), None
 
+    # broadcast every per-cell operand to the JOINT lead shape first so the
+    # scan carry has its final shape from step one (phi and theta may
+    # broadcast against each other)
     cells = tuple(
-        jnp.moveaxis(x, -1, 0)
+        jnp.moveaxis(jnp.broadcast_to(x, lead_shape + (n,)), -1, 0)
         for x in (tmin, tmax, degenerate, inv_thick, w, vf)
     )
-    zero = jnp.zeros(phi.shape[:-1] + (m - 1,), w.dtype)
+    zero = jnp.zeros(lead_shape + (m - 1,), w.dtype)
     (out, count), _ = jax.lax.scan(step, (zero, zero), cells)
     return out, count
 
@@ -407,9 +434,25 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
 
     n = phi.shape[-1]
     lead = jnp.broadcast_shapes(phi.shape[:-1], theta.shape[:-1])
-    ph2 = jnp.broadcast_to(phi, lead + (n,)).reshape(-1, n)
-    th2 = jnp.broadcast_to(theta, lead + (n + 1,)).reshape(-1, n + 1)
-    if supports_fused_conservative(ph2, th2, edges):
+    cols = int(np.prod(lead, dtype=np.int64))
+    _stub = type("_S", (), {})
+
+    def _as(dtype, shape):
+        s = _stub()
+        s.shape = shape
+        s.ndim = len(shape)
+        s.dtype = dtype
+        return s
+
+    # shape/dtype stand-ins: unsupported calls never materialise the
+    # broadcast copies eagerly
+    if supports_fused_conservative(
+        _as(phi.dtype, (cols, n)),
+        _as(theta.dtype, (cols, n + 1)),
+        _as(edges.dtype, edges.shape),
+    ):
+        ph2 = jnp.broadcast_to(phi, lead + (n,)).reshape(-1, n)
+        th2 = jnp.broadcast_to(theta, lead + (n + 1,)).reshape(-1, n + 1)
         out = conservative_fused_ad(th2, ph2, edges).reshape(
             lead + (edges.shape[0] - 1,)
         )
@@ -721,6 +764,12 @@ def transform_multi(
 
     if method not in ("linear", "log", "conservative") or len(das) < 2:
         return _loop()
+    # the shared-selection kernels are TPU-only; everywhere else the loop
+    # is exactly equivalent, and gating here avoids eager transposes on
+    # the way to a doomed support check.  V is bounded so the V tile sets
+    # fit VMEM
+    if jax.default_backend() != "tpu" or len(das) > 8:
+        return _loop()
     axis = grid.axes[axis_name]
     if axis.boundary == "periodic":
         return _loop()  # the per-da path raises the parity error
@@ -740,7 +789,9 @@ def transform_multi(
         tgt, tgt_dim, tdata = _parse_transform_target(
             grid, axis, das[0], target, target_dim, dim, target_data
         )
-    except (ValueError, KeyError):
+    except (ValueError, KeyError, AttributeError):
+        # AttributeError: invalid target_data types fall through to the
+        # per-da path, which raises the documented ValueError
         return _loop()
     if len(tgt.dims) != 1:
         return _loop()  # multidim targets take the generic per-da path
@@ -825,7 +876,7 @@ def _transform_multi_conservative(
             grid, axis, das[0], target, target_dim, target_data_dim,
             target_data,
         )
-    except (ValueError, KeyError):
+    except (ValueError, KeyError, AttributeError):
         return _loop()
     if len(tgt.dims) != 1 or target_data_dim not in tdata.dims:
         return _loop()  # auto-interp-to-bounds warning path
