@@ -156,3 +156,25 @@ class TestFaceSharded:
         arr = np.asarray(out.data)
         np.testing.assert_allclose(arr[:, 0, 0], [-3, 1, 1, 1, 1, 2])
         np.testing.assert_allclose(arr[:, -1, 0], [-3, 1, 1, 1, 1, 2])
+
+
+def test_single_shard_mesh_periodic_halo():
+    """A size-1 mesh axis must self-wrap periodic halos (regression: the
+    periodic-width guard rejected every halo when n == 1)."""
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+    ds = Dataset(coords={
+        "xc": ("xc", np.arange(16, dtype=float)),
+        "xg": ("xg", np.arange(16) - 0.5),
+    })
+    grid = Grid(
+        ds, coords={"X": {"center": "xc", "left": "xg"}},
+        autoparse_metadata=False,
+    )
+    da = GriddedArray(np.random.RandomState(0).rand(16), ("xc",))
+    mesh = make_mesh({"x": 1})
+    sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+    sh = shard_gridded(da, mesh, {"xc": "x"})
+    out = sgrid.diff(sh, "X", boundary="periodic")
+    expected = grid.diff(da, "X", boundary="periodic")
+    np.testing.assert_allclose(np.asarray(out.data), np.asarray(expected.data))

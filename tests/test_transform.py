@@ -505,3 +505,81 @@ class TestDeepColumnScanPath:
         )
         np.testing.assert_allclose(np.nan_to_num(out, nan=-9),
                                    np.nan_to_num(ref, nan=-9))
+
+    def test_nan_phi_at_valid_theta_propagates(self):
+        """NaN DATA at a valid theta knot must make targets bracketing it
+        NaN (np.interp semantics) on the generic, scan, and replica paths —
+        substituting 0 silently interpolated wrong finite values."""
+        import jax.numpy as jnp
+
+        from xgcm_tpu.ops import transform as tr
+        from xgcm_tpu.ops.pallas_transform import _fused_ref_jnp
+
+        th = np.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]])
+        ph = np.asarray([[1.0, np.nan, 3.0, 4.0, 5.0]])
+        # 0.5 and 1.5 bracket the NaN knot; 2.5 does not; -1/9 clamp
+        tt = np.asarray([-1.0, 0.5, 1.5, 2.5, 9.0])
+        expected = np.interp(tt, th[0], ph[0])
+
+        for path in ("dense", "scan", "replica"):
+            if path == "replica":
+                out = np.asarray(
+                    _fused_ref_jnp(jnp.asarray(th), jnp.asarray(ph),
+                                   jnp.asarray(tt))
+                )[0]
+            else:
+                orig = tr._DENSE_MEMB_BUDGET
+                try:
+                    if path == "scan":
+                        tr._DENSE_MEMB_BUDGET = 0
+                    out = np.asarray(
+                        tr.interp_1d_linear(
+                            jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt)
+                        )
+                    )[0]
+                finally:
+                    tr._DENSE_MEMB_BUDGET = orig
+            np.testing.assert_allclose(
+                np.nan_to_num(out, nan=-9.0),
+                np.nan_to_num(expected, nan=-9.0),
+                err_msg=path,
+            )
+            assert np.isnan(out[1]) and np.isnan(out[2]), path
+            assert not np.isnan(out[3]), path
+
+    def test_traced_decreasing_bins_match_eager(self):
+        """Decreasing conservative bins passed as TRACED values (inside
+        jit) must flip branchlessly — assuming increasing silently
+        corrupted the result while the same eager call succeeded."""
+        import jax
+        import jax.numpy as jnp
+
+        from xgcm_tpu.ops import transform as tr
+
+        rng = np.random.RandomState(2)
+        cols, n = 5, 12
+        th = np.sort(rng.rand(cols, n + 1), -1) * 20
+        ph = rng.rand(cols, n)
+        bins_dec = np.linspace(21, -1, 9)  # decreasing
+
+        eager = np.asarray(
+            tr.interp_1d_conservative(
+                jnp.asarray(ph), jnp.asarray(th), np.asarray(bins_dec)
+            )
+        )
+
+        @jax.jit
+        def run(p, t, b):
+            return tr.interp_1d_conservative(p, t, b)
+
+        traced = np.asarray(
+            run(jnp.asarray(ph), jnp.asarray(th), jnp.asarray(bins_dec))
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(traced, nan=-9), np.nan_to_num(eager, nan=-9),
+            rtol=1e-12,
+        )
+        # conservation through the jit path
+        np.testing.assert_allclose(
+            np.nansum(traced, -1), ph.sum(-1), rtol=1e-12
+        )

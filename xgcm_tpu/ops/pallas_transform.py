@@ -132,7 +132,12 @@ def _fused_kernel(
     ph_raw = ph_ref[:, :].astype(f32)
     th_nan = jnp.isnan(th_t)
     valid = ~th_nan
-    ph_t = jnp.where(jnp.isnan(ph_raw), 0.0, ph_raw)  # sanitised phi
+    ph_nan = jnp.isnan(ph_raw)
+    ph_t = jnp.where(ph_nan, 0.0, ph_raw)  # sanitised phi (FMA-safe)
+    # NaN data at a VALID theta knot must propagate NaN into bracketing
+    # targets (np.interp semantics); inside the theta-NaN masked region it
+    # must not (those intervals resolve through the edge clamps)
+    nan_f = (ph_nan & valid).astype(f32)
 
     # ---- vectorised first/last-valid extraction + range + any-valid ----
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, C), 0)
@@ -145,9 +150,9 @@ def _fused_kernel(
         return jnp.sum(jnp.where(eq, x, 0.0), axis=0, keepdims=True)
 
     first_th = _pick(eq_f, jnp.where(valid, th_t, 0.0))
-    first_ph = _pick(eq_f, ph_t)
+    first_ph = _pick(eq_f, ph_raw)  # raw: genuinely-NaN data clamps NaN
     last_th = _pick(eq_l, jnp.where(valid, th_t, 0.0))
-    last_ph = _pick(eq_l, ph_t)
+    last_ph = _pick(eq_l, ph_raw)
     th_min = jnp.min(jnp.where(valid, th_t, inf), axis=0, keepdims=True)
     th_max = jnp.max(jnp.where(valid, th_t, -inf), axis=0, keepdims=True)
     seen = fidx < n  # (1, C)
@@ -166,6 +171,9 @@ def _fused_kernel(
     s_full = jnp.where(
         ok, (ph_t[1:, :] - ph_t[:-1, :]) / jnp.where(ok, dth, 1.0), 0.0
     )
+    # interval-touches-NaN-data indicator: endpoint k or k+1 is NaN data
+    # at a valid theta knot
+    npair = jnp.maximum(nan_f[1:, :], nan_f[:-1, :])  # (n-1, C)
 
     # ---- main membership loop in effective (direction-normalised) space.
     # Exactly one interval [th_e_k, th_e_{k+1}) with th_e_{k+1} > t matches
@@ -180,6 +188,7 @@ def _fused_kernel(
     th_lo = jnp.zeros((m, C), f32)
     ph_lo = jnp.zeros((m, C), f32)
     s_sel = jnp.zeros((m, C), f32)
+    nacc = jnp.zeros((m, C), f32)
     for k in range(n - 1):
         th_e_n = th_e_full[k + 1 : k + 2, :]
         cs_n = th_e_n <= t_eff
@@ -188,15 +197,20 @@ def _fused_kernel(
         th_lo = th_lo + c * th_e
         ph_lo = ph_lo + c * ph_t[k : k + 1, :]
         s_sel = s_sel + c * s_full[k : k + 1, :]
+        nacc = nacc + c * npair[k : k + 1, :]
         cs = cs_n
         th_e = th_e_n
     # trailing half-open interval [th_e_{n-1}, +inf): slope 0
     cl = cs.astype(f32)
     th_lo = th_lo + cl * th_e
     ph_lo = ph_lo + cl * ph_t[n - 1 : n, :]
+    nacc = nacc + cl * nan_f[n - 1 : n, :]
     out = ph_lo + (t_eff - th_lo) * s_sel
 
     # ---- np.interp edge clamps + NaN masking (original-space) ----
+    # NaN-data propagation first; out-of-range targets still clamp to the
+    # (possibly NaN) first/last data value, like np.interp's fp[0]/fp[-1]
+    out = jnp.where(nacc > 0, f32(jnp.nan), out)
     lo_ph = jnp.where(desc, last_ph, first_ph)  # value at the min-theta end
     hi_ph = jnp.where(desc, first_ph, last_ph)
     out = jnp.where(t < th_min, lo_ph, out)
@@ -276,7 +290,9 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
     oracle.  Operates on raw (cols, n) columns like the kernel."""
     f32 = jnp.promote_types(phi.dtype, jnp.float32)
     th = theta.astype(f32)
-    ph = jnp.nan_to_num(phi.astype(f32))
+    ph_raw = phi.astype(f32)
+    ph_nan = jnp.isnan(ph_raw)
+    ph = jnp.where(ph_nan, 0.0, ph_raw)
     t = target.astype(f32)
     if t.ndim == 1:
         t = t[None, :]  # (1, m) shared; (cols, m) stays per-column
@@ -292,8 +308,8 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
             jnp.where(iota == idx[..., None], x, 0.0), -1, keepdims=True
         )
 
-    first_th, first_ph = _at(th0, first_idx), _at(ph, first_idx)
-    last_th, last_ph = _at(th0, last_idx), _at(ph, last_idx)
+    first_th, first_ph = _at(th0, first_idx), _at(ph_raw, first_idx)
+    last_th, last_ph = _at(th0, last_idx), _at(ph_raw, last_idx)
     if check_flip:
         desc = last_th < first_th
         dsign = jnp.where(desc, -1.0, 1.0)
@@ -315,6 +331,11 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
         return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
 
     out = sel(ph) + (t_eff - sel(th_e)) * sel(slope)
+    # NaN data at a valid theta knot propagates into bracketing targets
+    # (np.interp semantics), mirroring the kernel's indicator accumulator
+    nan_f = (ph_nan & valid).astype(f32)
+    npair = jnp.maximum(_shifted(nan_f, 0.0), nan_f)
+    out = jnp.where(sel(npair) > 0, jnp.nan, out)
     th_min = jnp.min(jnp.where(valid, th, jnp.inf), -1, keepdims=True)
     th_max = jnp.max(jnp.where(valid, th, -jnp.inf), -1, keepdims=True)
     lo_ph = jnp.where(desc, last_ph, first_ph)
@@ -352,10 +373,12 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     th_t = th_ref[:, :].astype(f32)
     th_nan = jnp.isnan(th_t)
     valid = ~th_nan
+    ph_raws = [r[:, :].astype(f32) for r in ph_refs]
+    ph_nans = [jnp.isnan(p) for p in ph_raws]
     ph_ts = [
-        jnp.where(jnp.isnan(p), 0.0, p)
-        for p in (r[:, :].astype(f32) for r in ph_refs)
+        jnp.where(pn, 0.0, p) for pn, p in zip(ph_nans, ph_raws)
     ]
+    nan_fs = [(pn & valid).astype(f32) for pn in ph_nans]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, C), 0)
     fidx = jnp.min(jnp.where(valid, iota, n), axis=0, keepdims=True)
@@ -368,8 +391,8 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
 
     first_th = _pick(eq_f, jnp.where(valid, th_t, 0.0))
     last_th = _pick(eq_l, jnp.where(valid, th_t, 0.0))
-    first_phs = [_pick(eq_f, p) for p in ph_ts]
-    last_phs = [_pick(eq_l, p) for p in ph_ts]
+    first_phs = [_pick(eq_f, p) for p in ph_raws]  # raw: NaN clamps NaN
+    last_phs = [_pick(eq_l, p) for p in ph_raws]
     th_min = jnp.min(jnp.where(valid, th_t, inf), axis=0, keepdims=True)
     th_max = jnp.max(jnp.where(valid, th_t, -inf), axis=0, keepdims=True)
     seen = fidx < n
@@ -386,6 +409,7 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     ok = (dth > 0) & (th_e_full[1:, :] < big)
     inv_dth = jnp.where(ok, 1.0 / jnp.where(ok, dth, 1.0), 0.0)
     s_fulls = [(p[1:, :] - p[:-1, :]) * inv_dth for p in ph_ts]
+    npairs = [jnp.maximum(nf[1:, :], nf[:-1, :]) for nf in nan_fs]
 
     t_eff = t * dsign
     th_e = th_e_full[0:1, :]
@@ -393,6 +417,7 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     th_lo = jnp.zeros((m, C), f32)
     ph_los = [jnp.zeros((m, C), f32) for _ in range(nv)]
     s_sels = [jnp.zeros((m, C), f32) for _ in range(nv)]
+    naccs = [jnp.zeros((m, C), f32) for _ in range(nv)]
     for k in range(n - 1):
         th_e_n = th_e_full[k + 1 : k + 2, :]
         cs_n = th_e_n <= t_eff
@@ -401,6 +426,7 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
         for v in range(nv):
             ph_los[v] = ph_los[v] + c * ph_ts[v][k : k + 1, :]
             s_sels[v] = s_sels[v] + c * s_fulls[v][k : k + 1, :]
+            naccs[v] = naccs[v] + c * npairs[v][k : k + 1, :]
         cs = cs_n
         th_e = th_e_n
     cl = cs.astype(f32)
@@ -412,6 +438,8 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
         edge_nan = below | (t > th_max)
     for v in range(nv):
         out = ph_los[v] + cl * ph_ts[v][n - 1 : n, :] + w * s_sels[v]
+        nacc = naccs[v] + cl * nan_fs[v][n - 1 : n, :]
+        out = jnp.where(nacc > 0, f32(jnp.nan), out)
         lo_ph = jnp.where(desc, last_phs[v], first_phs[v])
         hi_ph = jnp.where(desc, first_phs[v], last_phs[v])
         out = jnp.where(below, lo_ph, out)

@@ -170,7 +170,12 @@ def interp_1d_linear(
     # TPU case returned above through the fused Pallas kernel.
     t = target_b  # (..., m)
     theta_s = jnp.where(jnp.isnan(theta_b), jnp.inf, theta_b)  # (..., n)
-    phi_sane0 = jnp.nan_to_num(phi_b)
+    # phi is selected RAW through where() (select, never multiply): a NaN
+    # data value at a valid theta knot must propagate NaN into targets
+    # bracketing it, exactly like the reference's np.interp — substituting
+    # 0 would silently interpolate wrong finite values.  (NaN phi inside
+    # the theta-NaN masked region never gets selected for in-range
+    # targets, and the edge clamps below overwrite out-of-range ones.)
 
     from .pallas_transform import _shifted
 
@@ -178,7 +183,7 @@ def interp_1d_linear(
         # dense membership tensor (..., m, n): best XLA fusion for the
         # common shallow-column case
         th_next = _shifted(theta_s, jnp.inf)
-        ph_next = _shifted(phi_sane0, 0.0)
+        ph_next = _shifted(phi_b, 0.0)
         t_ = t[..., :, None]  # (..., m, 1)
         memb = (theta_s[..., None, :] <= t_) & (th_next[..., None, :] > t_)
 
@@ -186,7 +191,7 @@ def interp_1d_linear(
             return jnp.sum(jnp.where(memb, x[..., None, :], 0.0), axis=-1)
 
         th_lo, th_hi = _sel(theta_s), _sel(th_next)
-        ph_lo, ph_hi = _sel(phi_sane0), _sel(ph_next)
+        ph_lo, ph_hi = _sel(phi_b), _sel(ph_next)
         w = (t - th_lo) / (th_hi - th_lo)
         w = jnp.where(jnp.isfinite(w), w, 0.0)
         out = (ph_lo + w * (ph_hi - ph_lo)).astype(phi_b.dtype)
@@ -195,7 +200,7 @@ def interp_1d_linear(
         # memory is O(cols * m) instead of the (cols, m, n) tensor (the
         # reference's per-column numba loop has the same O(1)-in-n memory)
         thT = jnp.moveaxis(theta_s, -1, 0)  # (n, ...)
-        phT = jnp.moveaxis(phi_sane0, -1, 0)
+        phT = jnp.moveaxis(phi_b, -1, 0)
         th_next = jnp.concatenate(
             [thT[1:], jnp.full_like(thT[:1], jnp.inf)], axis=0
         )
@@ -235,13 +240,14 @@ def interp_1d_linear(
     iota = jnp.arange(n)
     first_idx = jnp.argmax(valid, axis=-1)
     last_idx = n - 1 - jnp.argmax(valid[..., ::-1], axis=-1)
-    phi_sane = jnp.nan_to_num(phi_b)
+    # raw phi through the select: a genuinely-NaN first/last data value
+    # clamps to NaN, like np.interp's fp[0]/fp[-1]
     first_phi = jnp.sum(
-        jnp.where(iota == first_idx[..., None], phi_sane, 0.0),
+        jnp.where(iota == first_idx[..., None], phi_b, 0.0),
         axis=-1, keepdims=True,
     )
     last_phi = jnp.sum(
-        jnp.where(iota == last_idx[..., None], phi_sane, 0.0),
+        jnp.where(iota == last_idx[..., None], phi_b, 0.0),
         axis=-1, keepdims=True,
     )
     th_min = jnp.nanmin(theta_b, axis=-1, keepdims=True)
@@ -282,8 +288,18 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     rule (transform.py:117-120), which deliberately double-counts there.
 
     Returns (out, count) where count[..., j] is the number of contributing
-    cells per bin (for the untouched-bin -> NaN rule).
+    cells per bin (for the untouched-bin -> NaN rule).  Low-precision
+    inputs (bf16/f16) accumulate in f32 and cast back — a bf16 sum over a
+    50-cell column carries ~3 decimal digits and visibly breaks
+    conservation (the r1 einsum likewise accumulated in f32).
     """
+    out_dtype = None
+    if phi.dtype in (jnp.bfloat16, jnp.float16):
+        out_dtype = phi.dtype
+        phi = phi.astype(jnp.float32)
+        theta_1 = theta_1.astype(jnp.float32)
+        theta_2 = theta_2.astype(jnp.float32)
+        edges = edges.astype(jnp.float32)
     t1n = jnp.isnan(theta_1)
     t2n = jnp.isnan(theta_2)
     cell_empty = t1n & t2n
@@ -381,6 +397,8 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     )
     zero = jnp.zeros(lead_shape + (m - 1,), w.dtype)
     (out, count), _ = jax.lax.scan(step, (zero, zero), cells)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
     return out, count
 
 
@@ -403,12 +421,19 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     if jnp.ndim(target_theta_bins) != 1:
         raise ValueError("target_theta_bins must be 1D")
 
+    traced_flip = None
     if isinstance(target_theta_bins, jax.core.Tracer):
-        # traced targets (inside jit): direction can't be inspected, so bins
-        # are assumed increasing — the concrete-value path below handles the
-        # decreasing case by flipping (reference transform.py:173-181)
+        # traced targets (inside jit): direction can't be inspected
+        # concretely, so flip BRANCHLESSLY on the traced endpoint
+        # comparison — assuming increasing silently corrupted decreasing
+        # bins under jit while the same eager call succeeded.
+        # (Monotonicity VALIDATION stays concrete-only, like the
+        # reference's eager numba path, transform.py:173-181.)
         flip_switch = False
-        target = target_theta_bins
+        traced_flip = target_theta_bins[-1] < target_theta_bins[0]
+        target = jnp.where(
+            traced_flip, target_theta_bins[::-1], target_theta_bins
+        )
     else:
         target = np.asarray(target_theta_bins)
         target_diff = np.diff(target)
@@ -462,6 +487,8 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
 
     if flip_switch:
         out = out[..., ::-1]
+    elif traced_flip is not None:
+        out = jnp.where(traced_flip, out[..., ::-1], out)
     return out
 
 
@@ -900,11 +927,16 @@ def _transform_multi_conservative(
             return _loop()
         phi_ts.append(phi_t)
 
-    # concrete targets expose the bin direction (decreasing bins flip);
-    # traced targets assume increasing, like interp_1d_conservative
+    # concrete targets expose the bin direction (decreasing bins flip and
+    # non-monotonic bins error); traced targets flip branchlessly on the
+    # endpoint comparison, like interp_1d_conservative
     tdata_arr = tgt.data
     flip_switch = False
-    if not isinstance(tdata_arr, jax.core.Tracer):
+    traced_flip = None
+    if isinstance(tdata_arr, jax.core.Tracer):
+        traced_flip = tdata_arr[-1] < tdata_arr[0]
+        tdata_arr = jnp.where(traced_flip, tdata_arr[::-1], tdata_arr)
+    else:
         t_np = np.asarray(tdata_arr)
         t_diff = np.diff(t_np)
         if np.all(t_diff < 0):
@@ -942,6 +974,8 @@ def _transform_multi_conservative(
         out = out.reshape(lead_shape + (m1,))
         if flip_switch:
             out = out[..., ::-1]
+        elif traced_flip is not None:
+            out = jnp.where(traced_flip, out[..., ::-1], out)
         name = (da.name + suffix) if da.name else None
         lead_dims = [d for d in phi_t.dims if d != dim]
         results.append(

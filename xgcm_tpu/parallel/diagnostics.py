@@ -29,29 +29,10 @@ from jax.sharding import Mesh
 
 from ..core.dataarray import GriddedArray
 from ..core.grid import Grid
-from ..core.padding import BOUNDARY_TO_PAD_MODE, _extrapolate_pad
-from .halo import ring_halo_pad
+from .halo import pad_axis_local_or_ring
 from .mesh import partition_spec
 
 __all__ = ["sharded_cgrid_diagnostics"]
-
-
-def _pad_1axis(x, axis, widths, mesh_axis, boundary, fill_value):
-    """Halo-pad one axis of a local block: ppermute ring when the dim is
-    mesh-mapped, otherwise the local (global-edge) boundary condition."""
-    if widths == (0, 0):
-        return x
-    if mesh_axis is not None:
-        return ring_halo_pad(x, axis, widths, mesh_axis, boundary, fill_value)
-    mode = BOUNDARY_TO_PAD_MODE[boundary]
-    if mode == "extrapolate":
-        return _extrapolate_pad(x, axis, widths)
-    pad_widths = [(0, 0)] * x.ndim
-    pad_widths[axis] = widths
-    if mode == "constant":
-        return jnp.pad(x, pad_widths, mode="constant",
-                       constant_values=fill_value)
-    return jnp.pad(x, pad_widths, mode=mode)
 
 
 def sharded_cgrid_diagnostics(
@@ -122,10 +103,10 @@ def sharded_cgrid_diagnostics(
 
     def local(ub, vb):
         # ONE halo round: all four exchanges live in the same program
-        up = _pad_1axis(ub, xa, (0, 1), mesh_x, bcx, fvx)  # u[:, 0..nx]
-        up = _pad_1axis(up, ya, (1, 0), mesh_y, bcy, fvy)  # u[-1.., :]
-        vp = _pad_1axis(vb, xa, (1, 0), mesh_x, bcx, fvx)  # v[:, -1..nx)
-        vp = _pad_1axis(vp, ya, (0, 1), mesh_y, bcy, fvy)  # v[0..ny, :]
+        up = pad_axis_local_or_ring(ub, xa, (0, 1), mesh_x, bcx, fvx)  # u[:, 0..nx]
+        up = pad_axis_local_or_ring(up, ya, (1, 0), mesh_y, bcy, fvy)  # u[-1.., :]
+        vp = pad_axis_local_or_ring(vb, xa, (1, 0), mesh_x, bcx, fvx)  # v[:, -1..nx)
+        vp = pad_axis_local_or_ring(vp, ya, (0, 1), mesh_y, bcy, fvy)  # v[0..ny, :]
 
         dvdx = vp[..., :-1, 1:] - vp[..., :-1, :-1]          # (yg, xg)
         dudy = up[..., 1:, :-1] - up[..., :-1, :-1]          # (yg, xg)

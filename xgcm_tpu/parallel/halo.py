@@ -36,6 +36,30 @@ from .mesh import partition_spec
 
 __all__ = ["ring_halo_pad", "sharded_op", "sharded_cumsum"]
 
+def pad_axis_local_or_ring(x, axis, widths, mesh_axis, boundary, fill_value):
+    """Halo-pad one positional axis of a local block: ppermute ring when
+    the dim is mesh-mapped, otherwise the local (global-edge) boundary
+    condition.  The single home for this dispatch — used by the fused
+    sharded diagnostics; the generic sharded engine routes its LOCAL pads
+    through the full core/padding engine instead (richer BC semantics) and
+    shares only ring_halo_pad with this helper."""
+    from ..core.padding import BOUNDARY_TO_PAD_MODE, _extrapolate_pad
+
+    if widths == (0, 0):
+        return x
+    if mesh_axis is not None:
+        return ring_halo_pad(x, axis, widths, mesh_axis, boundary, fill_value)
+    mode = BOUNDARY_TO_PAD_MODE[boundary]
+    if mode == "extrapolate":
+        return _extrapolate_pad(x, axis, widths)
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = widths
+    if mode == "constant":
+        return jnp.pad(x, pad_widths, mode="constant",
+                       constant_values=fill_value)
+    return jnp.pad(x, pad_widths, mode=mode)
+
+
 # position pairs that keep the array length (shardable), with their pad widths
 _SHARDABLE_WIDTHS = {
     ("center", "left"): (1, 0),
@@ -72,7 +96,14 @@ def ring_halo_pad(
         return x
     n_local = x.shape[axis]
     n = lax.axis_size(mesh_axis)
-    if max(lw, rw) > n_local * (n - 1) and boundary in ("periodic", None):
+    # on a single shard the periodic halo is a local wrap (self-permute),
+    # valid at any width; multi-shard periodic halos must fit the rest of
+    # the ring
+    if (
+        n > 1
+        and max(lw, rw) > n_local * (n - 1)
+        and boundary in ("periodic", None)
+    ):
         raise ValueError(
             f"halo width {max(lw, rw)} exceeds the rest of the periodic "
             f"domain ({n_local * (n - 1)} elements on {n} shards)"
@@ -102,25 +133,35 @@ def ring_halo_pad(
         first2, last2 = edge_values()
 
     def multi_hop(direction):
-        """Full blocks from `hops` neighbours in the given direction
-        (-1: from the left), concatenated in global order."""
+        """The w-wide halo strip from ring neighbours in the given
+        direction (-1: from the left), concatenated in global order.
+
+        Each contributing neighbour's strip is SLICED FIRST and shipped
+        with a single distance-h ppermute, so total ICI traffic is exactly
+        w elements — not hops x the full block (XLA does not hoist a
+        slice above a collective)."""
         w = lw if direction < 0 else rw
         hops = -(-w // n_local)
-        perm = [
-            (i, (i - direction) % n) for i in range(n)
-        ]  # direction -1 -> data moves right
-        blocks = []
-        cur = x
-        for _ in range(hops):
-            cur = lax.ppermute(cur, mesh_axis, perm)
+        strips = []
+        for h in range(1, hops + 1):
+            # the distance-h neighbour contributes w_h elements: full
+            # blocks for the near hops, the remainder from the farthest
+            w_h = min(n_local, w - (h - 1) * n_local)
             if direction < 0:
-                blocks.insert(0, cur)
+                strip = take(x, slice(n_local - w_h, None))
             else:
-                blocks.append(cur)
-        full = jnp.concatenate(blocks, axis=axis) if len(blocks) > 1 else blocks[0]
-        if direction < 0:
-            return take(full, slice(full.shape[axis] - w, None))
-        return take(full, slice(0, w))
+                strip = take(x, slice(0, w_h))
+            perm = [(i, (i - direction * h) % n) for i in range(n)]
+            strip = lax.ppermute(strip, mesh_axis, perm)
+            if direction < 0:
+                strips.insert(0, strip)
+            else:
+                strips.append(strip)
+        return (
+            jnp.concatenate(strips, axis=axis)
+            if len(strips) > 1
+            else strips[0]
+        )
 
     parts = []
     if lw:

@@ -59,14 +59,25 @@ def shard_gridded(
     Dims whose size does not divide their mesh axis stay replicated (a
     13-face dim over 8 devices cannot be block-sharded; the face-sharded op
     dummy-pads it internally instead)."""
+    import warnings
+
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    mapping = {
-        d: ax
-        for d, ax in dim_to_mesh_axis.items()
-        if ax is not None
-        and d in garr.dims
-        and garr.sizes[d] % sizes[ax] == 0
-    }
+    mapping = {}
+    for d, ax in dim_to_mesh_axis.items():
+        if ax is None or d not in garr.dims:
+            continue
+        if garr.sizes[d] % sizes[ax] == 0:
+            mapping[d] = ax
+        else:
+            # silent replication would hide a misconfigured mesh: warn so
+            # the caller knows the requested sharding was NOT applied
+            warnings.warn(
+                f"dim {d!r} (size {garr.sizes[d]}) does not divide mesh "
+                f"axis {ax!r} (size {sizes[ax]}); replicating instead of "
+                "sharding (the face-sharded ops dummy-pad uneven face "
+                "counts internally)",
+                UserWarning,
+            )
     spec = partition_spec(garr.dims, mapping)
     sharding = NamedSharding(mesh, spec)
     return garr.with_data(jax.device_put(garr.data, sharding))
