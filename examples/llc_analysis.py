@@ -128,7 +128,19 @@ def main():
     )
     assert abs(total_before - total_after) / total_before < 1e-5
 
-    # 5. constant-field seam check: gradients of a constant vanish across
+    # 5. multi-variable remap: several tracers onto the same surfaces in
+    # one fused pass (the standard T/S/velocity density-space pattern)
+    theta_c = theta.rename("theta")
+    salt = xt.GriddedArray(
+        35.0 + 0.01 * np.asarray(theta.data), theta.dims, name="salt"
+    )
+    t_levels = np.linspace(5.0, 20.0, 12)
+    t_on_t, s_on_t = grid.transform_multi(
+        [theta_c, salt], "Z", t_levels, target_data=theta_c, method="linear"
+    )
+    print("transform_multi:", t_on_t.name, s_on_t.name, s_on_t.shape)
+
+    # 6. constant-field seam check: gradients of a constant vanish across
     # every connection, including the rotated cap edges
     const = xt.GriddedArray(
         np.ones((13, n, n)), ("face", "y", "x"), name="one"
