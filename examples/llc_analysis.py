@@ -126,7 +126,10 @@ def main():
         f"thickness conserved across remap: {total_before:.3f} -> "
         f"{total_after:.3f}"
     )
-    assert abs(total_before - total_after) / total_before < 1e-5
+    # conservation is exact up to summation rounding: ~1e-12 relative in
+    # f64, but a naive f32 nansum over ~500k values accumulates ~1e-4
+    tol = 1e-5 if jax.config.jax_enable_x64 else 5e-3
+    assert abs(total_before - total_after) / total_before < tol
 
     # 5. multi-variable remap: several tracers onto the same surfaces in
     # one fused pass (the standard T/S/velocity density-space pattern)
