@@ -397,7 +397,7 @@ def face_shift_op(
     op: str,
     direction: str,
     axis_is_x: bool,
-    tile_rows: int = 128,
+    tile_rows: int = 256,
 ) -> jax.Array:
     """Fused per-face shift stencil: out = op(x, neighbour) on (F, ny, nx)
     faces, where the one wrapped edge line per face is replaced by the
