@@ -40,7 +40,7 @@ class TestLLC:
         grid = Grid(ds, face_connections=fc)
         da = ds["data_c"]
         mesh = make_mesh({"f": n_devices}, devices=jax.devices()[:n_devices])
-        sh = shard_gridded(da, mesh, {"face": "f"})  # replicates: 13 % k != 0
+        sh = shard_gridded(da, mesh, {"face": "f"}, uneven_ok=("face",))  # 13 % k != 0
         s = sharded_face_op(
             grid, "diff", sh, axis, mesh, "f", "X", "Y", boundary="fill"
         )

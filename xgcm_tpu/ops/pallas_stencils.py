@@ -409,6 +409,12 @@ def face_shift_op(
     face (xgcm padding.py:70-335)."""
     nf, ny, nx = x.shape
     T = min(tile_rows, ny)
+    # VMEM budget: x + out blocks double-buffered plus in-kernel f32
+    # temporaries must fit 16 MB (CLAUDE.md) — cap each block at ~2 MB so
+    # wide faces (nx >= 4096) shrink the row tile instead of failing
+    # Mosaic compile
+    while T > 8 and T * nx * x.dtype.itemsize > 2 * 1024 * 1024:
+        T //= 2
     while ny % T:
         T //= 2
     n_tiles = ny // T

@@ -45,6 +45,16 @@ __all__ = [
 _DENSE_MEMB_BUDGET = 2**27
 
 
+def _shape_stub(dtype, shape):
+    """Shape/dtype stand-in for the fused-kernel support checks, so
+    unsupported calls never materialise broadcast copies eagerly."""
+    s = type("_S", (), {})()
+    s.shape = shape
+    s.ndim = len(shape)
+    s.dtype = dtype
+    return s
+
+
 def _column_flip(phi, theta):
     """Flip columns whose theta decreases (first vs last non-NaN value),
     branchlessly — reference transform.py:27-31.
@@ -117,19 +127,10 @@ def interp_1d_linear(
     m_f = target.shape[-1]
     cols_f = int(np.prod(fused_lead, dtype=np.int64))
     shared_t = all(s == 1 for s in target.shape[:-1])
-    _stub = type("_S", (), {})
-
-    def _as2d(dtype, shape):
-        s = _stub()
-        s.shape = shape
-        s.ndim = len(shape)
-        s.dtype = dtype
-        return s
-
     if supports_fused_transform(
-        _as2d(phi.dtype, (cols_f, n_f)),
-        _as2d(theta.dtype, (cols_f, n_f)),
-        _as2d(target.dtype, (m_f,) if shared_t else (cols_f, m_f)),
+        _shape_stub(phi.dtype, (cols_f, n_f)),
+        _shape_stub(theta.dtype, (cols_f, n_f)),
+        _shape_stub(target.dtype, (m_f,) if shared_t else (cols_f, m_f)),
     ):
         ph2f = jnp.broadcast_to(phi, fused_lead + (n_f,)).reshape(-1, n_f)
         th2f = jnp.broadcast_to(theta, fused_lead + (n_f,)).reshape(-1, n_f)
@@ -362,6 +363,8 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
             valid.astype(w.dtype)[..., None, :],
             axis=-1,
         )
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
         return out, count
 
     # deep columns: stream the identical accumulation over cells with
@@ -460,21 +463,10 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     n = phi.shape[-1]
     lead = jnp.broadcast_shapes(phi.shape[:-1], theta.shape[:-1])
     cols = int(np.prod(lead, dtype=np.int64))
-    _stub = type("_S", (), {})
-
-    def _as(dtype, shape):
-        s = _stub()
-        s.shape = shape
-        s.ndim = len(shape)
-        s.dtype = dtype
-        return s
-
-    # shape/dtype stand-ins: unsupported calls never materialise the
-    # broadcast copies eagerly
     if supports_fused_conservative(
-        _as(phi.dtype, (cols, n)),
-        _as(theta.dtype, (cols, n + 1)),
-        _as(edges.dtype, edges.shape),
+        _shape_stub(phi.dtype, (cols, n)),
+        _shape_stub(theta.dtype, (cols, n + 1)),
+        _shape_stub(edges.dtype, edges.shape),
     ):
         ph2 = jnp.broadcast_to(phi, lead + (n,)).reshape(-1, n)
         th2 = jnp.broadcast_to(theta, lead + (n + 1,)).reshape(-1, n + 1)

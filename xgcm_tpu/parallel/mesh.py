@@ -53,12 +53,15 @@ def shard_gridded(
     garr: GriddedArray,
     mesh: Mesh,
     dim_to_mesh_axis: Mapping[str, str],
+    uneven_ok: tuple = (),
 ) -> GriddedArray:
     """Place a GriddedArray onto the mesh, sharding the named dims.
 
-    Dims whose size does not divide their mesh axis stay replicated (a
-    13-face dim over 8 devices cannot be block-sharded; the face-sharded op
-    dummy-pads it internally instead)."""
+    Dims whose size does not divide their mesh axis stay replicated and
+    WARN — silent replication would hide a misconfigured mesh.  Name dims
+    where uneven replication is intended in ``uneven_ok`` to suppress the
+    warning (e.g. a 13-face dim over 8 devices, which the face-sharded
+    ops dummy-pad internally)."""
     import warnings
 
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -68,14 +71,13 @@ def shard_gridded(
             continue
         if garr.sizes[d] % sizes[ax] == 0:
             mapping[d] = ax
-        else:
-            # silent replication would hide a misconfigured mesh: warn so
-            # the caller knows the requested sharding was NOT applied
+        elif d not in uneven_ok:
             warnings.warn(
                 f"dim {d!r} (size {garr.sizes[d]}) does not divide mesh "
                 f"axis {ax!r} (size {sizes[ax]}); replicating instead of "
-                "sharding (the face-sharded ops dummy-pad uneven face "
-                "counts internally)",
+                f"sharding (pass uneven_ok=({d!r},) if intended — the "
+                "face-sharded ops dummy-pad uneven face counts "
+                "internally)",
                 UserWarning,
             )
     spec = partition_spec(garr.dims, mapping)
