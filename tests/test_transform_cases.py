@@ -90,7 +90,9 @@ CASES = {
         kwargs=dict(method="linear", mask_edges=False),
         expected=[1.0, 4.0, 6.0, 5.6, 4.0, 2.0, -0.272727, -0.818182],
     ),
-    "linear_depth_temp_decreasing": dict(
+    "linear_depth_temp": dict(
+        # reference test_transform.py:281 — interpolating onto a tracer
+        # that decreases with depth
         coords={"depth": [20, 40, 60, 80, 100, 120]},
         positions={"center": "depth"},
         data=("depth", [-3, 0, 2, 6, 4, 1]),
@@ -210,8 +212,11 @@ CASES = {
         kwargs=dict(method="conservative"),
         expected=[1, 9],
     ),
-    "conservative_depth_temp_from_center": dict(
-        # target_data on centers: auto-interped to the bounds with a warning
+    "conservative_depth_temp": dict(
+        # reference test_transform.py:570 — target_data on centers:
+        # auto-interped to the bounds with a warning (the reference marks
+        # this "error: True" at the mid level but expects the high-level
+        # Grid.transform to succeed via the auto-interp)
         coords={
             "depth": [5, 25, 60, 80, 100, 120],
             "depth_bnds": [0, 10, 30, 70, 90, 110, 170],

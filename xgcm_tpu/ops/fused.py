@@ -68,27 +68,19 @@ def fused_shift_op(
         nb = jnp.where(idx == edge, 2.0 * x - inward, nb)
     # periodic / None: the roll already wraps
 
-    if op == "diff":
-        return x - nb if direction == "left" else nb - x
-    if op == "interp":
-        return (x + nb) * 0.5
-    if op == "min":
-        return jnp.minimum(x, nb)
-    if op == "max":
-        return jnp.maximum(x, nb)
-    raise ValueError(f"unknown op {op!r}")
+    return _apply_pair(op, direction, x, nb)
 
 
 def _apply_pair(op: str, direction: str, x, nb):
-    if op == "diff":
-        return x - nb if direction == "left" else nb - x
-    if op == "interp":
-        return (x + nb) * 0.5
-    if op == "min":
-        return jnp.minimum(x, nb)
-    if op == "max":
-        return jnp.maximum(x, nb)
-    raise ValueError(f"unknown op {op!r}")
+    """2-point op on (x, its rolled neighbour nb); the body lives in the
+    shared :data:`xgcm_tpu.ops.stencils.PAIR_OPS` table.  ``direction``
+    says which side ``nb`` came from: "left" means nb = x[i-1] (so nb is
+    the lower-index operand), "right" means nb = x[i+1]."""
+    from .stencils import apply_pair
+
+    if direction == "left":
+        return apply_pair(op, nb, x)
+    return apply_pair(op, x, nb)
 
 
 def fused_face_shift_op(

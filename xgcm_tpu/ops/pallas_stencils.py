@@ -329,9 +329,28 @@ def _apply_shift_pair(op, direction, x, nb):
     return _apply_pair(op, direction, x, nb)
 
 
+def _face_tile_rows(ny: int, nx: int, itemsize: int,
+                    tile_rows: int = 256):
+    """Row-tile height for :func:`face_shift_op`, or ``None`` when no valid
+    tile exists.  A valid T must divide ny, be a multiple of 8 (the
+    y-kernel reads the neighbour tile as an aligned 8-row block at offset
+    ``t * T/8 * 8``, and (1, T, nx) VMEM stores need 8-sublane alignment),
+    and keep one (T, nx) block under ~2 MB so double-buffered in/out tiles
+    plus f32 temporaries fit 16 MB VMEM."""
+    cap = min(tile_rows, ny)
+    while cap > 8 and cap * nx * itemsize > 2 * 1024 * 1024:
+        cap //= 2
+    for cand in range(cap - cap % 8, 7, -8):
+        if ny % cand == 0:
+            return cand
+    return None
+
+
 def supports_face_shift(x) -> bool:
     """Pallas face-shift constraints: TPU, exactly (F, ny, nx) layout,
-    lane-aligned nx, 8-row-aligned ny, f32/bf16."""
+    lane-aligned nx, f32/bf16, and an 8-row-aligned tile height dividing
+    ny within the VMEM budget (non-square faces like ny=40, nx=16384 have
+    no such tile and take the XLA path instead)."""
     if jax.default_backend() != "tpu":
         return False
     if x.ndim != 3:
@@ -339,6 +358,8 @@ def supports_face_shift(x) -> bool:
     if x.shape[-1] % 128 != 0 or x.shape[-2] % 8 != 0:
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if _face_tile_rows(x.shape[-2], x.shape[-1], x.dtype.itemsize) is None:
         return False
     return True
 
@@ -408,15 +429,12 @@ def face_shift_op(
     out; the reference's pad-and-concat assembly materialises every padded
     face (xgcm padding.py:70-335)."""
     nf, ny, nx = x.shape
-    T = min(tile_rows, ny)
-    # VMEM budget: x + out blocks double-buffered plus in-kernel f32
-    # temporaries must fit 16 MB (CLAUDE.md) — cap each block at ~2 MB so
-    # wide faces (nx >= 4096) shrink the row tile instead of failing
-    # Mosaic compile
-    while T > 8 and T * nx * x.dtype.itemsize > 2 * 1024 * 1024:
-        T //= 2
-    while ny % T:
-        T //= 2
+    T = _face_tile_rows(ny, nx, x.dtype.itemsize, tile_rows)
+    if T is None:
+        raise ValueError(
+            f"no 8-aligned row tile divides ny={ny} at nx={nx}; gate "
+            f"callers on supports_face_shift"
+        )
     n_tiles = ny // T
     bpt = T // 8
     tile3 = lambda f, t: (f, t, 0)  # noqa: E731

@@ -63,10 +63,12 @@ __all__ = [
 ]
 
 
-def supports_fused_transform(phi, theta, target) -> bool:
+def supports_fused_transform(phi, theta, target, nv: int = 1) -> bool:
     """Kernel constraints: TPU backend, 2D (cols, n) columns with a shared
     (m,) or per-column (cols, m) target, f32/bf16 data, n and m small
-    enough to tile in VMEM."""
+    enough to tile in VMEM.  ``nv`` is the number of variables sharing one
+    multi-kernel pass (each adds its own phi tile, output tile, and (m, C)
+    accumulators, so the single-tile budget scales with it)."""
     if jax.default_backend() != "tpu":
         return False
     if phi.ndim != 2 or theta.ndim != 2 or target.ndim not in (1, 2):
@@ -80,8 +82,10 @@ def supports_fused_transform(phi, theta, target) -> bool:
     # Mosaic needs lane blocks of 128 (or one block spanning the array):
     # odd column counts run single-tile, so cap the VMEM ALL single-tile
     # blocks (theta + phi in, output and any per-column target out) may
-    # claim, not just the inputs
-    if phi.shape[0] % 128 != 0 and phi.shape[0] * (
+    # claim, not just the inputs; the multi kernel carries nv phi tiles,
+    # nv outputs and ~3 (m, C) accumulators per variable, charged here as
+    # nv times the single-variable share
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * nv * (
         2 * phi.shape[-1] + 2 * target.shape[-1]
     ) > 262144:
         return False
@@ -524,7 +528,6 @@ def _ilfm_bwd(mask_edges, check_flip, res, gs):
     tg_g = jnp.zeros_like(target)
     ph_gs = []
     for p, g in zip(phis, gs):
-        g = jnp.where(jnp.isnan(g), 0.0, g)
         _, vjp = jax.vjp(
             lambda th, ph, tt: _fused_ref_jnp(
                 th, ph, tt, mask_edges=mask_edges, check_flip=check_flip
@@ -551,9 +554,11 @@ interp_linear_fused_multi_ad.defvjp(_ilfm_fwd, _ilfm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def supports_fused_conservative(phi, theta, edges) -> bool:
+def supports_fused_conservative(phi, theta, edges, nv: int = 1) -> bool:
     """Kernel constraints: TPU, 2D (cols, n) cells with (cols, n+1) bounds,
-    shared increasing 1D bin edges, f32/bf16."""
+    shared increasing 1D bin edges, f32/bf16.  ``nv`` scales the
+    single-tile VMEM budget for the multi-variable kernel (see
+    :func:`supports_fused_transform`)."""
     if jax.default_backend() != "tpu":
         return False
     if phi.ndim != 2 or theta.ndim != 2 or edges.ndim != 1:
@@ -570,7 +575,7 @@ def supports_fused_conservative(phi, theta, edges) -> bool:
     ):
         return False
     # single-tile odd-cols case: bound ALL blocks (bounds + cells + output)
-    if phi.shape[0] % 128 != 0 and phi.shape[0] * (
+    if phi.shape[0] % 128 != 0 and phi.shape[0] * nv * (
         2 * phi.shape[-1] + 1 + edges.shape[0]
     ) > 262144:
         return False
@@ -826,7 +831,6 @@ def _cfm_bwd(res, gs):
     ed_g = jnp.zeros_like(edges)
     ph_gs = []
     for p, g in zip(phis, gs):
-        g = jnp.where(jnp.isnan(g), 0.0, g)
         _, vjp = jax.vjp(ref, theta, p, edges)
         a, b, c = vjp(g)
         th_g = th_g + a
@@ -852,8 +856,6 @@ def _cf_fwd(theta, phi, edges):
 def _cf_bwd(res, g):
     theta, phi, edges = res
     from .transform import _conservative_rebin
-
-    g = jnp.where(jnp.isnan(g), 0.0, g)
 
     def ref(th, ph, ed):
         out, cnt = _conservative_rebin(ph, th[..., :-1], th[..., 1:], ed)
@@ -888,7 +890,6 @@ def _ilf_fwd(theta, phi, target, mask_edges, check_flip):
 
 def _ilf_bwd(mask_edges, check_flip, res, g):
     theta, phi, target = res
-    g = jnp.where(jnp.isnan(g), 0.0, g)
     _, vjp = jax.vjp(
         lambda th, ph, tt: _fused_ref_jnp(
             th, ph, tt, mask_edges=mask_edges, check_flip=check_flip

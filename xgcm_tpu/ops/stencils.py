@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = [
+    "PAIR_OPS",
+    "apply_pair",
     "diff_forward",
     "interp_forward",
     "pairwise_min",
@@ -23,25 +25,46 @@ __all__ = [
     "cumsum_full",
 ]
 
+# THE single home for the 2-point stencil semantics (reference
+# gridops.py:23-24 diff, :77-78 interp, :124-127 min, :173-176 max).
+# ``lo`` is the lower-index neighbour, ``hi`` the higher-index one; every
+# consumer (engine kernels below, the sharded-halo stencil in
+# parallel/halo.py, the fused roll path in ops/fused.py) phrases its
+# operands in those terms so a semantics fix lands everywhere at once.
+PAIR_OPS = {
+    "diff": lambda lo, hi: hi - lo,
+    "interp": lambda lo, hi: (hi + lo) * 0.5,
+    "min": jnp.minimum,
+    "max": jnp.maximum,
+}
+
+
+def apply_pair(op: str, lo, hi):
+    """Apply a named 2-point op to (lower-index, higher-index) operands."""
+    try:
+        return PAIR_OPS[op](lo, hi)
+    except KeyError:
+        raise ValueError(f"unknown op {op!r}") from None
+
 
 def diff_forward(a):
     """a[..., i+1] - a[..., i]  (reference gridops.py:23-24)."""
-    return a[..., 1:] - a[..., :-1]
+    return PAIR_OPS["diff"](a[..., :-1], a[..., 1:])
 
 
 def interp_forward(a):
     """Two-point average (reference gridops.py:77-78)."""
-    return (a[..., :-1] + a[..., 1:]) * 0.5
+    return PAIR_OPS["interp"](a[..., :-1], a[..., 1:])
 
 
 def pairwise_min(a):
     """Minimum of adjacent points (reference gridops.py:124-127)."""
-    return jnp.minimum(a[..., :-1], a[..., 1:])
+    return PAIR_OPS["min"](a[..., :-1], a[..., 1:])
 
 
 def pairwise_max(a):
     """Maximum of adjacent points (reference gridops.py:173-176)."""
-    return jnp.maximum(a[..., :-1], a[..., 1:])
+    return PAIR_OPS["max"](a[..., :-1], a[..., 1:])
 
 
 def cumsum_full(a):

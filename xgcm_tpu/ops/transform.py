@@ -855,7 +855,8 @@ def transform_multi(
             jnp.broadcast_to(phi_t.data, lead_shape + (n,)).reshape(-1, n)
         )
     if not all(
-        supports_fused_transform(p2, th2, tgt_j) for p2 in ph2s
+        supports_fused_transform(p2, th2, tgt_j, nv=len(das))
+        for p2 in ph2s
     ):
         return _loop()
 
@@ -955,7 +956,8 @@ def _transform_multi_conservative(
             jnp.broadcast_to(phi_t.data, lead_shape + (n,)).reshape(-1, n)
         )
     if not all(
-        supports_fused_conservative(p2, th2, edges_j) for p2 in ph2s
+        supports_fused_conservative(p2, th2, edges_j, nv=len(das))
+        for p2 in ph2s
     ):
         return _loop()
 

@@ -225,18 +225,16 @@ def _resolve(grid: Grid, da: GriddedArray, axis_name: str, to, boundary, fill_va
 
 
 def _stencil(funcname: str, a: jax.Array, axis: int) -> jax.Array:
-    """Apply the 2-point stencil along `axis` of a padded block."""
+    """Apply the 2-point stencil along `axis` of a padded block.
+
+    The op body lives in the shared :data:`xgcm_tpu.ops.stencils.PAIR_OPS`
+    table (one home for the semantics across the engine, this sharded path,
+    and the fused roll path)."""
+    from ..ops.stencils import apply_pair
+
     lo = lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)
     hi = lax.slice_in_dim(a, 1, a.shape[axis], axis=axis)
-    if funcname == "diff":
-        return hi - lo
-    if funcname == "interp":
-        return (hi + lo) * 0.5
-    if funcname == "min":
-        return jnp.minimum(hi, lo)
-    if funcname == "max":
-        return jnp.maximum(hi, lo)
-    raise ValueError(funcname)
+    return apply_pair(funcname, lo, hi)
 
 
 def sharded_op(
