@@ -4,30 +4,41 @@ The reference realises multi-face halos by slicing + concatenating faces on
 one machine (reference ``padding.py:70-335``).  Here the face dimension is
 sharded over a mesh axis (a contiguous block of faces per device — one face
 per device when counts match, dummy-padded when ``n_faces`` does not divide
-the device count, so e.g. a 13-face LLC grid runs on 8 devices), and each
-op step:
+the device count, so e.g. a 13-face LLC grid runs on 8 devices), optionally
+combined with a SECOND mesh axis sharding the within-face rows (the
+face x interior 2-D decomposition the reference gets from dask chunking
+faces and core dims simultaneously, ``padding.py:70-335`` composed with
+``grid_ufunc.py:990-1066``).  Each op step:
 
-1. every device canonicalises the 4 edge strips of each of its local faces
-   (X-left/X-right/Y-left/Y-right, each ``(width, L)``, offsets increasing
-   inward, tangential in increasing coordinate);
-2. one ``all_gather`` of the strip stack rides the ICI ring (strips are
-   O(width * L) — tiny next to the face itself);
-3. each device assembles its halo from a **compiled per-edge plan**: static
-   per-face parameter arrays (source face, source side, tangential flip,
-   sign) that are themselves sharded over the face axis, so inside
-   ``shard_map`` they collapse to per-device scalars and all control flow is
-   branchless ``jnp.where``/``take``.
+1. every device canonicalises its segments of the 4 edge strips of each of
+   its local faces (X-left/X-right/Y-left/Y-right, each ``(w, L)``, offsets
+   increasing inward, tangential in increasing coordinate), placed at its
+   tangential offset; a ``psum`` over the interior axis completes each
+   face's strips and one ``all_gather`` over the face axis builds the
+   face-global strip pool (strips are O(w * L) — tiny next to the faces);
+2. every device pre-pads its block with the basic boundary condition —
+   within-face tangential halos ride a ``ppermute`` ring over the interior
+   axis (:func:`~xgcm_tpu.parallel.halo.ring_halo_pad` with the face as the
+   global domain), everything else is a local pad;
+3. each device overwrites the connected-edge halo segments it owns from a
+   **compiled per-edge plan**: static per-face parameter arrays (source
+   face, source side, tangential flip, sign) sharded over the face axis, so
+   inside ``shard_map`` they collapse to per-device scalars and all control
+   flow is branchless ``jnp.where``/``take``.
 
-The slice/flip/sign rules reproduce reference padding.py:201-258:
+The slice/flip/sign rules reproduce reference padding.py:201-258 at ANY
+halo width:
 * halo at outward-offset k = source strip at inward-offset k, where the
   source side is (right edge iff connection.reverse == is_right_edge);
 * tangential flip iff the connection swaps axes and is not reversed;
 * vector sign: orthogonal component negated on reverse; tangential component
   negated on swap-without-reverse.
 
-Corner halo cells are filled with the basic boundary condition (they are
-unspecified in the reference — its own tests exclude them) and never read by
-single-axis stencils.
+Corner halo cells carry the same content as the single-device
+``core.padding._pad_face_connections`` assembly (each halo strip is
+tangentially extended with the source's basic BC, and the axis replacement
+order follows the reference's sorted-axis-name loop), so multi-axis-width
+custom ufuncs that read corners match the single-device engine exactly.
 """
 
 from __future__ import annotations
@@ -37,13 +48,18 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax, shard_map
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..core.dataarray import GriddedArray
 from ..core.grid import Grid
 
-__all__ = ["FaceHaloPlan", "compile_face_plan", "sharded_face_op"]
+__all__ = [
+    "FaceHaloPlan",
+    "compile_face_plan",
+    "face_halo_pad_widths",
+    "sharded_face_op",
+]
 
 # side codes: 0 = X-left, 1 = X-right, 2 = Y-left, 3 = Y-right
 
@@ -103,31 +119,6 @@ def compile_face_plan(
     return plan
 
 
-def _edge_strips(face: jax.Array, w: int) -> jax.Array:
-    """Canonical (4, w, Lmax) strip stack of a local face (..., ny, nx).
-
-    Strip k-offset increases inward from the edge; tangential axis is the
-    face's other dim in increasing order.  For non-square faces the shorter
-    strips are zero-padded at the END to Lmax = max(ny, nx); consumers slice
-    back to the destination edge's length (which equals the source's valid
-    length: straight connections pair like edges, and swapped connections
-    require square faces)."""
-    ny, nx = face.shape[-2:]
-    L = max(ny, nx)
-    xl = jnp.swapaxes(face[..., :, 0:w], -1, -2)  # (w, ny)
-    xr = jnp.swapaxes(jnp.flip(face[..., :, nx - w : nx], axis=-1), -1, -2)
-    yl = face[..., 0:w, :]  # (w, nx)
-    yr = jnp.flip(face[..., ny - w : ny, :], axis=-2)
-
-    def pad_l(s):
-        need = L - s.shape[-1]
-        if need:
-            s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, need)])
-        return s
-
-    return jnp.stack([pad_l(xl), pad_l(xr), pad_l(yl), pad_l(yr)], axis=-3)
-
-
 def _merge_face_pool(gathered: jax.Array) -> jax.Array:
     """(n_dev, ..., fpd, 4, w, L) -> (..., n_dev*fpd, 4, w, L).
 
@@ -135,127 +126,6 @@ def _merge_face_pool(gathered: jax.Array) -> jax.Array:
     NamedSharding's contiguous-block layout of the face dim."""
     g = jnp.moveaxis(gathered, 0, -5)
     return g.reshape(g.shape[:-5] + (g.shape[-5] * g.shape[-4],) + g.shape[-3:])
-
-
-def _basic_halo(face, w, side, boundary, fill_value):
-    """Halo strip (w, L) for an unconnected edge, from the basic BC."""
-    ny, nx = face.shape[-2:]
-    if boundary in ("periodic", None):
-        # wrap within the face
-        if side == 0:
-            return jnp.swapaxes(jnp.flip(face[..., :, nx - w : nx], -1), -1, -2)
-        if side == 1:
-            return jnp.swapaxes(face[..., :, 0:w], -1, -2)
-        if side == 2:
-            return jnp.flip(face[..., ny - w : ny, :], -2)
-        return face[..., 0:w, :]
-    if boundary == "fill":
-        L = ny if side < 2 else nx
-        return jnp.full(face.shape[:-2] + (w, L), fill_value, face.dtype)
-    if boundary == "extrapolate":
-        if side == 0:
-            e = face[..., :, 0:1]; nxt = face[..., :, 1:2]
-            strip = 2.0 * e - nxt
-            return jnp.broadcast_to(jnp.swapaxes(strip, -1, -2), face.shape[:-2] + (w, ny))
-        if side == 1:
-            e = face[..., :, nx - 1 : nx]; nxt = face[..., :, nx - 2 : nx - 1]
-            strip = 2.0 * e - nxt
-            return jnp.broadcast_to(jnp.swapaxes(strip, -1, -2), face.shape[:-2] + (w, ny))
-        if side == 2:
-            strip = 2.0 * face[..., 0:1, :] - face[..., 1:2, :]
-            return jnp.broadcast_to(strip, face.shape[:-2] + (w, nx))
-        strip = 2.0 * face[..., ny - 1 : ny, :] - face[..., ny - 2 : ny - 1, :]
-        return jnp.broadcast_to(strip, face.shape[:-2] + (w, nx))
-    if boundary == "extend":
-        if side == 0:
-            e = face[..., :, 0:1]
-            return jnp.broadcast_to(
-                jnp.swapaxes(e, -1, -2), face.shape[:-2] + (w, ny)
-            )
-        if side == 1:
-            e = face[..., :, nx - 1 : nx]
-            return jnp.broadcast_to(
-                jnp.swapaxes(e, -1, -2), face.shape[:-2] + (w, ny)
-            )
-        if side == 2:
-            return jnp.broadcast_to(face[..., 0:1, :], face.shape[:-2] + (w, nx))
-        return jnp.broadcast_to(
-            face[..., ny - 1 : ny, :], face.shape[:-2] + (w, nx)
-        )
-    raise ValueError(f"unknown boundary {boundary!r}")
-
-
-def face_halo_pad(
-    face_block: jax.Array,
-    plan_params: Tuple[jax.Array, ...],
-    w: int,
-    mesh_axis: str,
-    boundary: Optional[str],
-    fill_value: float,
-    partner_block: Optional[jax.Array] = None,
-    vector_axis_code: Optional[int] = None,
-) -> jax.Array:
-    """Pad a (…, fpd, ny, nx) block of local faces with cross-face halos.
-
-    Must run inside shard_map with ``fpd`` contiguous faces per device along
-    ``mesh_axis`` (one ``all_gather`` of the strip stacks serves them all).
-    ``plan_params`` are the per-device (fpd, 4) rows of the FaceHaloPlan
-    arrays.  ``vector_axis_code``: 0 if this array is the x_axis vector
-    component, 1 for the y_axis component, None for scalars.
-    """
-    connected, src_face, src_side, tang_flip, sign_o, sign_t, swap = plan_params
-    fpd, ny, nx = face_block.shape[-3:]
-
-    pool_self = _merge_face_pool(
-        lax.all_gather(_edge_strips(face_block, w), mesh_axis)
-    )  # (..., F, 4, w, Lmax)
-    if partner_block is not None:
-        pool_partner = _merge_face_pool(
-            lax.all_gather(_edge_strips(partner_block, w), mesh_axis)
-        )
-    else:
-        pool_partner = pool_self
-
-    def halo_for(fl: int, side: int) -> jax.Array:
-        sf = src_face[fl, side]
-        ss = src_side[fl, side]
-        use_partner = swap[fl, side] if partner_block is not None else False
-        pool = jnp.where(
-            use_partner,
-            jnp.take(pool_partner, sf, axis=-4),
-            jnp.take(pool_self, sf, axis=-4),
-        )
-        strip = jnp.take(pool, ss, axis=-3)  # (..., w, Lmax)
-        strip = strip[..., : (ny if side < 2 else nx)]
-        strip = jnp.where(tang_flip[fl, side], jnp.flip(strip, axis=-1), strip)
-        if vector_axis_code is not None:
-            my_axis = side // 2
-            is_parallel = vector_axis_code == my_axis
-            sign = jnp.where(is_parallel, sign_o[fl, side], sign_t[fl, side])
-            strip = strip * sign.astype(strip.dtype)
-        basic = _basic_halo(
-            face_block[..., fl, :, :], w, side, boundary, fill_value
-        )
-        return jnp.where(connected[fl, side], strip, basic)
-
-    corner = jnp.full(
-        face_block.shape[:-3] + (w, w),
-        fill_value if boundary == "fill" else 0.0,
-        face_block.dtype,
-    )
-    out_faces = []
-    for fl in range(fpd):
-        face = face_block[..., fl, :, :]
-        # halos canonical (w, L) inward-increasing -> flip to array order
-        h_xl = jnp.swapaxes(jnp.flip(halo_for(fl, 0), axis=-2), -1, -2)
-        h_xr = jnp.swapaxes(halo_for(fl, 1), -1, -2)
-        h_yl = jnp.flip(halo_for(fl, 2), axis=-2)
-        h_yr = halo_for(fl, 3)
-        mid = jnp.concatenate([h_xl, face, h_xr], axis=-1)  # (ny, nx+2w)
-        top = jnp.concatenate([corner, h_yr, corner], axis=-1)
-        bot = jnp.concatenate([corner, h_yl, corner], axis=-1)
-        out_faces.append(jnp.concatenate([bot, mid, top], axis=-2))
-    return jnp.stack(out_faces, axis=-3)
 
 
 def _plan_device_params(plan: FaceHaloPlan, mesh: Mesh, mesh_axis: str):
@@ -275,6 +145,229 @@ def _plan_device_params(plan: FaceHaloPlan, mesh: Mesh, mesh_axis: str):
     )
 
 
+def face_halo_pad_widths(
+    face_block: jax.Array,
+    plan_params: Tuple[jax.Array, ...],
+    widths_x: Tuple[int, int],
+    widths_y: Tuple[int, int],
+    face_mesh_axis: str,
+    boundary_x: Optional[str],
+    boundary_y: Optional[str],
+    fill_value_x: float,
+    fill_value_y: float,
+    x_name: str,
+    y_name: str,
+    interior_mesh_axis: Optional[str] = None,
+    partner_block: Optional[jax.Array] = None,
+    vector_axis_code: Optional[int] = None,
+) -> jax.Array:
+    """Pad a (…, fpd, ny_loc, nx) block of local faces with cross-face
+    halos at per-axis widths.
+
+    Must run inside ``shard_map`` with ``fpd`` contiguous faces per device
+    along ``face_mesh_axis`` and, when ``interior_mesh_axis`` is given,
+    each face's rows split into contiguous blocks of ``ny_loc`` along that
+    second mesh axis.  ``plan_params`` are the per-device (fpd, 4) rows of
+    the FaceHaloPlan arrays.  ``vector_axis_code``: 0 if this array is the
+    x_axis vector component, 1 for the y_axis component, None for scalars.
+    ``x_name``/``y_name`` are the grid-axis names (they fix the replacement
+    and mixed-mode prepad order, which the single-device assembly runs in
+    sorted-name order).
+
+    The result reproduces the single-device
+    :func:`xgcm_tpu.core.padding._pad_face_connections` bit-for-bit on
+    every cell, including corner halo cells, at any widths up to the rows
+    per interior shard.
+    """
+    from ..core.padding import BOUNDARY_TO_PAD_MODE, _extrapolate_pad
+    from .halo import pad_axis_local_or_ring
+
+    connected, src_face, src_side, tang_flip, sign_o, sign_t, swap = plan_params
+    fpd, ny_loc, nx = face_block.shape[-3:]
+    P = 1 if interior_mesh_axis is None else lax.axis_size(interior_mesh_axis)
+    ny = ny_loc * P
+    L = max(ny, nx)
+    w = max(tuple(widths_x) + tuple(widths_y))
+    if w == 0:
+        return face_block
+    if P > 1 and w > ny_loc:
+        raise ValueError(
+            f"halo width {w} exceeds the {ny_loc} rows per interior shard"
+        )
+    p_idx = 0 if P == 1 else lax.axis_index(interior_mesh_axis)
+
+    # ---- face-global canonical strip pool: (..., F, 4, w, L) ------------
+    def strip_pool(block):
+        xl = jnp.swapaxes(block[..., :, 0:w], -1, -2)  # (..., fpd, w, ny_loc)
+        xr = jnp.swapaxes(jnp.flip(block[..., :, nx - w : nx], -1), -1, -2)
+
+        kg = jnp.arange(w)
+
+        def rows_from(gidx):
+            # rows of the face-global strip this shard owns (zeros elsewhere)
+            lidx = gidx - p_idx * ny_loc
+            ok = (lidx >= 0) & (lidx < ny_loc)
+            rows = jnp.take(block, jnp.clip(lidx, 0, ny_loc - 1), axis=-2)
+            return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
+
+        yl = rows_from(kg)  # (..., fpd, w, nx)
+        yr = rows_from(ny - 1 - kg)
+
+        def pad_L(s):
+            need = L - s.shape[-1]
+            if need:
+                s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, need)])
+            return s
+
+        def place_x(s):
+            if P == 1:
+                return pad_L(s)
+            buf = jnp.zeros(s.shape[:-1] + (L,), s.dtype)
+            return lax.dynamic_update_slice_in_dim(
+                buf, s, p_idx * ny_loc, buf.ndim - 1
+            )
+
+        stack = jnp.stack(
+            [place_x(xl), place_x(xr), pad_L(yl), pad_L(yr)], axis=-3
+        )
+        if P > 1:
+            stack = lax.psum(stack, interior_mesh_axis)
+        return _merge_face_pool(lax.all_gather(stack, face_mesh_axis))
+
+    pool_self = strip_pool(face_block)
+    if partner_block is not None:
+        pool_partner = strip_pool(partner_block)
+    else:
+        pool_partner = pool_self
+
+    # ---- basic-BC prepad of the local block at uniform width w ----------
+    # Mixed-mode prepad order mirrors _pad_basic: one jnp.pad call (numpy
+    # pads array axes in order, y before x in the canonical layout) when
+    # the modes coincide, sorted-axis-name order otherwise.
+    mode_x = BOUNDARY_TO_PAD_MODE[boundary_x]
+    mode_y = BOUNDARY_TO_PAD_MODE[boundary_y]
+    key_x = (mode_x, float(fill_value_x) if mode_x == "constant" else 0.0)
+    key_y = (mode_y, float(fill_value_y) if mode_y == "constant" else 0.0)
+    if key_x == key_y:
+        prepad_order = ("y", "x")
+    else:
+        prepad_order = ("x", "y") if x_name < y_name else ("y", "x")
+
+    b = face_block
+    for which in prepad_order:
+        if which == "y":
+            b = pad_axis_local_or_ring(
+                b, b.ndim - 2, (w, w), interior_mesh_axis,
+                boundary_y, float(fill_value_y),
+            )
+        else:
+            b = pad_axis_local_or_ring(
+                b, b.ndim - 1, (w, w), None, boundary_x, float(fill_value_x)
+            )
+    prepadded = b  # (..., fpd, ny_loc + 2w, nx + 2w)
+
+    # ---- connected-edge strip assembly ---------------------------------
+    def extend_tang(strip, axis_role):
+        """Tangential extension by w each side with the basic BC — equal to
+        slicing the source's prepadded face (BC modes are pointwise in the
+        strip's ortho direction)."""
+        bc, fv = (
+            (boundary_y, fill_value_y)
+            if axis_role == "y"
+            else (boundary_x, fill_value_x)
+        )
+        mode = BOUNDARY_TO_PAD_MODE[bc]
+        if mode == "extrapolate":
+            return _extrapolate_pad(strip, strip.ndim - 1, (w, w))
+        widths = [(0, 0)] * (strip.ndim - 1) + [(w, w)]
+        if mode == "constant":
+            return jnp.pad(
+                strip, widths, mode="constant", constant_values=float(fv)
+            )
+        return jnp.pad(strip, widths, mode=mode)
+
+    def halo_strip(fl, side):
+        """Canonical (…, w, L_t + 2w) halo strip for local face fl's side:
+        inward-offset rows, tangential from global -w to L_t + w."""
+        sf = src_face[fl, side]
+        ss = src_side[fl, side]
+        use_partner = swap[fl, side] if partner_block is not None else False
+        pool = jnp.where(
+            use_partner,
+            jnp.take(pool_partner, sf, axis=-4),
+            jnp.take(pool_self, sf, axis=-4),
+        )
+        strip = jnp.take(pool, ss, axis=-3)  # (..., w, L)
+        L_t = ny if side < 2 else nx
+        strip = strip[..., :L_t]
+        # the extension BC follows the SOURCE side's tangential axis
+        # (ss is a traced scalar: compute both, select)
+        strip = jnp.where(
+            ss < 2, extend_tang(strip, "y"), extend_tang(strip, "x")
+        )
+        strip = jnp.where(tang_flip[fl, side], jnp.flip(strip, -1), strip)
+        if vector_axis_code is not None:
+            my_axis = side // 2
+            is_parallel = vector_axis_code == my_axis
+            sign = jnp.where(is_parallel, sign_o[fl, side], sign_t[fl, side])
+            strip = strip * sign.astype(strip.dtype)
+        return strip
+
+    seg_len = ny_loc + 2 * w
+    replace_order = ("x", "y") if x_name < y_name else ("y", "x")
+
+    def put_x(face, fl, side):
+        strip = halo_strip(fl, side)  # (..., w, ny + 2w)
+        if P == 1:
+            seg = strip
+        else:
+            seg = lax.dynamic_slice_in_dim(
+                strip, p_idx * ny_loc, seg_len, strip.ndim - 1
+            )
+        if side == 0:
+            h = jnp.swapaxes(jnp.flip(seg, -2), -1, -2)  # (..., seg_len, w)
+            region = face[..., :, 0:w]
+            return face.at[..., :, 0:w].set(
+                jnp.where(connected[fl, side], h, region)
+            )
+        h = jnp.swapaxes(seg, -1, -2)
+        region = face[..., :, w + nx : w + nx + w]
+        return face.at[..., :, w + nx : w + nx + w].set(
+            jnp.where(connected[fl, side], h, region)
+        )
+
+    def put_y(face, fl, side):
+        strip = halo_strip(fl, side)  # (..., w, nx + 2w)
+        own = connected[fl, side] & (p_idx == (0 if side == 2 else P - 1))
+        if side == 2:
+            h = jnp.flip(strip, -2)
+            region = face[..., 0:w, :]
+            return face.at[..., 0:w, :].set(jnp.where(own, h, region))
+        region = face[..., w + ny_loc : w + ny_loc + w, :]
+        return face.at[..., w + ny_loc : w + ny_loc + w, :].set(
+            jnp.where(own, strip, region)
+        )
+
+    out_faces = []
+    for fl in range(fpd):
+        face = prepadded[..., fl, :, :]
+        for which in replace_order:
+            if which == "x":
+                face = put_x(face, fl, 0)
+                face = put_x(face, fl, 1)
+            else:
+                face = put_y(face, fl, 2)
+                face = put_y(face, fl, 3)
+        out_faces.append(face)
+    out = jnp.stack(out_faces, axis=-3)
+
+    lwx, rwx = widths_x
+    lwy, rwy = widths_y
+    return out[
+        ..., w - lwy : w + ny_loc + rwy, w - lwx : w + nx + rwx
+    ]
+
+
 def sharded_face_op(
     grid: Grid,
     funcname: str,
@@ -288,125 +381,59 @@ def sharded_face_op(
     boundary: Optional[str] = None,
     fill_value: Optional[float] = None,
     other_component: Optional[Dict[str, GriddedArray]] = None,
+    interior_mesh_axis: Optional[str] = None,
 ) -> GriddedArray:
-    """Apply a 1D stencil op on a face-sharded field.
+    """Apply a 1D built-in stencil op on a face-sharded field.
 
     ``da`` must have dims (..., facedim, ydim, xdim) with the face dim
-    sharded one-face-per-device along ``facedim_mesh_axis``.  A vector
-    component is passed as a single-entry dict ``{vector_axis: array}`` with
-    its partner in ``other_component`` (strips from the partner feed
-    swapped-axis halos, with the reference's sign rules).  Result equals the
-    single-device ``grid.<funcname>`` away from (unused) corner cells.
+    sharded one-or-more-faces-per-device along ``facedim_mesh_axis`` and,
+    optionally, the within-face rows sharded along ``interior_mesh_axis``
+    (the face x interior 2-D decomposition).  A vector component is passed
+    as a single-entry dict ``{vector_axis: array}`` with its partner in
+    ``other_component`` (strips from the partner feed swapped-axis halos,
+    with the reference's sign rules).  Result equals the single-device
+    ``grid.<funcname>`` everywhere.
+
+    This is a thin selector over the generic face-aware sharded engine
+    (:func:`~xgcm_tpu.parallel.sharded_ufunc.sharded_apply_as_grid_ufunc`)
+    using the same gridops kernel the single-device dispatch picks — the
+    stencil body lives in ONE place (``ops/stencils.PAIR_OPS``).
     """
-    from .halo import _SHARDABLE_WIDTHS, _stencil
+    from ..core import gridops
+    from ..core.grid import _select_grid_ufunc
+    from ..core.signature import GridUFuncSignature
+    from .halo import _SHARDABLE_WIDTHS
+    from .sharded_ufunc import sharded_apply_as_grid_ufunc
 
-    partner = None
-    vector_axis_code = None
-    if isinstance(da, dict):
-        (vec_axis, da), = da.items()
-        vector_axis_code = 0 if vec_axis == x_axis else 1
-        if other_component is None:
-            raise ValueError(
-                "Padding vector components requires `other_component` input."
-            )
-        (_, partner), = other_component.items()
-
+    arr = da if not isinstance(da, dict) else next(iter(da.values()))
     ax = grid.axes[axis_name]
-    from_pos, dim = ax._get_position_name(da)
+    from_pos, _ = ax._get_position_name(arr)
     to_pos = to or ax.default_shifts[from_pos]
     if (from_pos, to_pos) not in _SHARDABLE_WIDTHS:
         raise NotImplementedError(
             f"face-sharded ops support only length-preserving shifts, got "
             f"{from_pos}->{to_pos}"
         )
-    lw, rw = _SHARDABLE_WIDTHS[(from_pos, to_pos)]
-    w = max(lw, rw)
-    bc = boundary if boundary is not None else ax.boundary
-    fv = float(fill_value if fill_value is not None else ax.fill_value)
-
-    facedim = grid._facedim
-    n_faces = grid._ds.dims[grid._facedim]
-    mesh_size = dict(zip(mesh.axis_names, mesh.devices.shape))[facedim_mesh_axis]
-    # contiguous blocks of faces per device; round up with unconnected dummy
-    # faces when n_faces does not divide the device count (e.g. 13-face LLC
-    # on 8 devices -> 2 faces/device, 3 dummies)
-    fpd = -(-n_faces // mesh_size)
-    n_padded = fpd * mesh_size
-    plan = compile_face_plan(grid, x_axis, y_axis, n_faces_total=n_padded)
-    plan_params = _plan_device_params(plan, mesh, facedim_mesh_axis)
-
-    # canonical dim order: (facedim, ydim, xdim)
-    _, ydim = grid.axes[y_axis]._get_position_name(da)
-    _, xdim = grid.axes[x_axis]._get_position_name(da)
-    rest = [d for d in da.dims if d not in (facedim, ydim, xdim)]
-    ordered = da.transpose(*rest, facedim, ydim, xdim)
-
-    ny_, nx_ = ordered.data.shape[-2:]
-    if np.any(plan.swap) and ny_ != nx_:
-        raise ValueError("cross-axis face connections require square faces")
-
-    def _pad_faces(data):
-        if n_padded == data.shape[-3]:
-            return data
-        widths = [(0, 0)] * data.ndim
-        widths[-3] = (0, n_padded - data.shape[-3])
-        return jnp.pad(data, widths)
-
-    axis_is_x = axis_name == x_axis
-    out_dim = ax.coords[to_pos]
-
-    in_spec = PartitionSpec(
-        *([None] * len(rest)), facedim_mesh_axis, None, None
+    sig = GridUFuncSignature.from_string(
+        f"({axis_name}:{from_pos})->({axis_name}:{to_pos})"
     )
-    plan_spec = PartitionSpec(facedim_mesh_axis)
-
-    data = _pad_faces(ordered.data)
-    if partner is None:
-        partner_data = data  # unused; keeps the shard_map arity fixed
-    else:
-        rest_p = [d for d in partner.dims if d not in
-                  (facedim,
-                   grid.axes[y_axis]._get_position_name(partner)[1],
-                   grid.axes[x_axis]._get_position_name(partner)[1])]
-        partner_data = _pad_faces(
-            partner.transpose(
-                *rest_p,
-                facedim,
-                grid.axes[y_axis]._get_position_name(partner)[1],
-                grid.axes[x_axis]._get_position_name(partner)[1],
-            ).data
-        )
-
-    def local(block, partner_block, *params):
-        # block: (..., fpd, ny, nx) per device; params: (fpd, 4) rows
-        pf = partner_block if vector_axis_code is not None else None
-        padded = face_halo_pad(
-            block, params, w, facedim_mesh_axis, bc, fv,
-            partner_block=pf, vector_axis_code=vector_axis_code,
-        )
-        ny, nx = block.shape[-2:]
-        # trim to just the slice this stencil needs
-        if axis_is_x:
-            sl = padded[..., w : w + ny, w - lw : w + nx + rw]
-            return _stencil(funcname, sl, sl.ndim - 1)
-        sl = padded[..., w - lw : w + ny + rw, w : w + nx]
-        return _stencil(funcname, sl, sl.ndim - 2)
-
-    f = shard_map(
-        local,
+    grid_ufunc, remaining = _select_grid_ufunc(
+        funcname, sig, module=gridops, boundary=boundary, fill_value=fill_value
+    )
+    dim_to_mesh_axis = {grid._facedim: facedim_mesh_axis}
+    if interior_mesh_axis is not None:
+        for d in grid.axes[y_axis].coords.values():
+            dim_to_mesh_axis[d] = interior_mesh_axis
+    return sharded_apply_as_grid_ufunc(
+        grid_ufunc.ufunc,
+        da,
+        axis=[(axis_name,)],
+        grid=grid,
+        signature=grid_ufunc.signature,
         mesh=mesh,
-        in_specs=(in_spec, in_spec) + (plan_spec,) * 7,
-        out_specs=in_spec,
+        dim_to_mesh_axis=dim_to_mesh_axis,
+        boundary_width=grid_ufunc.boundary_width,
+        boundary=remaining.get("boundary"),
+        fill_value=remaining.get("fill_value"),
+        other_component=other_component,
     )
-    result = f(data, partner_data, *plan_params)
-    if n_padded != n_faces:
-        index = [slice(None)] * result.ndim
-        index[-3] = slice(0, n_faces)
-        result = result[tuple(index)]
-    out_dims = tuple(
-        out_dim if d == dim else d for d in tuple(rest) + (facedim, ydim, xdim)
-    )
-    out = GriddedArray(result, out_dims, name=da.name)
-    # restore the input dim order (with the shifted dim renamed)
-    desired = tuple(out_dim if d == dim else d for d in da.dims)
-    return out.transpose(*desired)

@@ -72,9 +72,11 @@ class ShardedGrid:
         )
 
     def _face_sharded_args(self, da):
-        """(mesh_axis, x_axis, y_axis) when the grid's face dim is sharded
-        and the array spans exactly two connection axes; else None.
-        Vector inputs (single-entry dicts) are judged by their component."""
+        """(mesh_axis, x_axis, y_axis, interior_mesh_axis) when the grid's
+        face dim is sharded and the in-face axes are resolvable; else None.
+        Vector inputs (single-entry dicts) are judged by their component.
+        When one in-face axis is also mesh-mapped it takes the y (rows)
+        role — the face x interior 2-D decomposition."""
         grid = self.grid
         if isinstance(da, dict):
             (da,) = da.values()
@@ -91,9 +93,29 @@ class ShardedGrid:
                 for a in links
             }
         )
-        if len(conn_axes) != 2:
+        if len(conn_axes) == 1:
+            others = [
+                n for n, ax in grid.axes.items()
+                if n != conn_axes[0]
+                and any(d in da.dims for d in ax.coords.values())
+            ]
+            if len(others) != 1:
+                return None
+            conn_axes = [conn_axes[0], others[0]]
+        elif len(conn_axes) != 2:
             return None
-        return mesh_axis, conn_axes[0], conn_axes[1]
+
+        def _axis_mesh(axname):
+            s = {
+                self.dim_to_mesh_axis.get(d)
+                for d in grid.axes[axname].coords.values()
+            } - {None}
+            return s.pop() if len(s) == 1 else None
+
+        m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
+        if m0 is not None:
+            return mesh_axis, conn_axes[1], conn_axes[0], m0
+        return mesh_axis, conn_axes[0], conn_axes[1], m1
 
     def _sharded_1d_op(
         self, name, da, ax_name, to, boundary, fill_value, **kw
@@ -144,13 +166,14 @@ class ShardedGrid:
             face_args = (
                 self._face_sharded_args(out) if name != "cumsum" else None
             )
-            if face_args is not None and ax_name in face_args[1:]:
-                mesh_axis, x_axis, y_axis = face_args
+            if face_args is not None and ax_name in face_args[1:3]:
+                mesh_axis, x_axis, y_axis, interior_axis = face_args
                 out = sharded_face_op(
                     self.grid, name, out, ax_name, self.mesh, mesh_axis,
                     x_axis, y_axis, to=ax_to, boundary=boundary,
                     fill_value=fill_value,
                     other_component=kw.get("other_component"),
+                    interior_mesh_axis=interior_axis,
                 )
             elif not isinstance(out, dict) and self._core_dim_sharded(
                 out, ax_name, ax_to
@@ -197,8 +220,10 @@ class ShardedGrid:
     ):
         """Apply a custom kernel, sharded over any mesh-mapped core dims at
         its declared boundary_width (the reference's map_overlap analog,
-        grid_ufunc.py:990-1092); falls through to the single-device engine
-        when no core dim is sharded."""
+        grid_ufunc.py:990-1092) — including face-connected grids with the
+        face dim (and optionally the within-face rows) mesh-mapped; falls
+        through to the single-device engine when nothing relevant is
+        sharded."""
         sig = (
             signature
             if isinstance(signature, GridUFuncSignature)
@@ -212,7 +237,11 @@ class ShardedGrid:
             for arg_ns, arg_ps in zip(axis, sig.in_ax_positions)
             for n, p in zip(arg_ns, arg_ps)
         )
-        if any_sharded:
+        face_sharded = (
+            self.grid._face_connections is not None
+            and self.dim_to_mesh_axis.get(self.grid._facedim) is not None
+        )
+        if any_sharded or face_sharded:
             return sharded_apply_as_grid_ufunc(
                 func, *args, axis=axis, grid=self.grid, signature=sig,
                 mesh=self.mesh, dim_to_mesh_axis=self.dim_to_mesh_axis,

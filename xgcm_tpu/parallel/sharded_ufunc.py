@@ -6,25 +6,34 @@ machinery (reference ``grid_ufunc.py:990-1092``), which could parallelise
 Here the same generality comes from running the ordinary single-device
 engine (:func:`xgcm_tpu.apply_as_grid_ufunc`) *inside* ``shard_map`` against
 a grid whose sharded dims carry local (per-shard) sizes, with the padding
-step swapped for :func:`~xgcm_tpu.parallel.halo.ring_halo_pad` — a
-``ppermute`` neighbour exchange over the ICI ring — on the mesh-mapped core
-dims.  Non-sharded core dims keep the normal local boundary padding, so
-mixed layouts (e.g. X sharded, Y replicated) work transparently.
+step swapped for a mesh-collective pad:
+
+* face-less grids: :func:`~xgcm_tpu.parallel.halo.ring_halo_pad` — a
+  ``ppermute`` neighbour exchange over the ICI ring — on the mesh-mapped
+  core dims, normal local boundary padding on the rest, so mixed layouts
+  (e.g. X sharded, Y replicated) work transparently;
+* face-connected grids: the compiled-plan strip exchange of
+  :func:`~xgcm_tpu.parallel.face_sharded.face_halo_pad_widths` at the
+  ufunc's declared widths, with the face dim sharded over one mesh axis
+  and (optionally) the within-face rows over a second — the reference's
+  simultaneous face + core-dim dask chunking (``padding.py:70-335``
+  composed with ``grid_ufunc.py:990-1066``), built from collectives.
 
 Restrictions mirror the reference's overlap rules
-(``grid_ufunc.py:1069-1092``): positions on a *sharded* axis must be
-length-preserving (center/left/right — inner/outer change the array length
-and would break the uniform-shard invariant), and ``pad_before_func=False``
-ops (cumsum-style) are excluded — use
+(``grid_ufunc.py:1069-1092``): positions on a *sharded* axis (and on the
+two face axes of a face-connected grid, whose faces must keep uniform
+shapes) must be length-preserving — center/left/right; inner/outer change
+the array length and would break the uniform-shard invariant — and
+``pad_before_func=False`` ops (cumsum-style) are excluded — use
 :func:`~xgcm_tpu.parallel.halo.sharded_cumsum`, which parallelises the
-prefix sum the reference could not chunk at all.  Face-connected grids route
-through :mod:`~xgcm_tpu.parallel.face_sharded` instead.
+prefix sum the reference could not chunk at all.
 """
 
 from __future__ import annotations
 
 from typing import Callable, Mapping, Optional, Sequence, Tuple, Union
 
+import jax.numpy as jnp
 import numpy as np
 
 from jax import shard_map
@@ -79,6 +88,8 @@ def _local_grid(grid: Grid, mesh: Mesh, axis_to_mesh_axis) -> Grid:
     Only length-preserving positions are kept on sharded axes.  Coordinate
     *values* are irrelevant inside the kernel (GriddedArray is label-free);
     only dim sizes matter for the engine's bookkeeping and output checks.
+    Face connections are intentionally NOT carried over: the sharded pad
+    hook realises them with collectives before the engine's kernel runs.
     """
     coords_spec = {}
     ds_coords = {}
@@ -158,6 +169,116 @@ def _output_dims(arg_dims, in_core_dims, out_core_dims, sig):
     return outs
 
 
+class _FaceSetup:
+    """Static face-decomposition parameters for one sharded application.
+
+    ``first_arg_dims`` disambiguates the second in-face axis when the
+    connection table names only one axis (ring topologies)."""
+
+    def __init__(self, grid: Grid, mesh: Mesh, dim_to_mesh_axis,
+                 first_arg_dims=()):
+        from .face_sharded import _plan_device_params, compile_face_plan
+
+        facedim = grid._facedim
+        face_mesh_axis = dim_to_mesh_axis.get(facedim)
+        if face_mesh_axis is None:
+            raise NotImplementedError(
+                "sharded grid ufuncs on a face-connected grid need the face "
+                f"dim {facedim!r} mapped to a mesh axis (interior-only "
+                "decomposition of face grids is not supported)"
+            )
+        conn_axes = sorted(
+            {
+                a
+                for links in grid._face_connections[facedim].values()
+                for a in links
+            }
+        )
+        if len(conn_axes) == 1:
+            # ring-style topologies connect along one axis only; the other
+            # in-face axis is whichever remaining grid axis the data spans
+            others = [
+                n for n, ax in grid.axes.items()
+                if n != conn_axes[0]
+                and any(d in first_arg_dims for d in ax.coords.values())
+            ]
+            if len(others) != 1:
+                raise NotImplementedError(
+                    "cannot infer the second in-face axis for a "
+                    f"single-axis face connection (candidates: {others})"
+                )
+            conn_axes = [conn_axes[0], others[0]]
+        elif len(conn_axes) != 2:
+            raise NotImplementedError(
+                f"face-connected grids with {len(conn_axes)} connection "
+                "axes are not supported (need exactly 2)"
+            )
+
+        def _axis_mesh(axname):
+            s = {
+                dim_to_mesh_axis.get(d)
+                for d in grid.axes[axname].coords.values()
+            } - {None}
+            if len(s) > 1:
+                raise ValueError(
+                    f"dims of axis {axname!r} map to multiple mesh axes"
+                )
+            return s.pop() if s else None
+
+        m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
+        if m0 is not None and m1 is not None:
+            raise NotImplementedError(
+                "only one in-face axis of a face-connected grid can be "
+                "sharded (faces decompose as face x rows)"
+            )
+        # the interior-sharded axis (if any) takes the tangential "y" role
+        if m0 is not None:
+            self.y_axis, self.x_axis = conn_axes[0], conn_axes[1]
+            self.interior_mesh_axis = m0
+        else:
+            self.x_axis, self.y_axis = conn_axes[0], conn_axes[1]
+            self.interior_mesh_axis = m1
+
+        self.facedim = facedim
+        self.face_mesh_axis = face_mesh_axis
+        self.n_faces = grid._ds.dims[facedim]
+        f_size = mesh.shape[face_mesh_axis]
+        self.fpd = -(-self.n_faces // f_size)
+        self.n_padded = self.fpd * f_size
+        plan = compile_face_plan(
+            grid, self.x_axis, self.y_axis, n_faces_total=self.n_padded
+        )
+        if np.any(plan.swap):
+            ny = grid._ds.dims[
+                next(iter(grid.axes[self.y_axis].coords.values()))
+            ]
+            nx = grid._ds.dims[
+                next(iter(grid.axes[self.x_axis].coords.values()))
+            ]
+            if ny != nx:
+                raise ValueError(
+                    "cross-axis face connections require square faces"
+                )
+        self.plan_params = _plan_device_params(plan, mesh, face_mesh_axis)
+
+    def pad_face_dim(self, arr: GriddedArray) -> GriddedArray:
+        """Round the face dim up to fpd * mesh_size with dummy faces."""
+        if self.n_padded == self.n_faces or self.facedim not in arr.dims:
+            return arr
+        i = arr.get_axis_num(self.facedim)
+        widths = [(0, 0)] * arr.data.ndim
+        widths[i] = (0, self.n_padded - self.n_faces)
+        return arr.with_data(jnp.pad(arr.data, widths))
+
+    def trim_face_dim(self, arr: GriddedArray) -> GriddedArray:
+        if self.n_padded == self.n_faces or self.facedim not in arr.dims:
+            return arr
+        i = arr.get_axis_num(self.facedim)
+        index = [slice(None)] * arr.data.ndim
+        index[i] = slice(0, self.n_faces)
+        return arr.with_data(arr.data[tuple(index)])
+
+
 def sharded_apply_as_grid_ufunc(
     func: Callable,
     *args,
@@ -174,15 +295,21 @@ def sharded_apply_as_grid_ufunc(
     **kwargs,
 ):
     """Apply any grid ufunc with mesh-mapped core dims, exchanging halos
-    of the declared ``boundary_width`` with ``ppermute``.
+    of the declared ``boundary_width`` with collectives.
 
     Equals the single-device :func:`xgcm_tpu.apply_as_grid_ufunc` result;
-    see module docstring for the restrictions.
+    see module docstring for the restrictions.  On face-connected grids the
+    face dim must be mesh-mapped (one face block per device, dummy-padded
+    for uneven counts) and vector components pass their partner through
+    ``other_component`` exactly like the single-device engine.
     """
+    face_setup = None
     if grid._face_connections is not None:
-        raise NotImplementedError(
-            "generic sharded grid ufuncs do not support face-connected "
-            "grids; use xgcm_tpu.parallel.face_sharded"
+        _first = args[0] if args else None
+        _first = _maybe_unpack_vector_component(_first)
+        face_setup = _FaceSetup(
+            grid, mesh, dim_to_mesh_axis,
+            first_arg_dims=tuple(getattr(_first, "dims", ())),
         )
     if not pad_before_func:
         raise NotImplementedError(
@@ -192,15 +319,14 @@ def sharded_apply_as_grid_ufunc(
     _ocs = other_component if isinstance(other_component, Sequence) else [
         other_component
     ]
-    if any(oc is not None for oc in _ocs):
-        # other_component only affects face-connection sign rules, which this
-        # route excludes; forbid rather than silently closing global arrays
-        # over the shard_map body
+    _ocs = list(_ocs)
+    if face_setup is None and any(oc is not None for oc in _ocs):
+        # other_component only affects face-connection sign rules, which the
+        # face-less route never hits; forbid rather than silently closing
+        # global arrays over the shard_map body
         raise NotImplementedError(
-            "other_component is only meaningful on face-connected grids; "
-            "use xgcm_tpu.parallel.face_sharded"
+            "other_component is only meaningful on face-connected grids"
         )
-    other_component = None
 
     sig = (
         signature
@@ -210,6 +336,10 @@ def sharded_apply_as_grid_ufunc(
     if isinstance(axis, str):
         axis = [(axis,)]
     args = list(args)
+    if len(_ocs) == 1 and len(args) > 1:
+        _ocs = _ocs * len(args) if _ocs[0] is None else _ocs
+    if len(_ocs) != len(args):
+        _ocs = list(_ocs) + [None] * (len(args) - len(_ocs))
     arg_arrays = [_maybe_unpack_vector_component(a) for a in args]
 
     dummy_to_real = _identify_dummy_axes_with_real_axes(sig.in_ax_names, axis)
@@ -219,14 +349,18 @@ def sharded_apply_as_grid_ufunc(
 
     # positions on a sharded axis must be length-preserving (the analog of
     # reference grid_ufunc.py:1069-1092's DISALLOWED_OVERLAP_POSITIONS);
-    # checked before any coords lookup so a missing inner/outer coord still
-    # reports the real restriction
+    # on a face-connected grid both in-face axes carry the restriction
+    # (faces must keep uniform shapes).  Checked before any coords lookup
+    # so a missing inner/outer coord still reports the real restriction.
+    restricted = set(axis_to_mesh_axis)
+    if face_setup is not None:
+        restricted |= {face_setup.x_axis, face_setup.y_axis}
     for arg_ns, arg_ps in zip(
         list(axis) + out_ax_names,
         list(sig.in_ax_positions) + list(sig.out_ax_positions),
     ):
         for n, p in zip(arg_ns, arg_ps):
-            if n in axis_to_mesh_axis and p not in _LENGTH_PRESERVING:
+            if n in restricted and p not in _LENGTH_PRESERVING:
                 raise NotImplementedError(
                     f"cannot shard along axis {n!r}: position {p!r} changes "
                     f"the array length (only center/left/right positions "
@@ -255,50 +389,169 @@ def sharded_apply_as_grid_ufunc(
         if name in axis_to_mesh_axis
         for dim in ax.coords.values()
     }
-    # non-core dims (e.g. batch) keep whatever mesh mapping the caller gave
+    # non-core dims (e.g. batch, the face dim) keep the caller's mapping
     full_map = {**dict(dim_to_mesh_axis), **sharded_dims}
 
-    in_specs = tuple(partition_spec(a.dims, full_map) for a in arg_arrays)
+    if face_setup is not None:
+        arg_arrays = [face_setup.pad_face_dim(a) for a in arg_arrays]
+    in_specs = [partition_spec(a.dims, full_map) for a in arg_arrays]
     out_dims = _output_dims(
         [a.dims for a in arg_arrays], in_core_dims, out_core_dims, sig
     )
     out_specs = tuple(partition_spec(dims, full_map) for dims in out_dims)
     single_out = len(out_dims) == 1
 
-    def _ring_pad_fn(a, grid, boundary_width, boundary, fill_value,
-                     other_component=None):
-        """Engine pad hook: local pad for unsharded axes, ppermute halos
-        for sharded ones (order is commutative for pointwise BC modes)."""
-        da = _maybe_unpack_vector_component(a)
-        local_bw = {
-            n: w for n, w in boundary_width.items()
-            if n not in axis_to_mesh_axis
-        }
-        if any(w != (0, 0) for w in local_bw.values()):
-            da = pad(
-                da, grid=grid, boundary_width=local_bw, boundary=boundary,
-                fill_value=fill_value, other_component=other_component,
-            )
-        for n, w in boundary_width.items():
-            if n not in axis_to_mesh_axis or w == (0, 0):
-                continue
-            dim = grid.axes[n]._get_position_name(da)[1]
-            da = da.with_data(
-                ring_halo_pad(
-                    da.data, da.get_axis_num(dim), w,
-                    axis_to_mesh_axis[n], bc[n], float(fv[n]),
+    # partner (other_component) arrays ride shard_map as extra inputs
+    partner_arrays = []
+    partner_keys = []
+    for oc in _ocs:
+        if oc is None:
+            partner_arrays.append(None)
+            partner_keys.append(None)
+        else:
+            [k] = list(oc.keys())
+            pa = oc[k]
+            if face_setup is not None:
+                pa = face_setup.pad_face_dim(pa)
+            partner_arrays.append(pa)
+            partner_keys.append(k)
+    extra_inputs = [p for p in partner_arrays if p is not None]
+    extra_specs = [partition_spec(p.dims, full_map) for p in extra_inputs]
+
+    n_plan = 0
+    plan_inputs = ()
+    plan_specs = ()
+    if face_setup is not None:
+        from jax.sharding import PartitionSpec
+
+        plan_inputs = face_setup.plan_params
+        plan_specs = (PartitionSpec(face_setup.face_mesh_axis),) * len(
+            plan_inputs
+        )
+        n_plan = len(plan_inputs)
+
+    def _make_pad_fn(plan_local):
+        if face_setup is None:
+
+            def _ring_pad_fn(a, grid, boundary_width, boundary, fill_value,
+                             other_component=None):
+                """Engine pad hook: local pad for unsharded axes, ppermute
+                halos for sharded ones (order is commutative for pointwise
+                BC modes)."""
+                da = _maybe_unpack_vector_component(a)
+                local_bw = {
+                    n: w for n, w in boundary_width.items()
+                    if n not in axis_to_mesh_axis
+                }
+                if any(w != (0, 0) for w in local_bw.values()):
+                    da = pad(
+                        da, grid=grid, boundary_width=local_bw,
+                        boundary=boundary, fill_value=fill_value,
+                        other_component=other_component,
+                    )
+                for n, w in boundary_width.items():
+                    if n not in axis_to_mesh_axis or w == (0, 0):
+                        continue
+                    dim = grid.axes[n]._get_position_name(da)[1]
+                    da = da.with_data(
+                        ring_halo_pad(
+                            da.data, da.get_axis_num(dim), w,
+                            axis_to_mesh_axis[n], bc[n], float(fv[n]),
+                        )
+                    )
+                return da
+
+            return _ring_pad_fn
+
+        from .face_sharded import face_halo_pad_widths
+
+        fs = face_setup
+
+        def _face_pad_fn(a, grid, boundary_width, boundary, fill_value,
+                         other_component=None):
+            """Engine pad hook for face-connected grids: strip-exchange
+            halos on the two face axes, local pad on any others."""
+            vec_code = None
+            partner = None
+            da = a
+            if isinstance(a, dict):
+                (vec_axis, da), = a.items()
+                vec_code = 0 if vec_axis == fs.x_axis else 1
+                if other_component is None:
+                    raise ValueError(
+                        "Padding vector components requires "
+                        "`other_component` input."
+                    )
+                (_, partner), = other_component.items()
+            other_widths = {
+                n: wdt for n, wdt in boundary_width.items()
+                if n not in (fs.x_axis, fs.y_axis)
+            }
+            if any(wdt != (0, 0) for wdt in other_widths.values()):
+                da = pad(
+                    da, grid=grid, boundary_width=other_widths,
+                    boundary=boundary, fill_value=fill_value,
                 )
+            wx = tuple(boundary_width.get(fs.x_axis, (0, 0)))
+            wy = tuple(boundary_width.get(fs.y_axis, (0, 0)))
+            if wx == (0, 0) and wy == (0, 0):
+                return da
+            _, ydim = grid.axes[fs.y_axis]._get_position_name(da)
+            _, xdim = grid.axes[fs.x_axis]._get_position_name(da)
+            rest = [d for d in da.dims if d not in (fs.facedim, ydim, xdim)]
+            ordered = da.transpose(*rest, fs.facedim, ydim, xdim)
+            pblock = None
+            if partner is not None:
+                _, pydim = grid.axes[fs.y_axis]._get_position_name(partner)
+                _, pxdim = grid.axes[fs.x_axis]._get_position_name(partner)
+                prest = [
+                    d for d in partner.dims
+                    if d not in (fs.facedim, pydim, pxdim)
+                ]
+                pblock = partner.transpose(
+                    *prest, fs.facedim, pydim, pxdim
+                ).data
+            padded = face_halo_pad_widths(
+                ordered.data,
+                plan_local,
+                wx,
+                wy,
+                fs.face_mesh_axis,
+                bc[fs.x_axis],
+                bc[fs.y_axis],
+                float(fv[fs.x_axis]),
+                float(fv[fs.y_axis]),
+                fs.x_axis,
+                fs.y_axis,
+                interior_mesh_axis=fs.interior_mesh_axis,
+                partner_block=pblock,
+                vector_axis_code=vec_code,
             )
-        return da
+            return GriddedArray(padded, ordered.dims, name=da.name)
+
+        return _face_pad_fn
 
     def local(*raw):
+        raw_args = raw[: len(args)]
+        raw_partners = raw[len(args) : len(raw) - n_plan]
+        plan_local = raw[len(raw) - n_plan :] if n_plan else None
+
         local_args = []
-        for r, a, arr in zip(raw, args, arg_arrays):
+        for r, a, arr in zip(raw_args, args, arg_arrays):
             ga = GriddedArray(r, arr.dims, name=arr.name)
             if isinstance(a, dict):
                 [key] = list(a.keys())
                 ga = {key: ga}
             local_args.append(ga)
+        local_ocs = []
+        it = iter(raw_partners)
+        for pa, key in zip(partner_arrays, partner_keys):
+            if pa is None:
+                local_ocs.append(None)
+            else:
+                local_ocs.append(
+                    {key: GriddedArray(next(it), pa.dims, name=pa.name)}
+                )
         res = apply_as_grid_ufunc(
             func,
             *local_args,
@@ -309,8 +562,8 @@ def sharded_apply_as_grid_ufunc(
             boundary=bc,
             fill_value=fv,
             pad_before_func=pad_before_func,
-            other_component=other_component,
-            _pad_fn=_ring_pad_fn,
+            other_component=local_ocs,
+            _pad_fn=_make_pad_fn(plan_local),
             **kwargs,
         )
         if single_out:
@@ -320,10 +573,21 @@ def sharded_apply_as_grid_ufunc(
             r.transpose(*dims).data for r, dims in zip(res, out_dims)
         )
 
-    f = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    raw_out = f(*(a.data for a in arg_arrays))
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs) + tuple(extra_specs) + tuple(plan_specs),
+        out_specs=out_specs,
+    )
+    raw_out = f(
+        *(a.data for a in arg_arrays),
+        *(p.data for p in extra_inputs),
+        *plan_inputs,
+    )
     name = arg_arrays[0].name
     results = tuple(
         GriddedArray(r, dims, name=name) for r, dims in zip(raw_out, out_dims)
     )
+    if face_setup is not None:
+        results = tuple(face_setup.trim_face_dim(r) for r in results)
     return results[0] if single_out else results
