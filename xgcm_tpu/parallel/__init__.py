@@ -1,6 +1,11 @@
-from .face_sharded import compile_face_plan, sharded_face_op  # noqa: F401
+from .face_sharded import (  # noqa: F401
+    compile_face_plan,
+    sharded_face_cumsum,
+    sharded_face_op,
+)
 from .halo import ring_halo_pad, sharded_cumsum, sharded_op  # noqa: F401
 from .mesh import make_mesh, partition_spec, replicate, shard_gridded  # noqa: F401
 from .sharded_grid import ShardedGrid  # noqa: F401
 from .diagnostics import sharded_cgrid_diagnostics  # noqa: F401
 from .sharded_ufunc import sharded_apply_as_grid_ufunc  # noqa: F401
+from .apply_many import sharded_apply_many  # noqa: F401

@@ -59,6 +59,7 @@ __all__ = [
     "compile_face_plan",
     "face_halo_pad_widths",
     "sharded_face_op",
+    "sharded_face_cumsum",
 ]
 
 # side codes: 0 = X-left, 1 = X-right, 2 = Y-left, 3 = Y-right
@@ -437,3 +438,145 @@ def sharded_face_op(
         fill_value=remaining.get("fill_value"),
         other_component=other_component,
     )
+
+
+def sharded_face_cumsum(
+    grid: Grid,
+    da: GriddedArray,
+    axis_name: str,
+    mesh: Mesh,
+    facedim_mesh_axis: str,
+    x_axis: str,
+    y_axis: str,
+    to: Optional[str] = None,
+    boundary: Optional[str] = None,
+    fill_value: Optional[float] = None,
+    interior_mesh_axis: Optional[str] = None,
+) -> GriddedArray:
+    """Position-shifting cumsum on a face-sharded field with an explicit
+    per-face collective plan.
+
+    The single-device ``Grid.cumsum`` (reference grid.py:1038-1190) is a
+    per-face prefix sum, a one-element trim for the shifting pairs, and a
+    width-1 face pad of the TRIMMED array.  Here the prefix sum runs
+    locally per shard (plus a log-depth ``all_gather`` of block totals
+    along the interior axis when the summed rows are sharded), the trim is
+    emulated by overwriting the last global element with its predecessor
+    (width-1 halos only ever read edge lines, and the dropped element is
+    sliced away afterwards), and the shift element comes from ONE strip
+    exchange — no face is ever gathered whole, unlike the GSPMD fallback
+    this replaces, whose gather/concat padding emitted unplanned
+    all-to-alls.  Result equals ``grid.cumsum`` for the length-preserving
+    position pairs.
+
+    Axis-swapping face connections raise NotImplementedError: the trim
+    makes faces non-square along the summed axis, and the single-device
+    assembly (ours and the reference's xarray concat alike) fails on them
+    — there is no behaviour to reproduce.
+    """
+    from jax import shard_map
+
+    from .mesh import partition_spec
+
+    ax = grid.axes[axis_name]
+    from_pos, dim = ax._get_position_name(da)
+    to_pos = to or ax.default_shifts[from_pos]
+    pairs_shift = {("center", "left"), ("right", "center")}
+    pairs_noshift = {("center", "right"), ("left", "center")}
+    if (from_pos, to_pos) not in pairs_shift | pairs_noshift:
+        raise NotImplementedError(
+            f"face-sharded cumsum supports only length-preserving shifts, "
+            f"got {from_pos}->{to_pos}"
+        )
+    shift = (from_pos, to_pos) in pairs_shift
+
+    bc = grid._complete_user_kwargs_using_axis_defaults(boundary, "boundary")
+    fv = grid._complete_user_kwargs_using_axis_defaults(
+        fill_value, "fill_value"
+    )
+
+    facedim = grid._facedim
+    n_faces = grid._ds.dims[facedim]
+    f_size = mesh.shape[facedim_mesh_axis]
+    fpd = -(-n_faces // f_size)
+    n_padded = fpd * f_size
+    plan = compile_face_plan(grid, x_axis, y_axis, n_faces_total=n_padded)
+    if shift and np.any(plan.swap):
+        raise NotImplementedError(
+            "cumsum on grids with axis-swapping face connections is not "
+            "supported (the trim makes faces non-square; the single-device "
+            "assembly fails on them too)"
+        )
+    plan_params = _plan_device_params(plan, mesh, facedim_mesh_axis)
+
+    _, ydim = grid.axes[y_axis]._get_position_name(da)
+    _, xdim = grid.axes[x_axis]._get_position_name(da)
+    rest = [d for d in da.dims if d not in (facedim, ydim, xdim)]
+    ordered = da.transpose(*rest, facedim, ydim, xdim)
+
+    data = ordered.data
+    if n_padded != n_faces:
+        widths = [(0, 0)] * data.ndim
+        widths[-3] = (0, n_padded - n_faces)
+        data = jnp.pad(data, widths)
+
+    axis_is_x = axis_name == x_axis
+    d2m = {facedim: facedim_mesh_axis}
+    if interior_mesh_axis is not None:
+        d2m[ydim] = interior_mesh_axis
+    in_spec = partition_spec(ordered.dims, d2m)
+    plan_spec = PartitionSpec(facedim_mesh_axis)
+
+    def local(block, *plan_local):
+        opax = block.ndim + (-1 if axis_is_x else -2)
+        n_loc = block.shape[opax]
+        cs = jnp.cumsum(block, axis=opax)
+        rows_sharded = (not axis_is_x) and interior_mesh_axis is not None
+        if rows_sharded:
+            total = lax.slice_in_dim(cs, n_loc - 1, n_loc, axis=opax)
+            totals = lax.all_gather(total, interior_mesh_axis)
+            idx = lax.axis_index(interior_mesh_axis)
+            nsh = lax.axis_size(interior_mesh_axis)
+            mask = (jnp.arange(nsh) < idx).astype(block.dtype)
+            cs = cs + jnp.tensordot(mask, totals, axes=(0, 0))
+        if not shift:
+            return cs
+        # emulate the reference's pre-pad trim: the last GLOBAL element is
+        # replaced by its predecessor, so every width-1 edge line equals
+        # the trimmed array's; the bogus element itself is sliced away
+        last = lax.slice_in_dim(cs, n_loc - 2, n_loc - 1, axis=opax)
+        iota = lax.broadcasted_iota(jnp.int32, cs.shape, opax)
+        is_last = iota == n_loc - 1
+        if rows_sharded:
+            is_last = is_last & (
+                lax.axis_index(interior_mesh_axis)
+                == lax.axis_size(interior_mesh_axis) - 1
+            )
+        emul = jnp.where(is_last, last, cs)
+        wx = (1, 0) if axis_is_x else (0, 0)
+        wy = (0, 0) if axis_is_x else (1, 0)
+        padded = face_halo_pad_widths(
+            emul, plan_local, wx, wy, facedim_mesh_axis,
+            bc[x_axis], bc[y_axis], float(fv[x_axis]), float(fv[y_axis]),
+            x_axis, y_axis, interior_mesh_axis=interior_mesh_axis,
+        )
+        return lax.slice_in_dim(padded, 0, n_loc, axis=opax)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(in_spec,) + (plan_spec,) * len(plan_params),
+        out_specs=in_spec,
+    )
+    result = f(data, *plan_params)
+    if n_padded != n_faces:
+        index = [slice(None)] * result.ndim
+        index[-3] = slice(0, n_faces)
+        result = result[tuple(index)]
+    out_dim = ax.coords[to_pos]
+    out_dims = tuple(
+        out_dim if d == dim else d for d in ordered.dims
+    )
+    out = GriddedArray(result, out_dims, name=da.name)
+    desired = tuple(out_dim if d == dim else d for d in da.dims)
+    return out.transpose(*desired)

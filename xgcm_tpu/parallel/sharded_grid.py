@@ -147,7 +147,7 @@ class ShardedGrid:
         self, name, da, axis, to=None, boundary=None, fill_value=None,
         metric_weighted=None, **kw,
     ):
-        from .face_sharded import sharded_face_op
+        from .face_sharded import sharded_face_cumsum, sharded_face_op
 
         if isinstance(axis, str):
             axis = [axis]
@@ -163,18 +163,24 @@ class ShardedGrid:
             if mw:
                 out = out * self.grid.get_metric(out, mw)
 
-            face_args = (
-                self._face_sharded_args(out) if name != "cumsum" else None
-            )
+            face_args = self._face_sharded_args(out)
             if face_args is not None and ax_name in face_args[1:3]:
                 mesh_axis, x_axis, y_axis, interior_axis = face_args
-                out = sharded_face_op(
-                    self.grid, name, out, ax_name, self.mesh, mesh_axis,
-                    x_axis, y_axis, to=ax_to, boundary=boundary,
-                    fill_value=fill_value,
-                    other_component=kw.get("other_component"),
-                    interior_mesh_axis=interior_axis,
-                )
+                if name == "cumsum":
+                    out = sharded_face_cumsum(
+                        self.grid, out, ax_name, self.mesh, mesh_axis,
+                        x_axis, y_axis, to=ax_to, boundary=boundary,
+                        fill_value=fill_value,
+                        interior_mesh_axis=interior_axis,
+                    )
+                else:
+                    out = sharded_face_op(
+                        self.grid, name, out, ax_name, self.mesh, mesh_axis,
+                        x_axis, y_axis, to=ax_to, boundary=boundary,
+                        fill_value=fill_value,
+                        other_component=kw.get("other_component"),
+                        interior_mesh_axis=interior_axis,
+                    )
             elif not isinstance(out, dict) and self._core_dim_sharded(
                 out, ax_name, ax_to
             ):
@@ -252,6 +258,18 @@ class ShardedGrid:
             func, *args, axis=axis, signature=sig,
             boundary_width=boundary_width, boundary=boundary,
             fill_value=fill_value, **kwargs,
+        )
+
+    def apply_many(self, op_specs):
+        """Run a batch of grid-ufunc applications in ONE shard_map with
+        shared halo exchange — each distinct input is padded once per axis
+        at the maximum width any op requests (see
+        :func:`~xgcm_tpu.parallel.apply_many.sharded_apply_many`)."""
+        from .apply_many import sharded_apply_many
+
+        return sharded_apply_many(
+            op_specs, grid=self.grid, mesh=self.mesh,
+            dim_to_mesh_axis=self.dim_to_mesh_axis,
         )
 
     # ---------------------------------------------- metric-weighted calculus
