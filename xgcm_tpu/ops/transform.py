@@ -505,6 +505,50 @@ def _broadcast_columns(grid, da: GriddedArray, theta: GriddedArray, dim, theta_d
     return phi, lead, theta_data
 
 
+def _columns_first_2d(phi, theta, target, phi_dim, theta_dim):
+    """True when phi/theta are 2-D with the TRANSFORM dim leading (the
+    lanes-major TPU-native layout) and the target is a shared 1-D vector —
+    the case the `_T` kernel entries serve with zero layout round-trips."""
+    return (
+        len(phi.dims) == 2
+        and phi.dims[0] == phi_dim
+        and len(theta.dims) == 2
+        and theta.dims[0] == theta_dim
+        and phi.dims[1] == theta.dims[1]
+        and len(target.dims) == 1
+    )
+
+
+def _fused_linear_T(phi_T, theta_T, target, mask_edges=False,
+                    bypass_checks=False, logarithmic=False):
+    """Lanes-major fused linear remap: (n, cols) columns, (m,) targets ->
+    (m, cols); ``None`` when the fused kernel cannot serve the shapes
+    (CPU, x64, out-of-budget sizes) so callers fall through to the
+    generic layout."""
+    from .pallas_transform import (
+        interp_linear_fused_T_ad,
+        supports_fused_transform,
+    )
+
+    phi_T = jnp.asarray(phi_T)
+    theta_T = jnp.asarray(theta_T)
+    target = jnp.asarray(target)
+    n, cols = phi_T.shape
+    m = target.shape[-1]
+    if not supports_fused_transform(
+        _shape_stub(phi_T.dtype, (cols, n)),
+        _shape_stub(theta_T.dtype, (cols, n)),
+        _shape_stub(target.dtype, (m,)),
+    ):
+        return None
+    if logarithmic:
+        theta_T = jnp.log(theta_T)
+        target = jnp.log(target)
+    return interp_linear_fused_T_ad(
+        theta_T, phi_T, target, mask_edges, not bypass_checks
+    )
+
+
 def linear_interpolation(
     phi: GriddedArray,
     theta: GriddedArray,
@@ -521,7 +565,22 @@ def linear_interpolation(
     Lead dims of ``target`` that phi does not carry (a spatially varying
     vertical target coordinate, e.g. ROMS ``layer_depth_rho(eta_rho, s_rho)``
     — reference test_transform.py:111-215) broadcast into the output after
-    phi's own lead dims, matching ``xr.apply_ufunc`` broadcasting order."""
+    phi's own lead dims, matching ``xr.apply_ufunc`` broadcasting order.
+
+    Layout-aware fast path (VERDICT r2 item 4): a 2-D input whose
+    TRANSFORM dim leads ((zc, col) — columns in the lanes, the TPU-native
+    layout) feeds the fused kernel directly and returns
+    ``(target_dim, col)`` — the transform dim replaced IN PLACE, so
+    chained transforms never round-trip the layout through XLA
+    transposes.  All other inputs keep the xarray-style
+    core-dim-moved-last output order."""
+    if _columns_first_2d(phi, theta, target, phi_dim, theta_dim):
+        out = _fused_linear_T(phi.data, theta.data, target.data, **kwargs)
+        if out is not None:
+            name = (phi.name + suffix) if phi.name else None
+            return GriddedArray(
+                out, [target_dim, phi.dims[1]], name=name
+            )
     phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
 
     tgt = target.move_dims_last([target_dim])
@@ -544,6 +603,50 @@ def linear_interpolation(
     return GriddedArray(out, full_lead + [target_dim], name=name)
 
 
+def _fused_conservative_T(phi_T, theta_T, target_bins):
+    """Lanes-major conservative rebin: (n, cols) cells + (n+1, cols) raw
+    bounds into shared increasing-or-decreasing bins -> (m-1, cols);
+    ``None`` when the fused kernel cannot serve the shapes.  Bin-direction
+    handling mirrors :func:`interp_1d_conservative`."""
+    from .pallas_transform import (
+        conservative_fused_T_ad,
+        supports_fused_conservative,
+    )
+
+    phi_T = jnp.asarray(phi_T)
+    theta_T = jnp.asarray(theta_T)
+    n, cols = phi_T.shape
+    if theta_T.shape != (n + 1, cols):
+        return None
+    traced_flip = None
+    flip_switch = False
+    if isinstance(target_bins, jax.core.Tracer):
+        edges = jnp.asarray(target_bins)
+        traced_flip = edges[-1] < edges[0]
+        edges = jnp.where(traced_flip, edges[::-1], edges)
+    else:
+        t_np = np.asarray(target_bins)
+        t_diff = np.diff(t_np)
+        if np.all(t_diff < 0):
+            flip_switch = True
+            t_np = t_np[::-1].copy()
+        elif not np.all(t_diff > 0):
+            raise ValueError("Target values are not monotonic")
+        edges = jnp.asarray(t_np)
+    if not supports_fused_conservative(
+        _shape_stub(phi_T.dtype, (cols, n)),
+        _shape_stub(theta_T.dtype, (cols, n + 1)),
+        _shape_stub(edges.dtype, edges.shape),
+    ):
+        return None
+    out = conservative_fused_T_ad(theta_T, phi_T, edges)  # (m-1, cols)
+    if flip_switch:
+        out = out[::-1, :]
+    elif traced_flip is not None:
+        out = jnp.where(traced_flip, out[::-1, :], out)
+    return out
+
+
 def conservative_interpolation(
     phi: GriddedArray,
     theta: GriddedArray,
@@ -556,7 +659,18 @@ def conservative_interpolation(
 ) -> GriddedArray:
     """Named-dim wrapper for conservative remap (reference
     transform.py:252-276).  The output has ``len(target) - 1`` cells along
-    ``target_dim`` whose centres are the midpoints of the target bins."""
+    ``target_dim`` whose centres are the midpoints of the target bins.
+
+    Layout-aware fast path: see :func:`linear_interpolation` — a (zc, col)
+    input returns ``(target_dim, col)`` through the transpose-free kernel
+    entry."""
+    if _columns_first_2d(phi, theta, target, phi_dim, theta_dim):
+        out = _fused_conservative_T(phi.data, theta.data, target.data)
+        if out is not None:
+            name = (phi.name + suffix) if phi.name else None
+            return GriddedArray(
+                out, [target_dim, phi.dims[1]], name=name
+            )
     phi_t, lead, theta_data = _broadcast_columns(grid, phi, theta, phi_dim, theta_dim)
     # concrete targets let the kernel inspect the bin direction (decreasing
     # bins are flipped); under jit the target may have become a tracer, in
@@ -818,8 +932,51 @@ def transform_multi(
 
     from .pallas_transform import (
         interp_linear_fused_multi_ad,
+        interp_linear_fused_multi_T_ad,
         supports_fused_transform,
     )
+
+    # layout-aware fast path: every variable (zc, col) with matching theta
+    # — zero transposes in or out, outputs (target_dim, col) in place
+    if (
+        len(tdata.dims) == 2
+        and tdata.dims[0] == theta_dim
+        and all(
+            len(da.dims) == 2
+            and da.dims[0] == dim
+            and da.dims[1] == tdata.dims[1]
+            for da in das
+        )
+    ):
+        thT = jnp.asarray(tdata.data)
+        n2, cols2 = thT.shape
+        tgt_j2 = jnp.asarray(tgt.data).reshape(-1)
+        if all(
+            supports_fused_transform(
+                _shape_stub(da.data.dtype, (cols2, n2)),
+                _shape_stub(thT.dtype, (cols2, n2)),
+                _shape_stub(tgt_j2.dtype, tgt_j2.shape),
+                nv=len(das),
+            )
+            for da in das
+        ):
+            if method == "log":
+                thT = jnp.log(thT)
+                tgt_j2 = jnp.log(tgt_j2)
+            outs = interp_linear_fused_multi_T_ad(
+                thT,
+                tuple(jnp.asarray(da.data) for da in das),
+                tgt_j2,
+                mask_edges,
+                not bypass_checks,
+            )
+            return [
+                GriddedArray(
+                    o, [tgt_dim, da.dims[1]],
+                    name=(da.name + suffix) if da.name else None,
+                )
+                for da, o in zip(das, outs)
+            ]
 
     phi_ts = []
     lead = None
@@ -904,8 +1061,66 @@ def _transform_multi_conservative(
 
     from .pallas_transform import (
         conservative_fused_multi_ad,
+        conservative_fused_multi_T_ad,
         supports_fused_conservative,
     )
+
+    # layout-aware fast path: every variable (zc, col) with (zo, col)
+    # bounds — zero transposes, outputs (target_dim, col) in place
+    if (
+        len(tdata.dims) == 2
+        and tdata.dims[0] == target_data_dim
+        and all(
+            len(da.dims) == 2
+            and da.dims[0] == dim
+            and da.dims[1] == tdata.dims[1]
+            for da in das
+        )
+    ):
+        thT = jnp.asarray(tdata.data)
+        n2p1, cols2 = thT.shape
+        tdata_arr0 = tgt.data
+        flip_switch0 = False
+        traced_flip0 = None
+        if isinstance(tdata_arr0, jax.core.Tracer):
+            traced_flip0 = tdata_arr0[-1] < tdata_arr0[0]
+            tdata_arr0 = jnp.where(
+                traced_flip0, tdata_arr0[::-1], tdata_arr0
+            )
+        else:
+            t_np0 = np.asarray(tdata_arr0)
+            t_diff0 = np.diff(t_np0)
+            if np.all(t_diff0 < 0):
+                flip_switch0 = True
+                tdata_arr0 = t_np0[::-1].copy()
+            elif not np.all(t_diff0 > 0):
+                raise ValueError("Target values are not monotonic")
+        edges0 = jnp.asarray(tdata_arr0).reshape(-1)
+        if all(
+            supports_fused_conservative(
+                _shape_stub(da.data.dtype, (cols2, n2p1 - 1)),
+                _shape_stub(thT.dtype, (cols2, n2p1)),
+                _shape_stub(edges0.dtype, edges0.shape),
+                nv=len(das),
+            )
+            for da in das
+        ):
+            outs = conservative_fused_multi_T_ad(
+                thT, tuple(jnp.asarray(da.data) for da in das), edges0
+            )
+            results0 = []
+            for da, o in zip(das, outs):
+                if flip_switch0:
+                    o = o[::-1, :]
+                elif traced_flip0 is not None:
+                    o = jnp.where(traced_flip0, o[::-1, :], o)
+                results0.append(
+                    GriddedArray(
+                        o, [tgt_dim, da.dims[1]],
+                        name=(da.name + suffix) if da.name else None,
+                    )
+                )
+            return results0
 
     phi_ts = []
     lead = None
