@@ -28,6 +28,15 @@ jax.config.update("jax_platforms", "cpu")
 if not os.environ.get("XGCM_TPU_TEST_X32"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA:CPU compiles dominate suite runtime on
+# slow hosts; caching them makes re-runs minutes instead of tens of minutes.
+# Override the location with XGCM_TPU_JAX_CACHE (set empty to disable).
+_cache_dir = os.environ.get("XGCM_TPU_JAX_CACHE", "/tmp/xgcm_tpu_jax_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

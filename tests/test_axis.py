@@ -48,6 +48,26 @@ class TestAxisCreation:
         with pytest.raises(TypeError, match="fill value must be"):
             Axis(ds, "X", coords={"center": "XC"}, fill_value="zero")
 
+    def test_override_defaults(self):
+        """User default_shifts and boundary beat the inferred ones
+        (reference test_axis.py TestInit.test_override_defaults)."""
+        ds = dataset_1d_left()
+        ax = Axis(
+            ds, "foo", coords={"center": "XC", "left": "XG"},
+            default_shifts={"left": "inner", "center": "outer"},
+            boundary="fill",
+        )
+        assert ax.name == "foo"
+        assert ax.default_shifts == {"left": "inner", "center": "outer"}
+        assert ax.boundary == "fill"
+
+    def test_get_axis_dim_num(self):
+        """reference test_axis.py::test_get_axis_dim_num."""
+        ds = dataset_1d_left()
+        ax = Axis(ds, "X", coords={"center": "XC", "left": "XG"})
+        da = GriddedArray(np.zeros((3, ds.dims["XG"])), ("t", "XG"))
+        assert ax._get_axis_dim_num(da) == da.get_axis_num("XG") == 1
+
     def test_default_shift_to_self_rejected(self):
         ds = dataset_1d_left()
         with pytest.raises(ValueError, match="Can't set the default shift"):

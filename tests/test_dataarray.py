@@ -91,6 +91,13 @@ class TestBroadcastArithmetic:
         np.testing.assert_allclose(np.asarray((-a).data), -1.0)
         np.testing.assert_allclose(np.asarray((1 / a).data), 1.0)
 
+    def test_abs_pow(self):
+        a = GriddedArray(np.array([-2.0, 3.0]), ("x",))
+        np.testing.assert_allclose(np.asarray(abs(a).data), [2.0, 3.0])
+        np.testing.assert_allclose(np.asarray((a ** 2).data), [4.0, 9.0])
+        b = GriddedArray(np.array([2.0, 2.0]), ("x",))
+        np.testing.assert_allclose(np.asarray((abs(a) ** b).data), [4.0, 9.0])
+
     def test_reductions(self):
         a = GriddedArray(np.arange(6.0).reshape(2, 3), ("y", "x"))
         assert a.sum("x").dims == ("y",)

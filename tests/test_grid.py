@@ -214,6 +214,36 @@ class TestCoordsFor:
 
 
 class TestMoreReferenceParity:
+    def test_duplicate_values(self):
+        """A dim may serve only one (axis, position) — reference
+        test_grid.py:55-71 TestInvalidGrid.test_duplicate_values."""
+        ds = Dataset(coords={"xt": ("xt", np.arange(4) + 0.5)})
+        with pytest.raises(ValueError, match="more than one axis position"):
+            Grid(
+                ds, coords={"ax1": {"left": "xt", "right": "xt"}},
+                autoparse_metadata=False,
+            )
+        with pytest.raises(ValueError, match="more than one axis position"):
+            Grid(
+                ds,
+                coords={"ax1": {"left": "xt"}, "ax2": {"right": "xt"}},
+                autoparse_metadata=False,
+            )
+
+    def test_raise_on_operation_not_valid_for_same_position(self):
+        """diff to the SAME position has no predefined ufunc — reference
+        test_grid.py:104-110."""
+        ds = Dataset(coords={"XC": ("XC", np.arange(5) + 0.5)})
+        grid = Grid(
+            ds, coords={"X": {"center": "XC"}}, autoparse_metadata=False
+        )
+        da = GriddedArray(np.arange(5.0), ("XC",))
+        with pytest.raises(
+            NotImplementedError,
+            match="Could not find any pre-defined diff grid ufuncs",
+        ):
+            grid.diff(da, "X", to="center")
+
     def test_grid_boundary_invalid_value(self):
         ds = dataset_1d_left()
         with pytest.raises(ValueError, match="boundary must be one of"):

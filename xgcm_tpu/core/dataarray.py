@@ -194,6 +194,12 @@ class GriddedArray:
     def __neg__(self):
         return self.with_data(-self.data)
 
+    def __abs__(self):
+        return self.with_data(jnp.abs(self.data))
+
+    def __pow__(self, other):
+        return self._binop(other, jnp.power)
+
     def sum(self, dims: Union[str, Sequence[str], None] = None, **kwargs):
         return self._reduce(jnp.sum, dims, **kwargs)
 

@@ -173,6 +173,21 @@ class Grid:
             self._facedim = None
             self._face_connections = None
 
+        # a dimension may serve exactly one (axis, position): duplicates make
+        # position inference ambiguous (reference test_grid.py:55-71
+        # TestInvalidGrid.test_duplicate_values expects ValueError)
+        seen_dims: Dict[str, Tuple[str, str]] = {}
+        for axis_name in all_axes:
+            for pos, dim in coords[axis_name].items():
+                if dim in seen_dims:
+                    p_ax, p_pos = seen_dims[dim]
+                    raise ValueError(
+                        f"Dimension {dim!r} is assigned to more than one "
+                        f"axis position: ({p_ax!r}, {p_pos!r}) and "
+                        f"({axis_name!r}, {pos!r})"
+                    )
+                seen_dims[dim] = (axis_name, pos)
+
         self.axes: "OrderedDict[str, Axis]" = OrderedDict()
         for axis_name in all_axes:
             self.axes[axis_name] = Axis(

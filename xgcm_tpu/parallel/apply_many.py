@@ -334,6 +334,7 @@ def sharded_apply_many(
                     fs.x_axis, fs.y_axis,
                     interior_mesh_axis=fs.interior_mesh_axis,
                     partner_block=pblock, vector_axis_code=vec_code,
+                    interior_mesh_axis_x=fs.interior_mesh_axis_x,
                 )
                 return GriddedArray(padded, ordered.dims, name=da.name)
 

@@ -5,9 +5,10 @@ one machine (reference ``padding.py:70-335``).  Here the face dimension is
 sharded over a mesh axis (a contiguous block of faces per device — one face
 per device when counts match, dummy-padded when ``n_faces`` does not divide
 the device count, so e.g. a 13-face LLC grid runs on 8 devices), optionally
-combined with a SECOND mesh axis sharding the within-face rows (the
-face x interior 2-D decomposition the reference gets from dask chunking
-faces and core dims simultaneously, ``padding.py:70-335`` composed with
+combined with a SECOND mesh axis sharding the within-face rows and/or a
+THIRD sharding the within-face columns (the face x interior 2-D/3-D
+decomposition the reference gets from dask chunking faces and both core
+dims simultaneously, ``padding.py:70-335`` composed with
 ``grid_ufunc.py:990-1066``).  Each op step:
 
 1. every device canonicalises its segments of the 4 edge strips of each of
@@ -161,32 +162,43 @@ def face_halo_pad_widths(
     interior_mesh_axis: Optional[str] = None,
     partner_block: Optional[jax.Array] = None,
     vector_axis_code: Optional[int] = None,
+    interior_mesh_axis_x: Optional[str] = None,
 ) -> jax.Array:
-    """Pad a (…, fpd, ny_loc, nx) block of local faces with cross-face
+    """Pad a (…, fpd, ny_loc, nx_loc) block of local faces with cross-face
     halos at per-axis widths.
 
     Must run inside ``shard_map`` with ``fpd`` contiguous faces per device
-    along ``face_mesh_axis`` and, when ``interior_mesh_axis`` is given,
-    each face's rows split into contiguous blocks of ``ny_loc`` along that
-    second mesh axis.  ``plan_params`` are the per-device (fpd, 4) rows of
-    the FaceHaloPlan arrays.  ``vector_axis_code``: 0 if this array is the
-    x_axis vector component, 1 for the y_axis component, None for scalars.
-    ``x_name``/``y_name`` are the grid-axis names (they fix the replacement
-    and mixed-mode prepad order, which the single-device assembly runs in
-    sorted-name order).
+    along ``face_mesh_axis``; when ``interior_mesh_axis`` is given each
+    face's rows are split into contiguous blocks of ``ny_loc`` along that
+    second mesh axis, and when ``interior_mesh_axis_x`` is given the
+    columns are likewise split along a third mesh axis (the full
+    face x y x x 3-D decomposition — the reference chunks faces and both
+    core dims simultaneously under dask, ``padding.py:70-335`` composed
+    with ``grid_ufunc.py:990-1066``).  ``plan_params`` are the per-device
+    (fpd, 4) rows of the FaceHaloPlan arrays.  ``vector_axis_code``: 0 if
+    this array is the x_axis vector component, 1 for the y_axis component,
+    None for scalars.  ``x_name``/``y_name`` are the grid-axis names (they
+    fix the replacement and mixed-mode prepad order, which the
+    single-device assembly runs in sorted-name order).
 
     The result reproduces the single-device
     :func:`xgcm_tpu.core.padding._pad_face_connections` bit-for-bit on
     every cell, including corner halo cells, at any widths up to the rows
-    per interior shard.
+    (columns) per interior shard.
     """
     from ..core.padding import BOUNDARY_TO_PAD_MODE, _extrapolate_pad
     from .halo import pad_axis_local_or_ring
 
     connected, src_face, src_side, tang_flip, sign_o, sign_t, swap = plan_params
-    fpd, ny_loc, nx = face_block.shape[-3:]
+    fpd, ny_loc, nx_loc = face_block.shape[-3:]
     P = 1 if interior_mesh_axis is None else lax.axis_size(interior_mesh_axis)
+    Q = (
+        1
+        if interior_mesh_axis_x is None
+        else lax.axis_size(interior_mesh_axis_x)
+    )
     ny = ny_loc * P
+    nx = nx_loc * Q
     L = max(ny, nx)
     w = max(tuple(widths_x) + tuple(widths_y))
     if w == 0:
@@ -195,23 +207,51 @@ def face_halo_pad_widths(
         raise ValueError(
             f"halo width {w} exceeds the {ny_loc} rows per interior shard"
         )
+    if Q > 1 and w > nx_loc:
+        raise ValueError(
+            f"halo width {w} exceeds the {nx_loc} columns per interior shard"
+        )
     p_idx = 0 if P == 1 else lax.axis_index(interior_mesh_axis)
+    q_idx = 0 if Q == 1 else lax.axis_index(interior_mesh_axis_x)
+    interior_axes = tuple(
+        a for a in (interior_mesh_axis, interior_mesh_axis_x) if a is not None
+    )
 
     # ---- face-global canonical strip pool: (..., F, 4, w, L) ------------
+    # Strips are canonical (offset increasing inward, tangential increasing
+    # in the global coordinate).  Each shard contributes the cells it owns
+    # (orthogonal ownership masked, tangential segment placed at the
+    # shard's global offset); a psum over the interior axes completes each
+    # face's strips before the face-axis all_gather builds the pool.
     def strip_pool(block):
-        xl = jnp.swapaxes(block[..., :, 0:w], -1, -2)  # (..., fpd, w, ny_loc)
-        xr = jnp.swapaxes(jnp.flip(block[..., :, nx - w : nx], -1), -1, -2)
-
         kg = jnp.arange(w)
+
+        def cols_from(gidx):
+            # columns of the face-global strip this shard owns
+            if Q == 1:
+                cols = jnp.take(block, gidx, axis=-1)
+            else:
+                lidx = gidx - q_idx * nx_loc
+                ok = (lidx >= 0) & (lidx < nx_loc)
+                cols = jnp.take(
+                    block, jnp.clip(lidx, 0, nx_loc - 1), axis=-1
+                )
+                cols = jnp.where(ok, cols, jnp.zeros_like(cols))
+            return jnp.swapaxes(cols, -1, -2)  # (..., fpd, w, ny_loc)
+
+        xl = cols_from(kg)
+        xr = cols_from(nx - 1 - kg)
 
         def rows_from(gidx):
             # rows of the face-global strip this shard owns (zeros elsewhere)
+            if P == 1:
+                return jnp.take(block, gidx, axis=-2)
             lidx = gidx - p_idx * ny_loc
             ok = (lidx >= 0) & (lidx < ny_loc)
             rows = jnp.take(block, jnp.clip(lidx, 0, ny_loc - 1), axis=-2)
             return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
 
-        yl = rows_from(kg)  # (..., fpd, w, nx)
+        yl = rows_from(kg)  # (..., fpd, w, nx_loc)
         yr = rows_from(ny - 1 - kg)
 
         def pad_L(s):
@@ -220,19 +260,26 @@ def face_halo_pad_widths(
                 s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, need)])
             return s
 
-        def place_x(s):
-            if P == 1:
+        def place(s, n_shards, offset):
+            # put the local tangential segment at its global offset
+            if n_shards == 1:
                 return pad_L(s)
             buf = jnp.zeros(s.shape[:-1] + (L,), s.dtype)
             return lax.dynamic_update_slice_in_dim(
-                buf, s, p_idx * ny_loc, buf.ndim - 1
+                buf, s, offset, buf.ndim - 1
             )
 
         stack = jnp.stack(
-            [place_x(xl), place_x(xr), pad_L(yl), pad_L(yr)], axis=-3
+            [
+                place(xl, P, p_idx * ny_loc),
+                place(xr, P, p_idx * ny_loc),
+                place(yl, Q, q_idx * nx_loc),
+                place(yr, Q, q_idx * nx_loc),
+            ],
+            axis=-3,
         )
-        if P > 1:
-            stack = lax.psum(stack, interior_mesh_axis)
+        if interior_axes:
+            stack = lax.psum(stack, interior_axes)
         return _merge_face_pool(lax.all_gather(stack, face_mesh_axis))
 
     pool_self = strip_pool(face_block)
@@ -263,9 +310,10 @@ def face_halo_pad_widths(
             )
         else:
             b = pad_axis_local_or_ring(
-                b, b.ndim - 1, (w, w), None, boundary_x, float(fill_value_x)
+                b, b.ndim - 1, (w, w), interior_mesh_axis_x,
+                boundary_x, float(fill_value_x),
             )
-    prepadded = b  # (..., fpd, ny_loc + 2w, nx + 2w)
+    prepadded = b  # (..., fpd, ny_loc + 2w, nx_loc + 2w)
 
     # ---- connected-edge strip assembly ---------------------------------
     def extend_tang(strip, axis_role):
@@ -314,7 +362,6 @@ def face_halo_pad_widths(
             strip = strip * sign.astype(strip.dtype)
         return strip
 
-    seg_len = ny_loc + 2 * w
     replace_order = ("x", "y") if x_name < y_name else ("y", "x")
 
     def put_x(face, fl, side):
@@ -323,30 +370,36 @@ def face_halo_pad_widths(
             seg = strip
         else:
             seg = lax.dynamic_slice_in_dim(
-                strip, p_idx * ny_loc, seg_len, strip.ndim - 1
+                strip, p_idx * ny_loc, ny_loc + 2 * w, strip.ndim - 1
             )
+        # only the column-edge shard owns this face edge's halo columns
+        own = connected[fl, side] & (q_idx == (0 if side == 0 else Q - 1))
         if side == 0:
             h = jnp.swapaxes(jnp.flip(seg, -2), -1, -2)  # (..., seg_len, w)
             region = face[..., :, 0:w]
-            return face.at[..., :, 0:w].set(
-                jnp.where(connected[fl, side], h, region)
-            )
+            return face.at[..., :, 0:w].set(jnp.where(own, h, region))
         h = jnp.swapaxes(seg, -1, -2)
-        region = face[..., :, w + nx : w + nx + w]
-        return face.at[..., :, w + nx : w + nx + w].set(
-            jnp.where(connected[fl, side], h, region)
+        region = face[..., :, w + nx_loc : w + nx_loc + w]
+        return face.at[..., :, w + nx_loc : w + nx_loc + w].set(
+            jnp.where(own, h, region)
         )
 
     def put_y(face, fl, side):
         strip = halo_strip(fl, side)  # (..., w, nx + 2w)
+        if Q == 1:
+            seg = strip
+        else:
+            seg = lax.dynamic_slice_in_dim(
+                strip, q_idx * nx_loc, nx_loc + 2 * w, strip.ndim - 1
+            )
         own = connected[fl, side] & (p_idx == (0 if side == 2 else P - 1))
         if side == 2:
-            h = jnp.flip(strip, -2)
+            h = jnp.flip(seg, -2)
             region = face[..., 0:w, :]
             return face.at[..., 0:w, :].set(jnp.where(own, h, region))
         region = face[..., w + ny_loc : w + ny_loc + w, :]
         return face.at[..., w + ny_loc : w + ny_loc + w, :].set(
-            jnp.where(own, strip, region)
+            jnp.where(own, seg, region)
         )
 
     out_faces = []
@@ -365,7 +418,7 @@ def face_halo_pad_widths(
     lwx, rwx = widths_x
     lwy, rwy = widths_y
     return out[
-        ..., w - lwy : w + ny_loc + rwy, w - lwx : w + nx + rwx
+        ..., w - lwy : w + ny_loc + rwy, w - lwx : w + nx_loc + rwx
     ]
 
 
@@ -383,13 +436,15 @@ def sharded_face_op(
     fill_value: Optional[float] = None,
     other_component: Optional[Dict[str, GriddedArray]] = None,
     interior_mesh_axis: Optional[str] = None,
+    interior_mesh_axis_x: Optional[str] = None,
 ) -> GriddedArray:
     """Apply a 1D built-in stencil op on a face-sharded field.
 
     ``da`` must have dims (..., facedim, ydim, xdim) with the face dim
     sharded one-or-more-faces-per-device along ``facedim_mesh_axis`` and,
     optionally, the within-face rows sharded along ``interior_mesh_axis``
-    (the face x interior 2-D decomposition).  A vector component is passed
+    and/or the columns along ``interior_mesh_axis_x`` (the face x interior
+    2-D/3-D decomposition).  A vector component is passed
     as a single-entry dict ``{vector_axis: array}`` with its partner in
     ``other_component`` (strips from the partner feed swapped-axis halos,
     with the reference's sign rules).  Result equals the single-device
@@ -425,6 +480,9 @@ def sharded_face_op(
     if interior_mesh_axis is not None:
         for d in grid.axes[y_axis].coords.values():
             dim_to_mesh_axis[d] = interior_mesh_axis
+    if interior_mesh_axis_x is not None:
+        for d in grid.axes[x_axis].coords.values():
+            dim_to_mesh_axis[d] = interior_mesh_axis_x
     return sharded_apply_as_grid_ufunc(
         grid_ufunc.ufunc,
         da,
@@ -452,6 +510,7 @@ def sharded_face_cumsum(
     boundary: Optional[str] = None,
     fill_value: Optional[float] = None,
     interior_mesh_axis: Optional[str] = None,
+    interior_mesh_axis_x: Optional[str] = None,
 ) -> GriddedArray:
     """Position-shifting cumsum on a face-sharded field with an explicit
     per-face collective plan.
@@ -524,19 +583,23 @@ def sharded_face_cumsum(
     d2m = {facedim: facedim_mesh_axis}
     if interior_mesh_axis is not None:
         d2m[ydim] = interior_mesh_axis
+    if interior_mesh_axis_x is not None:
+        d2m[xdim] = interior_mesh_axis_x
     in_spec = partition_spec(ordered.dims, d2m)
     plan_spec = PartitionSpec(facedim_mesh_axis)
+    # mesh axis sharding the summed dim (None if that dim is unsharded)
+    op_mesh_axis = interior_mesh_axis_x if axis_is_x else interior_mesh_axis
 
     def local(block, *plan_local):
         opax = block.ndim + (-1 if axis_is_x else -2)
         n_loc = block.shape[opax]
         cs = jnp.cumsum(block, axis=opax)
-        rows_sharded = (not axis_is_x) and interior_mesh_axis is not None
-        if rows_sharded:
+        if op_mesh_axis is not None:
+            # distributed prefix sum: add the totals of preceding shards
             total = lax.slice_in_dim(cs, n_loc - 1, n_loc, axis=opax)
-            totals = lax.all_gather(total, interior_mesh_axis)
-            idx = lax.axis_index(interior_mesh_axis)
-            nsh = lax.axis_size(interior_mesh_axis)
+            totals = lax.all_gather(total, op_mesh_axis)
+            idx = lax.axis_index(op_mesh_axis)
+            nsh = lax.axis_size(op_mesh_axis)
             mask = (jnp.arange(nsh) < idx).astype(block.dtype)
             cs = cs + jnp.tensordot(mask, totals, axes=(0, 0))
         if not shift:
@@ -547,10 +610,10 @@ def sharded_face_cumsum(
         last = lax.slice_in_dim(cs, n_loc - 2, n_loc - 1, axis=opax)
         iota = lax.broadcasted_iota(jnp.int32, cs.shape, opax)
         is_last = iota == n_loc - 1
-        if rows_sharded:
+        if op_mesh_axis is not None:
             is_last = is_last & (
-                lax.axis_index(interior_mesh_axis)
-                == lax.axis_size(interior_mesh_axis) - 1
+                lax.axis_index(op_mesh_axis)
+                == lax.axis_size(op_mesh_axis) - 1
             )
         emul = jnp.where(is_last, last, cs)
         wx = (1, 0) if axis_is_x else (0, 0)
@@ -559,6 +622,7 @@ def sharded_face_cumsum(
             emul, plan_local, wx, wy, facedim_mesh_axis,
             bc[x_axis], bc[y_axis], float(fv[x_axis]), float(fv[y_axis]),
             x_axis, y_axis, interior_mesh_axis=interior_mesh_axis,
+            interior_mesh_axis_x=interior_mesh_axis_x,
         )
         return lax.slice_in_dim(padded, 0, n_loc, axis=opax)
 

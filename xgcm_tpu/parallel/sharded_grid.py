@@ -72,11 +72,12 @@ class ShardedGrid:
         )
 
     def _face_sharded_args(self, da):
-        """(mesh_axis, x_axis, y_axis, interior_mesh_axis) when the grid's
-        face dim is sharded and the in-face axes are resolvable; else None.
-        Vector inputs (single-entry dicts) are judged by their component.
-        When one in-face axis is also mesh-mapped it takes the y (rows)
-        role — the face x interior 2-D decomposition."""
+        """(mesh_axis, x_axis, y_axis, interior_y, interior_x) when the
+        grid's face dim is sharded and the in-face axes are resolvable;
+        else None.  Vector inputs (single-entry dicts) are judged by their
+        component.  When one in-face axis is also mesh-mapped it takes the
+        y (rows) role — the face x interior 2-D decomposition; when both
+        are, the full face x y x x 3-D decomposition applies."""
         grid = self.grid
         if isinstance(da, dict):
             (da,) = da.values()
@@ -113,9 +114,11 @@ class ShardedGrid:
             return s.pop() if len(s) == 1 else None
 
         m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
+        if m0 is not None and m1 is not None:
+            return mesh_axis, conn_axes[0], conn_axes[1], m1, m0
         if m0 is not None:
-            return mesh_axis, conn_axes[1], conn_axes[0], m0
-        return mesh_axis, conn_axes[0], conn_axes[1], m1
+            return mesh_axis, conn_axes[1], conn_axes[0], m0, None
+        return mesh_axis, conn_axes[0], conn_axes[1], m1, None
 
     def _sharded_1d_op(
         self, name, da, ax_name, to, boundary, fill_value, **kw
@@ -165,13 +168,14 @@ class ShardedGrid:
 
             face_args = self._face_sharded_args(out)
             if face_args is not None and ax_name in face_args[1:3]:
-                mesh_axis, x_axis, y_axis, interior_axis = face_args
+                mesh_axis, x_axis, y_axis, interior_y, interior_x = face_args
                 if name == "cumsum":
                     out = sharded_face_cumsum(
                         self.grid, out, ax_name, self.mesh, mesh_axis,
                         x_axis, y_axis, to=ax_to, boundary=boundary,
                         fill_value=fill_value,
-                        interior_mesh_axis=interior_axis,
+                        interior_mesh_axis=interior_y,
+                        interior_mesh_axis_x=interior_x,
                     )
                 else:
                     out = sharded_face_op(
@@ -179,7 +183,8 @@ class ShardedGrid:
                         x_axis, y_axis, to=ax_to, boundary=boundary,
                         fill_value=fill_value,
                         other_component=kw.get("other_component"),
-                        interior_mesh_axis=interior_axis,
+                        interior_mesh_axis=interior_y,
+                        interior_mesh_axis_x=interior_x,
                     )
             elif not isinstance(out, dict) and self._core_dim_sharded(
                 out, ax_name, ax_to

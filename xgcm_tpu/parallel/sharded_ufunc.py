@@ -15,9 +15,10 @@ step swapped for a mesh-collective pad:
 * face-connected grids: the compiled-plan strip exchange of
   :func:`~xgcm_tpu.parallel.face_sharded.face_halo_pad_widths` at the
   ufunc's declared widths, with the face dim sharded over one mesh axis
-  and (optionally) the within-face rows over a second — the reference's
-  simultaneous face + core-dim dask chunking (``padding.py:70-335``
-  composed with ``grid_ufunc.py:990-1066``), built from collectives.
+  and (optionally) the within-face rows over a second and the columns
+  over a third — the reference's simultaneous face + core-dim dask
+  chunking (``padding.py:70-335`` composed with
+  ``grid_ufunc.py:990-1066``), built from collectives.
 
 Restrictions mirror the reference's overlap rules
 (``grid_ufunc.py:1069-1092``): positions on a *sharded* axis (and on the
@@ -227,17 +228,20 @@ class _FaceSetup:
 
         m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
         if m0 is not None and m1 is not None:
-            raise NotImplementedError(
-                "only one in-face axis of a face-connected grid can be "
-                "sharded (faces decompose as face x rows)"
-            )
-        # the interior-sharded axis (if any) takes the tangential "y" role
-        if m0 is not None:
+            # full face x y x x 3-D decomposition: both in-face axes ride
+            # their own mesh axes
+            self.x_axis, self.y_axis = conn_axes[0], conn_axes[1]
+            self.interior_mesh_axis = m1
+            self.interior_mesh_axis_x = m0
+        elif m0 is not None:
+            # one sharded in-face axis takes the tangential "y" role
             self.y_axis, self.x_axis = conn_axes[0], conn_axes[1]
             self.interior_mesh_axis = m0
+            self.interior_mesh_axis_x = None
         else:
             self.x_axis, self.y_axis = conn_axes[0], conn_axes[1]
             self.interior_mesh_axis = m1
+            self.interior_mesh_axis_x = None
 
         self.facedim = facedim
         self.face_mesh_axis = face_mesh_axis
@@ -526,6 +530,7 @@ def sharded_apply_as_grid_ufunc(
                 interior_mesh_axis=fs.interior_mesh_axis,
                 partner_block=pblock,
                 vector_axis_code=vec_code,
+                interior_mesh_axis_x=fs.interior_mesh_axis_x,
             )
             return GriddedArray(padded, ordered.dims, name=da.name)
 
