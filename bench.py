@@ -164,13 +164,61 @@ def main():
             )
         )
 
+    # Stencil workloads read their neighbours through SHIFTED windows, and
+    # shifted reads are intrinsically slower than aligned streams on this
+    # chip (lane/sublane rotates serialize against the load pipeline):
+    # measured same-run at 8192^2, a lane+sublane-shifted 3-array pattern
+    # sustains only 0.74-0.80 of the aligned 3-array probe, and a shifted
+    # 1-in-1-out only ~0.81 of the aligned stream at 6x2048^2.  No
+    # implementation of a stencil can beat the shifted probe, so stencil
+    # workloads take their roofline from it (same principle as the
+    # per-pattern probes: compare each workload against what ITS access
+    # pattern can sustain, not against a pattern it cannot have).
+    @jax.jit
+    def _shifted_three(x, y):
+        def body(_, a):
+            return jnp.roll(y, 1, axis=1) - jnp.roll(a, 1, axis=0)
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
+
+    @jax.jit
+    def _shifted_three_bf16(x, y):
+        def body(_, a):
+            return jnp.roll(y, 1, axis=1) - jnp.roll(a, 1, axis=0)
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, x)[::1024, ::1024].astype(
+                jnp.float32
+            )
+        )
+
+    # --- VPU compute-rate probe.  The transform kernels are VPU-bound,
+    # not stream-bound (exact np.interp semantics without gathers is an
+    # O(n*m) compare+FMA sweep per column), so comparing them against a
+    # bandwidth probe misstates how close they run to the hardware.  This
+    # probe measures the sustained elementwise vector-op rate (alternating
+    # FMA / max so the affine chain cannot be algebraically collapsed;
+    # constants passed as traced scalars so nothing folds): the transform
+    # workloads report their main-loop op rate as a fraction of THIS.
+    R_VPU = 512
+
+    @jax.jit
+    def _vpu(x, c1, c2, lo):
+        def body(_, a):
+            for _ in range(R_VPU // 2):
+                a = a * c1 + c2
+                a = jnp.maximum(a, lo)
+            return a
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
+
     probes = {}
+    probe_defs = {}
 
     def _probe(name, fn, bytes_per_iter, *args):
         try:
             t = time_chained(fn, *args)
             probes[name] = bytes_per_iter / t / 1e9
-            _log(f"{name} probe: {probes[name]:.0f} GB/s")
+            probe_defs[name] = (fn, bytes_per_iter, args)
+            _unit = "Gop/s" if name.startswith("vpu") else "GB/s"
+            _log(f"{name} probe: {probes[name]:.0f} {_unit}")
         except Exception as e:
             _log(f"{name} probe failed: {e}")
             probes[name] = None
@@ -178,11 +226,20 @@ def main():
     _log("compiling per-pattern roofline probes")
     _probe("stream_f32", _stream, 2 * ny * nx * 4, u)
     _probe("three_f32", _three, 3 * ny * nx * 4, u, v)
+    _probe("shifted_three_f32", _shifted_three, 3 * ny * nx * 4, u, v)
     _probe("reduce2_f32", _reduce2, 2 * ny * nx * 4, u, v)
     u16 = u.astype(jnp.bfloat16)
     v16 = v.astype(jnp.bfloat16)
     _probe("stream_bf16", _stream_bf16, 2 * ny * nx * 2, u16)
     _probe("three_bf16", _three_bf16, 3 * ny * nx * 2, u16, v16)
+    _probe(
+        "shifted_three_bf16", _shifted_three_bf16, 3 * ny * nx * 2, u16, v16
+    )
+    # value recorded is Gop/s, not GB/s: "bytes_per_iter" = ops per iter
+    _probe(
+        "vpu_f32_Gops", _vpu, R_VPU * ny * nx,
+        u, jnp.float32(0.999999), jnp.float32(1e-6), jnp.float32(-3e38),
+    )
     hbm_gbps = probes.get("stream_f32")
 
     _log("compiling chained Grid-API vorticity")
@@ -544,19 +601,25 @@ def main():
         grid_cs = xt.Grid(ds_cs, face_connections=fc, periodic=False)
         cs_data = jnp.asarray(rng.rand(6, nface, nface).astype(np.float32))
 
-        # per-SHAPE stream probe: achievable bandwidth depends on the array
-        # shape (6x2048^2 streams ~26 Ggps-equivalent here vs ~36 at
-        # 8192^2), so the face workloads compare against their own shape
+        # per-SHAPE shifted-stream probe: achievable bandwidth depends on
+        # the array shape (6x2048^2 streams ~26 Ggps-equivalent here vs
+        # ~36 at 8192^2) AND a cross-face diff must read its neighbour
+        # through a lane-shifted window (~0.81 of the aligned stream,
+        # measured same-run), so the face workloads compare against a
+        # shifted 1-in-1-out probe at their own shape
         @jax.jit
-        def _stream_cs(d):
+        def _shifted_stream_cs(d):
             def body(_, a):
-                return a + jnp.float32(1.0)
+                nb = jnp.roll(a, 1, axis=-1)
+                idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+                return a - jnp.where(idx == 0, jnp.float32(0), nb)
             return jnp.sum(
                 jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
             )
 
         _probe(
-            "stream_f32_cs", _stream_cs, 2 * 6 * nface * nface * 4, cs_data
+            "shifted_stream_f32_cs", _shifted_stream_cs,
+            2 * 6 * nface * nface * 4, cs_data,
         )
 
         @jax.jit
@@ -593,15 +656,17 @@ def main():
         )
 
         @jax.jit
-        def _stream_llc(d):
+        def _shifted_stream_llc(d):
             def body(_, a):
-                return a + jnp.float32(1.0)
+                nb = jnp.roll(a, 1, axis=-1)
+                idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+                return a - jnp.where(idx == 0, jnp.float32(0), nb)
             return jnp.sum(
                 jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
             )
 
         _probe(
-            "stream_f32_llc", _stream_llc,
+            "shifted_stream_f32_llc", _shifted_stream_llc,
             2 * 13 * n_llc * n_llc * 4, llc_data,
         )
 
@@ -624,6 +689,24 @@ def main():
         _log(f"LLC bench failed: {e}")
         llc_gps = None
 
+    # Re-time every probe now that all workloads have run and take the max
+    # of the two measurements as the ceiling: probe and workload timings
+    # are minutes apart and the host drifts ±10-15% within a run, so a
+    # single early probe measurement can read BELOW what the pattern
+    # sustains at workload time (producing nonsense fractions > 1).  The
+    # max is the best the pattern demonstrably achieved this run — still a
+    # measured number, just drift-robust.
+    _log("re-timing probes post-workloads (drift guard)")
+    for _name, (_fn, _bpi, _args) in probe_defs.items():
+        try:
+            _t = time_chained(_fn, *_args)
+            _second = _bpi / _t / 1e9
+            if probes.get(_name) is None or _second > probes[_name]:
+                probes[_name] = _second
+        except Exception:
+            pass
+    hbm_gbps = probes.get("stream_f32") or hbm_gbps
+
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; each
     # workload's fraction is taken against the probe measuring ITS OWN
@@ -644,9 +727,9 @@ def main():
         }
 
     bandwidth = {
-        # read u + v, write zeta: 3-array pattern
-        "vorticity_f32": _bw(3 * N * 4, gps, N, "three_f32"),
-        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N, "three_bf16"),
+        # read u + v through shifted stencil windows, write zeta
+        "vorticity_f32": _bw(3 * N * 4, gps, N, "shifted_three_f32"),
+        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N, "shifted_three_bf16"),
         # read phi + theta, write (36, ncol): ~2 reads + small write
         "transform_linear": _bw(
             (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz,
@@ -658,14 +741,51 @@ def main():
         ),
         # read tracer + area metric, no array write: 2-read reduce
         "integrate": _bw(2 * N * 4, integrate_gps, N, "reduce2_f32"),
-        # read + write all faces: 1-in-1-out at the workload's own shape
+        # read + write all faces through a shifted window, at the
+        # workload's own shape
         "cubed_sphere_diff": _bw(
             2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface,
-            "stream_f32_cs",
+            "shifted_stream_f32_cs",
         ),
         "llc13_diff": _bw(
             2 * 13 * 1024 * 1024 * 4, llc_gps, 13 * 1024 * 1024,
-            "stream_f32_llc",
+            "shifted_stream_f32_llc",
+        ),
+    }
+
+    # --- compute-side roofline for the VPU-bound transform kernels ---
+    # Main-loop vector-op counts per call (prep terms O(n) per column are
+    # excluded on both sides, so these UNDERCOUNT and the fractions are
+    # conservative).  Counts from the kernel bodies:
+    #  linear (ops/pallas_transform.py:207-216): 5 (m, C) ops per knot
+    #    (compare, and-not, 3 select-FMAs) x (n-1) knots;
+    #  multi (same loop shared across V variables, :450-470): 3 + 2V;
+    #  conservative (ops/pallas_transform.py:694-706): ~15 (m, C) ops per
+    #    cell (frac clip sweep 4, mass FMA 3, degenerate correction 3,
+    #    overlap count 5) x n cells.
+    m_t = 36
+    vpu_ceiling = probes.get("vpu_f32_Gops")
+
+    def _vpu_frac(ops_per_call, gps_value, points_per_call):
+        if not gps_value or not vpu_ceiling:
+            return None
+        achieved = ops_per_call * gps_value / points_per_call / 1e9
+        return {
+            "achieved_Gops": round(achieved, 1),
+            "vpu_frac": round(achieved / vpu_ceiling, 3),
+        }
+
+    transform_compute = {
+        "vpu_probe_Gops": round(vpu_ceiling, 1) if vpu_ceiling else None,
+        "transform_linear": _vpu_frac(
+            5 * (nz - 1) * m_t * ncol, transform_gps, ncol * nz
+        ),
+        "transform_multi4": _vpu_frac(
+            (3 + 2 * 4) * (nz - 1) * m_t * ncol,
+            transform_multi_gps, 4 * ncol * nz,
+        ),
+        "transform_conservative": _vpu_frac(
+            15 * nz * m_t * ncol, conservative_gps, ncol * nz
         ),
     }
 
@@ -704,8 +824,10 @@ def main():
                 round(llc_gps / 1e9, 3) if llc_gps else None
             ),
             "effective_bandwidth": bandwidth,
+            "transform_compute": transform_compute,
             "measured_stream_GBps": round(hbm_gbps, 1) if hbm_gbps else None,
-            "pattern_probes_GBps": {
+            # bandwidth probes in GB/s; the vpu_* probe in Gop/s
+            "pattern_probes": {
                 k: (round(v, 1) if v else None) for k, v in probes.items()
             },
             "backend": backend,
