@@ -594,6 +594,18 @@ def main():
     except ImportError:  # driver may run bench outside the repo root
         cubed_sphere_dataset = None
 
+    # shared per-shape shifted-stream probe body for the (face, ny, nx)
+    # workloads (shapes differ per call; jit re-specialises)
+    @jax.jit
+    def _shifted_stream_faces(d):
+        def body(_, a):
+            nb = jnp.roll(a, 1, axis=-1)
+            idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+            return a - jnp.where(idx == 0, jnp.float32(0), nb)
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
+        )
+
     nface = 2048
     cs_gps = None
     if cubed_sphere_dataset is not None:
@@ -607,18 +619,8 @@ def main():
         # through a lane-shifted window (~0.81 of the aligned stream,
         # measured same-run), so the face workloads compare against a
         # shifted 1-in-1-out probe at their own shape
-        @jax.jit
-        def _shifted_stream_cs(d):
-            def body(_, a):
-                nb = jnp.roll(a, 1, axis=-1)
-                idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
-                return a - jnp.where(idx == 0, jnp.float32(0), nb)
-            return jnp.sum(
-                jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
-            )
-
         _probe(
-            "shifted_stream_f32_cs", _shifted_stream_cs,
+            "shifted_stream_f32_cs", _shifted_stream_faces,
             2 * 6 * nface * nface * 4, cs_data,
         )
 
@@ -655,18 +657,8 @@ def main():
             rng.rand(13, n_llc, n_llc).astype(np.float32)
         )
 
-        @jax.jit
-        def _shifted_stream_llc(d):
-            def body(_, a):
-                nb = jnp.roll(a, 1, axis=-1)
-                idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
-                return a - jnp.where(idx == 0, jnp.float32(0), nb)
-            return jnp.sum(
-                jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
-            )
-
         _probe(
-            "shifted_stream_f32_llc", _shifted_stream_llc,
+            "shifted_stream_f32_llc", _shifted_stream_faces,
             2 * 13 * n_llc * n_llc * 4, llc_data,
         )
 

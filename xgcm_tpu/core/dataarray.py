@@ -200,6 +200,9 @@ class GriddedArray:
     def __pow__(self, other):
         return self._binop(other, jnp.power)
 
+    def __rpow__(self, other):
+        return self.with_data(jnp.power(other, self.data))
+
     def sum(self, dims: Union[str, Sequence[str], None] = None, **kwargs):
         return self._reduce(jnp.sum, dims, **kwargs)
 

@@ -671,8 +671,11 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
     # mass term carries them too and the loop needs no separate g_up/g_lo
     # pair — only the inclusive-upper-edge correction wdeg * (e_up == tmin)
     # below (the boundary case the reference counts into BOTH bins,
-    # transform.py:117-120).  Exact: the clip yields the same 0.0/1.0
-    # values the step comparisons produced.
+    # transform.py:117-120).  The clip yields the same 0.0/1.0 values the
+    # step comparisons produced whenever |e - tmin| > ~3.4e-39 (so that
+    # (e-tmin)*3e38 saturates past 1); like the linear kernel's HUGE fold,
+    # coordinates within ~30 orders of magnitude of the f32 denormal range
+    # are outside the contract (no physical coordinate system is).
     big_slope = f32(3.0e38)
     inv_full = jnp.where(
         deg_full, big_slope, 1.0 / jnp.where(deg_full, 1.0, thick)

@@ -574,7 +574,8 @@ def linear_interpolation(
     chained transforms never round-trip the layout through XLA
     transposes.  All other inputs keep the xarray-style
     core-dim-moved-last output order."""
-    if _columns_first_2d(phi, theta, target, phi_dim, theta_dim):
+    columns_first = _columns_first_2d(phi, theta, target, phi_dim, theta_dim)
+    if columns_first:
         out = _fused_linear_T(phi.data, theta.data, target.data, **kwargs)
         if out is not None:
             name = (phi.name + suffix) if phi.name else None
@@ -600,7 +601,14 @@ def linear_interpolation(
 
     out = interp_1d_linear(phi_data, theta_data, tgt_data, **kwargs)
     name = (phi.name + suffix) if phi.name else None
-    return GriddedArray(out, full_lead + [target_dim], name=name)
+    res = GriddedArray(out, full_lead + [target_dim], name=name)
+    if columns_first:
+        # deterministic layout contract: a columns-first 2-D input yields
+        # (target_dim, col) on EVERY backend and size — the generic
+        # fallback transposes so the order never depends on whether the
+        # fused kernel served the shapes
+        res = res.transpose(target_dim, phi.dims[1])
+    return res
 
 
 def _fused_conservative_T(phi_T, theta_T, target_bins):
@@ -664,7 +672,8 @@ def conservative_interpolation(
     Layout-aware fast path: see :func:`linear_interpolation` — a (zc, col)
     input returns ``(target_dim, col)`` through the transpose-free kernel
     entry."""
-    if _columns_first_2d(phi, theta, target, phi_dim, theta_dim):
+    columns_first = _columns_first_2d(phi, theta, target, phi_dim, theta_dim)
+    if columns_first:
         out = _fused_conservative_T(phi.data, theta.data, target.data)
         if out is not None:
             name = (phi.name + suffix) if phi.name else None
@@ -682,7 +691,11 @@ def conservative_interpolation(
         pass
     out = interp_1d_conservative(phi_t.data, theta_data, tdata)
     name = (phi.name + suffix) if phi.name else None
-    return GriddedArray(out, lead + [target_dim], name=name)
+    res = GriddedArray(out, lead + [target_dim], name=name)
+    if columns_first:
+        # same deterministic layout contract as linear_interpolation
+        res = res.transpose(target_dim, phi.dims[1])
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -293,10 +293,27 @@ def sharded_apply_many(
                     n: w for n, w in widths.items()
                     if n not in (fs.x_axis, fs.y_axis)
                 }
-                if any(w != (0, 0) for w in other_widths.values()):
+                # sharded non-face axes need ring halos, not the global
+                # BC (same split as the non-face branch below)
+                other_local = {
+                    n: w for n, w in other_widths.items()
+                    if n not in axis_to_mesh_axis
+                }
+                if any(w != (0, 0) for w in other_local.values()):
                     da = pad(
-                        da, grid=local_grid, boundary_width=other_widths,
+                        da, grid=local_grid, boundary_width=other_local,
                         boundary=plan.bc, fill_value=plan.fv,
+                    )
+                for n, w in other_widths.items():
+                    if n not in axis_to_mesh_axis or w == (0, 0):
+                        continue
+                    dim = local_grid.axes[n]._get_position_name(da)[1]
+                    da = da.with_data(
+                        ring_halo_pad(
+                            da.data, da.get_axis_num(dim), w,
+                            axis_to_mesh_axis[n], plan.bc[n],
+                            float(plan.fv[n]),
+                        )
                     )
                 wx = tuple(widths.get(fs.x_axis, (0, 0)))
                 wy = tuple(widths.get(fs.y_axis, (0, 0)))

@@ -44,7 +44,7 @@ custom ufuncs that read corners match the single-device engine exactly.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,13 +57,103 @@ from ..core.grid import Grid
 
 __all__ = [
     "FaceHaloPlan",
+    "FaceAxisRoles",
     "compile_face_plan",
+    "face_axis_roles",
     "face_halo_pad_widths",
     "sharded_face_op",
     "sharded_face_cumsum",
 ]
 
 # side codes: 0 = X-left, 1 = X-right, 2 = Y-left, 3 = Y-right
+
+
+class FaceAxisRoles(NamedTuple):
+    """Resolved axis roles for a face decomposition: which grid axis plays
+    x (side codes 0/1) vs y (2/3), and which mesh axes (if any) shard the
+    face dim and each in-face axis."""
+
+    face_mesh_axis: str
+    x_axis: str
+    y_axis: str
+    interior_mesh_axis: Optional[str]  # mesh axis sharding the y (rows) role
+    interior_mesh_axis_x: Optional[str]  # mesh axis sharding the x role
+
+
+def face_axis_roles(
+    grid: Grid, dim_to_mesh_axis, data_dims, *, strict: bool = True
+):
+    """Single source for the face/interior axis-role inference shared by
+    the sharded engine's ``_FaceSetup`` (strict=True: inference failures
+    raise) and ``ShardedGrid`` dispatch (strict=False: they return None so
+    dispatch can fall back to another path).  A grid axis whose dims map
+    to MULTIPLE mesh axes is a caller error and raises in both modes.
+
+    Role rules: when one in-face axis is mesh-mapped it takes the y (rows)
+    role — the face x interior 2-D decomposition; when both are, the full
+    face x y x x 3-D decomposition applies with the connection table's
+    first axis as x."""
+    facedim = grid._facedim
+    face_mesh_axis = dim_to_mesh_axis.get(facedim)
+    if face_mesh_axis is None:
+        if strict:
+            raise NotImplementedError(
+                "sharded grid ufuncs on a face-connected grid need the face "
+                f"dim {facedim!r} mapped to a mesh axis (interior-only "
+                "decomposition of face grids is not supported)"
+            )
+        return None
+    conn_axes = sorted(
+        {
+            a
+            for links in grid._face_connections[facedim].values()
+            for a in links
+        }
+    )
+    if len(conn_axes) == 1:
+        # ring-style topologies connect along one axis only; the other
+        # in-face axis is whichever remaining grid axis the data spans
+        others = [
+            n for n, ax in grid.axes.items()
+            if n != conn_axes[0]
+            and any(d in data_dims for d in ax.coords.values())
+        ]
+        if len(others) != 1:
+            if strict:
+                raise NotImplementedError(
+                    "cannot infer the second in-face axis for a "
+                    f"single-axis face connection (candidates: {others})"
+                )
+            return None
+        conn_axes = [conn_axes[0], others[0]]
+    elif len(conn_axes) != 2:
+        if strict:
+            raise NotImplementedError(
+                f"face-connected grids with {len(conn_axes)} connection "
+                "axes are not supported (need exactly 2)"
+            )
+        return None
+
+    def _axis_mesh(axname):
+        s = {
+            dim_to_mesh_axis.get(d)
+            for d in grid.axes[axname].coords.values()
+        } - {None}
+        if len(s) > 1:
+            raise ValueError(
+                f"dims of axis {axname!r} map to multiple mesh axes"
+            )
+        return s.pop() if s else None
+
+    m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
+    if m0 is not None and m1 is not None:
+        return FaceAxisRoles(face_mesh_axis, conn_axes[0], conn_axes[1],
+                             m1, m0)
+    if m0 is not None:
+        return FaceAxisRoles(face_mesh_axis, conn_axes[1], conn_axes[0],
+                             m0, None)
+    return FaceAxisRoles(face_mesh_axis, conn_axes[0], conn_axes[1],
+                         m1, None)
 
 
 class FaceHaloPlan:

@@ -78,47 +78,24 @@ class ShardedGrid:
         component.  When one in-face axis is also mesh-mapped it takes the
         y (rows) role — the face x interior 2-D decomposition; when both
         are, the full face x y x x 3-D decomposition applies."""
+        from .face_sharded import face_axis_roles
+
         grid = self.grid
         if isinstance(da, dict):
             (da,) = da.values()
         if grid._face_connections is None:
             return None
-        facedim = grid._facedim
-        mesh_axis = self.dim_to_mesh_axis.get(facedim)
-        if mesh_axis is None or facedim not in da.dims:
+        if grid._facedim not in da.dims:
             return None
-        conn_axes = sorted(
-            {
-                a
-                for links in grid._face_connections[facedim].values()
-                for a in links
-            }
+        roles = face_axis_roles(
+            grid, self.dim_to_mesh_axis, da.dims, strict=False
         )
-        if len(conn_axes) == 1:
-            others = [
-                n for n, ax in grid.axes.items()
-                if n != conn_axes[0]
-                and any(d in da.dims for d in ax.coords.values())
-            ]
-            if len(others) != 1:
-                return None
-            conn_axes = [conn_axes[0], others[0]]
-        elif len(conn_axes) != 2:
+        if roles is None:
             return None
-
-        def _axis_mesh(axname):
-            s = {
-                self.dim_to_mesh_axis.get(d)
-                for d in grid.axes[axname].coords.values()
-            } - {None}
-            return s.pop() if len(s) == 1 else None
-
-        m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
-        if m0 is not None and m1 is not None:
-            return mesh_axis, conn_axes[0], conn_axes[1], m1, m0
-        if m0 is not None:
-            return mesh_axis, conn_axes[1], conn_axes[0], m0, None
-        return mesh_axis, conn_axes[0], conn_axes[1], m1, None
+        return (
+            roles.face_mesh_axis, roles.x_axis, roles.y_axis,
+            roles.interior_mesh_axis, roles.interior_mesh_axis_x,
+        )
 
     def _sharded_1d_op(
         self, name, da, ax_name, to, boundary, fill_value, **kw

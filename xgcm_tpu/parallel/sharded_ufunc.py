@@ -178,73 +178,23 @@ class _FaceSetup:
 
     def __init__(self, grid: Grid, mesh: Mesh, dim_to_mesh_axis,
                  first_arg_dims=()):
-        from .face_sharded import _plan_device_params, compile_face_plan
+        from .face_sharded import (
+            _plan_device_params,
+            compile_face_plan,
+            face_axis_roles,
+        )
 
         facedim = grid._facedim
-        face_mesh_axis = dim_to_mesh_axis.get(facedim)
-        if face_mesh_axis is None:
-            raise NotImplementedError(
-                "sharded grid ufuncs on a face-connected grid need the face "
-                f"dim {facedim!r} mapped to a mesh axis (interior-only "
-                "decomposition of face grids is not supported)"
-            )
-        conn_axes = sorted(
-            {
-                a
-                for links in grid._face_connections[facedim].values()
-                for a in links
-            }
+        roles = face_axis_roles(
+            grid, dim_to_mesh_axis, first_arg_dims, strict=True
         )
-        if len(conn_axes) == 1:
-            # ring-style topologies connect along one axis only; the other
-            # in-face axis is whichever remaining grid axis the data spans
-            others = [
-                n for n, ax in grid.axes.items()
-                if n != conn_axes[0]
-                and any(d in first_arg_dims for d in ax.coords.values())
-            ]
-            if len(others) != 1:
-                raise NotImplementedError(
-                    "cannot infer the second in-face axis for a "
-                    f"single-axis face connection (candidates: {others})"
-                )
-            conn_axes = [conn_axes[0], others[0]]
-        elif len(conn_axes) != 2:
-            raise NotImplementedError(
-                f"face-connected grids with {len(conn_axes)} connection "
-                "axes are not supported (need exactly 2)"
-            )
-
-        def _axis_mesh(axname):
-            s = {
-                dim_to_mesh_axis.get(d)
-                for d in grid.axes[axname].coords.values()
-            } - {None}
-            if len(s) > 1:
-                raise ValueError(
-                    f"dims of axis {axname!r} map to multiple mesh axes"
-                )
-            return s.pop() if s else None
-
-        m0, m1 = _axis_mesh(conn_axes[0]), _axis_mesh(conn_axes[1])
-        if m0 is not None and m1 is not None:
-            # full face x y x x 3-D decomposition: both in-face axes ride
-            # their own mesh axes
-            self.x_axis, self.y_axis = conn_axes[0], conn_axes[1]
-            self.interior_mesh_axis = m1
-            self.interior_mesh_axis_x = m0
-        elif m0 is not None:
-            # one sharded in-face axis takes the tangential "y" role
-            self.y_axis, self.x_axis = conn_axes[0], conn_axes[1]
-            self.interior_mesh_axis = m0
-            self.interior_mesh_axis_x = None
-        else:
-            self.x_axis, self.y_axis = conn_axes[0], conn_axes[1]
-            self.interior_mesh_axis = m1
-            self.interior_mesh_axis_x = None
+        self.x_axis, self.y_axis = roles.x_axis, roles.y_axis
+        self.interior_mesh_axis = roles.interior_mesh_axis
+        self.interior_mesh_axis_x = roles.interior_mesh_axis_x
 
         self.facedim = facedim
-        self.face_mesh_axis = face_mesh_axis
+        self.face_mesh_axis = roles.face_mesh_axis
+        face_mesh_axis = roles.face_mesh_axis
         self.n_faces = grid._ds.dims[facedim]
         f_size = mesh.shape[face_mesh_axis]
         self.fpd = -(-self.n_faces // f_size)
@@ -491,10 +441,28 @@ def sharded_apply_as_grid_ufunc(
                 n: wdt for n, wdt in boundary_width.items()
                 if n not in (fs.x_axis, fs.y_axis)
             }
-            if any(wdt != (0, 0) for wdt in other_widths.values()):
+            # non-face axes: sharded ones take ppermute ring halos (their
+            # shard-interior edges need NEIGHBOUR data, not the global
+            # BC), unsharded ones a local pad — same split as
+            # _ring_pad_fn above
+            other_local = {
+                n: wdt for n, wdt in other_widths.items()
+                if n not in axis_to_mesh_axis
+            }
+            if any(wdt != (0, 0) for wdt in other_local.values()):
                 da = pad(
-                    da, grid=grid, boundary_width=other_widths,
+                    da, grid=grid, boundary_width=other_local,
                     boundary=boundary, fill_value=fill_value,
+                )
+            for n, wdt in other_widths.items():
+                if n not in axis_to_mesh_axis or wdt == (0, 0):
+                    continue
+                dim = grid.axes[n]._get_position_name(da)[1]
+                da = da.with_data(
+                    ring_halo_pad(
+                        da.data, da.get_axis_num(dim), wdt,
+                        axis_to_mesh_axis[n], bc[n], float(fv[n]),
+                    )
                 )
             wx = tuple(boundary_width.get(fs.x_axis, (0, 0)))
             wy = tuple(boundary_width.get(fs.y_axis, (0, 0)))
