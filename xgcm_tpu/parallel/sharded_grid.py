@@ -201,6 +201,55 @@ class ShardedGrid:
     def cumsum(self, da, axis, **kw):
         return self._op("cumsum", da, axis, **kw)
 
+    # ----------------------------------------------------------- vector ops
+    def diff_2d_vector(self, vector, **kwargs):
+        """Difference a C-grid 2D vector with each component sharded
+        (reference grid.py:1248-1267; validation and the to-center
+        restriction are the Grid's)."""
+        return Grid._apply_vector_function(self, self.diff, vector, **kwargs)
+
+    def interp_2d_vector(self, vector, **kwargs):
+        """Interpolate a C-grid 2D vector with each component sharded
+        (reference grid.py:1269-1306)."""
+        return Grid._apply_vector_function(
+            self, self.interp, vector, **kwargs
+        )
+
+    # -------------------------------------------------- metadata delegation
+    def set_metrics(self, key, value, overwrite=False):
+        """Register metrics on the underlying Grid (reference
+        grid.py:395-437)."""
+        return self.grid.set_metrics(key, value, overwrite=overwrite)
+
+    def get_metric(self, array, axes):
+        """Resolve a metric for ``array`` (reference grid.py:457-538);
+        metric arrays follow GSPMD sharding when multiplied in."""
+        return self.grid.get_metric(array, axes)
+
+    def interp_like(self, array, like, boundary=None, fill_value=None):
+        """Interpolate ``array`` onto the positions of ``like`` (reference
+        grid.py:540-591, same default-shift semantics as Grid.interp_like);
+        interps route through :meth:`interp` so sharded core dims take the
+        explicit-collective path."""
+        interp_axes = []
+        for axname, ax in self.grid.axes.items():
+            try:
+                pos_array, _ = ax._get_position_name(array)
+                pos_like, _ = ax._get_position_name(like)
+            except KeyError:
+                continue
+            if pos_like != pos_array:
+                interp_axes.append(axname)
+        if not interp_axes:
+            return array
+        return self.interp(
+            array, interp_axes, fill_value=fill_value, boundary=boundary
+        )
+
+    def coords_for(self, array):
+        """Coordinate arrays for ``array``'s dims (delegates to the Grid)."""
+        return self.grid.coords_for(array)
+
     # -------------------------------------------------- custom grid ufuncs
     def apply_as_grid_ufunc(
         self, func, *args, axis=None, signature="", boundary_width=None,
