@@ -150,3 +150,56 @@ class TestMesh:
         assert s.data.sharding.spec == (None, "b")
         r = replicate(g, mesh)
         assert tuple(r.data.sharding.spec) == ()
+
+
+class TestMaskOps:
+    """Comparison masks, where/clip/fillna — the everyday xarray idioms."""
+
+    def _pair(self):
+        a = GriddedArray(np.array([[1.0, -2.0], [np.nan, 4.0]]), ("y", "x"))
+        b = GriddedArray(np.array([0.0, 3.0]), ("x",))
+        return a, b
+
+    def test_comparisons_broadcast_align(self):
+        a, b = self._pair()
+        m = a > b
+        assert m.dims == ("y", "x")
+        np.testing.assert_array_equal(
+            np.asarray(m.data), [[True, False], [False, True]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray((a <= 1.0).data), [[True, True], [False, False]]
+        )
+        eq = a == a
+        assert eq.dims == ("y", "x")  # mask, not bool
+
+    def test_where_scalar_and_gridded_cond(self):
+        a, b = self._pair()
+        w = a.where(a > 0)
+        np.testing.assert_allclose(
+            np.asarray(w.data), [[1.0, np.nan], [np.nan, 4.0]]
+        )
+        w2 = a.where(a > b, other=-1.0)
+        np.testing.assert_allclose(
+            np.asarray(w2.data), [[1.0, -1.0], [-1.0, 4.0]]
+        )
+
+    def test_fillna_clip_isnan_mod_floordiv(self):
+        a, _ = self._pair()
+        np.testing.assert_allclose(
+            np.asarray(a.fillna(0.0).data), [[1.0, -2.0], [0.0, 4.0]]
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.clip(min=0.0).data), [[1.0, 0.0], [np.nan, 4.0]]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.isnan().data), [[False, False], [True, False]]
+        )
+        c = GriddedArray(np.array([5.0, 7.0]), ("x",))
+        np.testing.assert_allclose(np.asarray((c % 2.0).data), [1.0, 1.0])
+        np.testing.assert_allclose(np.asarray((c // 2.0).data), [2.0, 3.0])
+
+    def test_unhashable_like_xarray(self):
+        a, _ = self._pair()
+        with pytest.raises(TypeError):
+            hash(a)

@@ -203,6 +203,60 @@ class GriddedArray:
     def __rpow__(self, other):
         return self.with_data(jnp.power(other, self.data))
 
+    def __mod__(self, other):
+        return self._binop(other, jnp.mod)
+
+    def __floordiv__(self, other):
+        return self._binop(other, jnp.floor_divide)
+
+    # comparisons return boolean masks with xarray-style broadcast
+    # alignment — the everyday `da > 0` masking idiom
+    def __lt__(self, other):
+        return self._binop(other, jnp.less)
+
+    def __le__(self, other):
+        return self._binop(other, jnp.less_equal)
+
+    def __gt__(self, other):
+        return self._binop(other, jnp.greater)
+
+    def __ge__(self, other):
+        return self._binop(other, jnp.greater_equal)
+
+    def __eq__(self, other):  # noqa: D105 — mask semantics, like xarray
+        return self._binop(other, jnp.equal)
+
+    def __ne__(self, other):
+        return self._binop(other, jnp.not_equal)
+
+    # mask semantics for == / != make GriddedArray unhashable, as in xarray
+    __hash__ = None
+
+    def where(self, cond, other=jnp.nan) -> "GriddedArray":
+        """Elementwise select: keep self where ``cond`` else ``other``
+        (xarray ``DataArray.where`` semantics, NaN default)."""
+        cond_data = cond.data if isinstance(cond, GriddedArray) else cond
+        if isinstance(cond, GriddedArray):
+            a, c, dims = _broadcast_align(self, cond)
+        else:
+            a, c, dims = self.data, cond_data, self.dims
+        o = other.data if isinstance(other, GriddedArray) else other
+        return GriddedArray(
+            jnp.where(c, a, o), dims, name=self.name, attrs=self.attrs
+        )
+
+    def clip(self, min=None, max=None) -> "GriddedArray":
+        return self.with_data(jnp.clip(self.data, min, max))
+
+    def isnan(self) -> "GriddedArray":
+        return self.with_data(jnp.isnan(self.data))
+
+    def fillna(self, value) -> "GriddedArray":
+        """Replace NaNs (xarray ``DataArray.fillna``)."""
+        return self.with_data(
+            jnp.where(jnp.isnan(self.data), value, self.data)
+        )
+
     def sum(self, dims: Union[str, Sequence[str], None] = None, **kwargs):
         return self._reduce(jnp.sum, dims, **kwargs)
 
