@@ -273,3 +273,35 @@ class TestApplyManyFaces:
             np.asarray(outs[1].data),
             np.asarray(grid.diff(da, "Y", boundary="extend").data),
         )
+
+
+class TestApplyManyVector:
+    def test_face_sharded_vector_batch(self):
+        """Vector components (with other_component sign rules) through the
+        apply_many face branch: both diffs of a C-grid vector in one
+        batch match the per-component sharded ops."""
+        ds, fc = cubed_sphere_dataset(n=8)
+        grid = Grid(ds, face_connections=fc)
+        u, v = ds["u"], ds["v"]
+        mesh = make_mesh({"f": 6}, devices=jax.devices()[:6])
+        sg = ShardedGrid(grid, mesh, {"face": "f"})
+        su, sv = sg.shard(u), sg.shard(v)
+        op = gridops.diff_left_to_center
+        specs = [
+            dict(func=op.ufunc, args=[{"X": su}], axis=[("X",)],
+                 signature=op.signature, boundary_width=op.boundary_width,
+                 boundary="fill", other_component=[{"Y": sv}]),
+            dict(func=op.ufunc, args=[{"Y": sv}], axis=[("Y",)],
+                 signature=op.signature, boundary_width=op.boundary_width,
+                 boundary="fill", other_component=[{"X": su}]),
+        ]
+        dx, dy = sg.apply_many(specs)
+        ex = grid.diff({"X": u}, "X", boundary="fill",
+                       other_component={"Y": v})
+        ey = grid.diff({"Y": v}, "Y", boundary="fill",
+                       other_component={"X": u})
+        assert dx.dims == ex.dims and dy.dims == ey.dims
+        np.testing.assert_allclose(
+            np.asarray(dx.data), np.asarray(ex.data), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(dy.data), np.asarray(ey.data), rtol=1e-12)
