@@ -62,18 +62,11 @@ def _diag_specs(u, v):
     ]
 
 
-def _count_collectives(jaxpr, names=("ppermute", "all_gather", "all_to_all")):
-    count = 0
-    for eqn in jaxpr.eqns:
-        if any(s in eqn.primitive.name for s in names):
-            count += 1
-        for v in eqn.params.values():
-            inner = getattr(v, "jaxpr", None)
-            if inner is not None and hasattr(inner, "eqns"):
-                count += _count_collectives(inner, names)
-            elif hasattr(v, "eqns"):
-                count += _count_collectives(v, names)
-    return count
+def _count_collectives(fn, *args, names=("ppermute", "all_gather", "all_to_all")):
+    """Total data-moving collectives via the public inspection utility."""
+    from xgcm_tpu.utils import count_collectives
+
+    return count_collectives(fn, *args, names=names)["total"]
 
 
 class TestApplyManyCGrid:
@@ -132,12 +125,8 @@ class TestApplyManyCGrid:
             z, d, k = sharded_cgrid_diagnostics(grid, uu, vv, mesh, d2m)
             return z.data, d.data, k.data
 
-        n_many = _count_collectives(
-            jax.make_jaxpr(many)(u.data, v.data).jaxpr
-        )
-        n_fused = _count_collectives(
-            jax.make_jaxpr(fused)(u.data, v.data).jaxpr
-        )
+        n_many = _count_collectives(many, u.data, v.data)
+        n_fused = _count_collectives(fused, u.data, v.data)
         assert n_many == n_fused, (n_many, n_fused)
 
         # a 6-op chain of separate shard_maps costs 6 rounds; the batch
@@ -154,9 +143,7 @@ class TestApplyManyCGrid:
                 sg.interp(vv, "Y", to="center").data,
             )
 
-        n_chained = _count_collectives(
-            jax.make_jaxpr(chained)(u.data, v.data).jaxpr
-        )
+        n_chained = _count_collectives(chained, u.data, v.data)
         assert n_chained > n_many
 
     def test_mixed_widths_pad_once(self):
@@ -209,7 +196,7 @@ class TestApplyManyCGrid:
             )
             return tuple(r.data for r in rs)
 
-        n = _count_collectives(jax.make_jaxpr(many)(u.data).jaxpr)
+        n = _count_collectives(many, u.data)
         assert n == 2, n
 
 
