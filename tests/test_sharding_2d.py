@@ -284,3 +284,144 @@ def test_sharded_transform_multi_matches_single_device():
     with pytest.raises(NotImplementedError):
         sgrid_z.transform_multi([shz], "Z", target,
                                 target_data=s8, target_dim="sigma")
+
+
+class TestPerShardTransform:
+    """ShardedGrid.transform runs INSIDE shard_map over mesh-mapped column
+    dims: zero collectives, per-shard kernels, results == single-device."""
+
+    def _zgrid(self, nz):
+        ds = Dataset(coords={
+            "zc": ("zc", np.arange(nz) + 0.5),
+            "zo": ("zo", np.arange(nz + 1) * 1.0),
+        })
+        return Grid(
+            ds, coords={"Z": {"center": "zc", "outer": "zo"}},
+            periodic=False, autoparse_metadata=False,
+        )
+
+    def test_single_transform_sharded_columns(self):
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        nz, ncol = 10, 64
+        gridz = self._zgrid(nz)
+        rng = np.random.RandomState(5)
+        q = GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name="q")
+        sigma = GriddedArray(
+            np.sort(rng.rand(ncol, nz), -1) * 8 + 20, ("col", "zc"),
+            name="sigma",
+        )
+        target = GriddedArray(
+            np.linspace(21, 27, 5), ("sigma",), name="sigma"
+        )
+        expected = gridz.transform(q, "Z", target, target_data=sigma)
+
+        mesh = make_mesh({"c": 8})
+        sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+        out = sgrid.transform(
+            shard_gridded(q, mesh, {"col": "c"}), "Z", target,
+            target_data=shard_gridded(sigma, mesh, {"col": "c"}),
+        )
+        assert out.dims == expected.dims
+        assert out.name == expected.name
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+
+    def test_conservative_sharded_columns(self):
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        nz, ncol = 10, 32
+        gridz = self._zgrid(nz)
+        rng = np.random.RandomState(6)
+        q = GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name="q")
+        sigma_o = GriddedArray(
+            np.sort(rng.rand(ncol, nz + 1), -1) * 8 + 20, ("col", "zo"),
+            name="sigma",
+        )
+        bins = np.linspace(19, 29, 6)
+        expected = gridz.transform(
+            q, "Z", bins, target_data=sigma_o, target_dim="sigma",
+            method="conservative",
+        )
+        mesh = make_mesh({"c": 8})
+        sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+        out = sgrid.transform(
+            shard_gridded(q, mesh, {"col": "c"}), "Z", bins,
+            target_data=shard_gridded(sigma_o, mesh, {"col": "c"}),
+            target_dim="sigma", method="conservative",
+        )
+        assert out.dims == expected.dims
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+
+    def test_zero_collectives(self):
+        """The per-shard transform issues NO collectives — the budget that
+        distinguishes it from GSPMD's unplanned gathers."""
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh
+        from xgcm_tpu.utils import count_collectives
+
+        nz, ncol = 10, 64
+        gridz = self._zgrid(nz)
+        rng = np.random.RandomState(7)
+        mesh = make_mesh({"c": 8})
+        sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+        q = GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name="q")
+        sigma = GriddedArray(
+            np.sort(rng.rand(ncol, nz), -1) * 8 + 20, ("col", "zc"),
+            name="sigma",
+        )
+        target = np.linspace(21, 27, 5)
+
+        def f(qd, sd):
+            return sgrid.transform(
+                GriddedArray(qd, q.dims, name="q"), "Z", target,
+                target_data=GriddedArray(sd, sigma.dims, name="sigma"),
+                target_dim="sigma",
+            ).data
+
+        counts = count_collectives(f, q.data, sigma.data)
+        assert counts["total"] == 0, counts
+
+    def test_face_sharded_columns(self):
+        """Transform of face-sharded data: faces are just more columns."""
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        from .datasets import cubed_sphere_dataset
+
+        n, nz = 4, 6
+        _, fc = cubed_sphere_dataset(n=n)
+        rng = np.random.RandomState(8)
+        ds = Dataset(coords={
+            "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+            "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+            "zc": ("zc", np.arange(nz) + 0.5, {"axis": "Z"}),
+            "face": ("face", np.arange(6)),
+        })
+        gridf = Grid(ds, periodic=False, autoparse_metadata=False,
+                     coords={"X": {"center": "x"}, "Y": {"center": "y"},
+                             "Z": {"center": "zc"}},
+                     face_connections=fc)
+        q = GriddedArray(
+            rng.rand(6, nz, n, n), ("face", "zc", "y", "x"), name="q"
+        )
+        sigma = GriddedArray(
+            np.sort(rng.rand(6, nz, n, n), axis=1) * 8 + 20,
+            ("face", "zc", "y", "x"), name="sigma",
+        )
+        target = np.linspace(21, 27, 5)
+        expected = gridf.transform(
+            q, "Z", target, target_data=sigma, target_dim="sigma"
+        )
+        mesh = make_mesh({"f": 2, "ym": 4})
+        sgrid = ShardedGrid(gridf, mesh, {"face": "f", "y": "ym"})
+        out = sgrid.transform(
+            shard_gridded(q, mesh, {"face": "f", "y": "ym"}), "Z", target,
+            target_data=shard_gridded(sigma, mesh, {"face": "f", "y": "ym"}),
+            target_dim="sigma",
+        )
+        assert out.dims == expected.dims
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )

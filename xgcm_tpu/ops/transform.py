@@ -951,7 +951,7 @@ def transform_multi(
 
     # layout-aware fast path: every variable (zc, col) with matching theta
     # — zero transposes in or out, outputs (target_dim, col) in place
-    if (
+    columns_first = (
         len(tdata.dims) == 2
         and tdata.dims[0] == theta_dim
         and all(
@@ -960,7 +960,8 @@ def transform_multi(
             and da.dims[1] == tdata.dims[1]
             for da in das
         )
-    ):
+    )
+    if columns_first:
         thT = jnp.asarray(tdata.data)
         n2, cols2 = thT.shape
         tgt_j2 = jnp.asarray(tgt.data).reshape(-1)
@@ -1038,12 +1039,17 @@ def transform_multi(
     for da, phi_t, out in zip(das, phi_ts, outs):
         name = (da.name + suffix) if da.name else None
         lead_dims = [d for d in phi_t.dims if d != dim]
-        results.append(
-            GriddedArray(
-                out.reshape(lead_shape + (m,)), lead_dims + [tgt_dim],
-                name=name,
-            )
+        res = GriddedArray(
+            out.reshape(lead_shape + (m,)), lead_dims + [tgt_dim],
+            name=name,
         )
+        if columns_first:
+            # same deterministic layout contract as linear_interpolation:
+            # columns-first inputs yield (target_dim, col) on every
+            # backend and size, not only when the lanes-major kernel
+            # served the shapes
+            res = res.transpose(tgt_dim, da.dims[1])
+        results.append(res)
     return results
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Mapping
 
+import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..core import gridops
@@ -325,10 +327,7 @@ class ShardedGrid:
         weight = self.grid.get_metric(da, axis)
         return self.cumsum(da * weight, axis, **kwargs)
 
-    def transform(self, da, axis, target, **kwargs):
-        """Vertical transform; the transform dim must not be sharded (the
-        reference likewise refuses chunking along it,
-        test_transform.py::test_chunking_dim_error)."""
+    def _check_transform_dim(self, da, axis):
         ax = self.grid.axes[axis]
         _, dim = ax._get_position_name(da)
         if self.dim_to_mesh_axis.get(dim) is not None:
@@ -336,18 +335,160 @@ class ShardedGrid:
                 f"cannot transform along the sharded dimension {dim!r}; "
                 "shard the horizontal dims instead"
             )
-        return self.grid.transform(da, axis, target, **kwargs)
 
-    def transform_multi(self, das, axis, target, **kwargs):
-        """Multi-variable vertical transform (same sharding restriction as
+    def _transform_specs(self, arrays, target, target_data):
+        """(in_specs, operand datas) for the per-shard transform body:
+        each array sharded per the dim mapping, target replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import partition_spec
+
+        in_specs, datas = [], []
+        for ga in arrays:
+            in_specs.append(partition_spec(ga.dims, self.dim_to_mesh_axis))
+            datas.append(ga.data)
+        tgt_is_ga = isinstance(target, GriddedArray)
+        tgt_data = target.data if tgt_is_ga else jnp.asarray(target)
+        in_specs.append(P(*([None] * tgt_data.ndim)))
+        datas.append(tgt_data)
+        if target_data is not None:
+            in_specs.append(
+                partition_spec(target_data.dims, self.dim_to_mesh_axis)
+            )
+            datas.append(target_data.data)
+        return tuple(in_specs), tuple(datas)
+
+    def _sharded_transform(self, das, axis, target, target_data, multi,
+                           **kwargs):
+        """Run the transform INSIDE shard_map over the mesh-mapped column
+        dims: the remap is per-column, so every shard computes its own
+        columns with ZERO collectives, and on multichip TPU the fused
+        Pallas kernels apply per shard (a bare pallas_call does not
+        partition under GSPMD).  Results are exactly the single-device
+        transform's (tests/test_sharding_2d.py pins equality and the
+        zero-collective budget)."""
+        from jax import shard_map
+
+        from .mesh import partition_spec
+
+        grid = self.grid
+        tgt_is_ga = isinstance(target, GriddedArray)
+        tgt_dims = target.dims if tgt_is_ga else None
+
+        def local(*flat):
+            arrs = [
+                GriddedArray(d, ga.dims, name=ga.name)
+                for d, ga in zip(flat[: len(das)], das)
+            ]
+            k = len(das)
+            tgt = (
+                GriddedArray(flat[k], tgt_dims, name=target.name)
+                if tgt_is_ga
+                else flat[k]
+            )
+            td = None
+            if target_data is not None:
+                td = GriddedArray(
+                    flat[k + 1], target_data.dims, name=target_data.name
+                )
+            if multi:
+                outs = grid.transform_multi(
+                    arrs, axis, tgt, target_data=td, **kwargs
+                )
+                return tuple(o.data for o in outs)
+            out = grid.transform(
+                arrs[0], axis, tgt, target_data=td, **kwargs
+            )
+            return out.data
+
+        in_specs, datas = self._transform_specs(das, target, target_data)
+        # output dims via an abstract trace OUTSIDE shard_map — the
+        # transform's output layout is deterministic in dim order (the
+        # columns-first contract), so global-shape eval_shape names the
+        # per-shard layout too
+        if multi:
+            abstract = jax.eval_shape(
+                lambda *f: grid.transform_multi(
+                    [
+                        GriddedArray(d, ga.dims, name=ga.name)
+                        for d, ga in zip(f[: len(das)], das)
+                    ],
+                    axis,
+                    (GriddedArray(f[len(das)], tgt_dims, name=target.name)
+                     if tgt_is_ga else f[len(das)]),
+                    target_data=(
+                        GriddedArray(f[-1], target_data.dims,
+                                     name=target_data.name)
+                        if target_data is not None else None
+                    ),
+                    **kwargs,
+                ),
+                *datas,
+            )
+            out_gas = list(abstract)
+        else:
+            abstract = jax.eval_shape(
+                lambda *f: grid.transform(
+                    GriddedArray(f[0], das[0].dims, name=das[0].name),
+                    axis,
+                    (GriddedArray(f[len(das)], tgt_dims, name=target.name)
+                     if tgt_is_ga else f[len(das)]),
+                    target_data=(
+                        GriddedArray(f[-1], target_data.dims,
+                                     name=target_data.name)
+                        if target_data is not None else None
+                    ),
+                    **kwargs,
+                ),
+                *datas,
+            )
+            out_gas = [abstract]
+        out_specs = tuple(
+            partition_spec(o.dims, self.dim_to_mesh_axis) for o in out_gas
+        )
+        raw = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs if multi else out_specs[0],
+        )(*datas)
+        if multi:
+            return [
+                GriddedArray(r, o.dims, name=o.name)
+                for r, o in zip(raw, out_gas)
+            ]
+        return GriddedArray(raw, out_gas[0].dims, name=out_gas[0].name)
+
+    def transform(self, da, axis, target, target_data=None, **kwargs):
+        """Vertical transform; the transform dim must not be sharded (the
+        reference likewise refuses chunking along it,
+        test_transform.py::test_chunking_dim_error).  Mesh-mapped column
+        dims run per shard inside shard_map with zero collectives — on
+        multichip TPU the fused Pallas kernel applies per shard."""
+        self._check_transform_dim(da, axis)
+        if any(self.dim_to_mesh_axis.get(d) is not None for d in da.dims):
+            return self._sharded_transform(
+                [da], axis, target, target_data, multi=False, **kwargs
+            )
+        return self.grid.transform(
+            da, axis, target, target_data=target_data, **kwargs
+        )
+
+    def transform_multi(self, das, axis, target, target_data=None, **kwargs):
+        """Multi-variable vertical transform (same sharding rules as
         :meth:`transform`; the fused shared-selection kernel applies per
         shard)."""
-        ax = self.grid.axes[axis]
+        das = list(das)
         for da in das:
-            _, dim = ax._get_position_name(da)
-            if self.dim_to_mesh_axis.get(dim) is not None:
-                raise NotImplementedError(
-                    f"cannot transform along the sharded dimension {dim!r}; "
-                    "shard the horizontal dims instead"
-                )
-        return self.grid.transform_multi(das, axis, target, **kwargs)
+            self._check_transform_dim(da, axis)
+        if das and any(
+            self.dim_to_mesh_axis.get(d) is not None
+            for da in das
+            for d in da.dims
+        ):
+            return self._sharded_transform(
+                das, axis, target, target_data, multi=True, **kwargs
+            )
+        return self.grid.transform_multi(
+            das, axis, target, target_data=target_data, **kwargs
+        )
