@@ -292,3 +292,50 @@ class TestApplyManyVector:
             np.asarray(dx.data), np.asarray(ex.data), rtol=1e-12)
         np.testing.assert_allclose(
             np.asarray(dy.data), np.asarray(ey.data), rtol=1e-12)
+
+
+class TestNameBasedSpecs:
+    def test_named_ops_match_explicit_specs(self):
+        """dict(op="diff", ...) selects the same gridops kernel as the
+        explicit func/signature form and as ShardedGrid.diff."""
+        grid, u, v = _cgrid()
+        mesh = make_mesh({"x": 2, "y": 2}, devices=jax.devices()[:4])
+        d2m = {"xc": "x", "xg": "x", "yc": "y", "yg": "y"}
+        sg = ShardedGrid(grid, mesh, d2m)
+        us, vs = sg.shard(u), sg.shard(v)
+        outs = sg.apply_many([
+            dict(op="diff", args=vs, axis="X"),
+            dict(op="interp", args=us, axis="X", to="center"),
+            dict(op="max", args=vs, axis="Y", boundary="extend"),
+        ])
+        np.testing.assert_allclose(
+            np.asarray(outs[0].data), np.asarray(sg.diff(vs, "X").data))
+        np.testing.assert_allclose(
+            np.asarray(outs[1].data),
+            np.asarray(sg.interp(us, "X", to="center").data))
+        np.testing.assert_allclose(
+            np.asarray(outs[2].data),
+            np.asarray(sg.max(vs, "Y", boundary="extend").data))
+
+    def test_named_vector_on_face_grid(self):
+        ds, fc = cubed_sphere_dataset(n=8)
+        grid = Grid(ds, face_connections=fc)
+        u, v = ds["u"], ds["v"]
+        mesh = make_mesh({"f": 6}, devices=jax.devices()[:6])
+        sg = ShardedGrid(grid, mesh, {"face": "f"})
+        su, sv = sg.shard(u), sg.shard(v)
+        (dx,) = sg.apply_many([
+            dict(op="diff", args={"X": su}, axis="X", to="center",
+                 boundary="fill", other_component=[{"Y": sv}]),
+        ])
+        ex = grid.diff({"X": u}, "X", to="center", boundary="fill",
+                       other_component={"Y": v})
+        np.testing.assert_allclose(
+            np.asarray(dx.data), np.asarray(ex.data), rtol=1e-12)
+
+    def test_cumsum_rejected(self):
+        grid, u, _ = _cgrid()
+        mesh = make_mesh({"x": 2}, devices=jax.devices()[:2])
+        sg = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+        with pytest.raises(ValueError, match="cumsum"):
+            sg.apply_many([dict(op="cumsum", args=sg.shard(u), axis="X")])

@@ -51,6 +51,53 @@ from .sharded_ufunc import (
 __all__ = ["sharded_apply_many"]
 
 
+def _normalize_spec(spec: Mapping[str, Any], grid: Grid) -> Mapping[str, Any]:
+    """Expand a name-based spec (``op="diff", axis="X", to=...``) into the
+    full func/signature/boundary_width form by selecting the same gridops
+    kernel the 1-D dispatch uses (reference grid.py:1545-1590)."""
+    if "func" in spec:
+        return spec
+    from ..core import gridops
+    from ..core.grid import _select_grid_ufunc
+
+    name = spec["op"]
+    if name == "cumsum":
+        raise ValueError(
+            "cumsum is not batchable (prefix sums need their own collective "
+            "plan); use ShardedGrid.cumsum / sharded_cumsum directly"
+        )
+    args = spec["args"]
+    da = args[0] if isinstance(args, (list, tuple)) else args
+    comp = next(iter(da.values())) if isinstance(da, dict) else da
+    ax_name = spec["axis"]
+    if not isinstance(ax_name, str):
+        raise ValueError(
+            "name-based specs take a single axis name (got "
+            f"{ax_name!r}); pass explicit func/signature for multi-axis ops"
+        )
+    ax = grid.axes[ax_name]
+    from_pos, _ = ax._get_position_name(comp)
+    to_pos = spec.get("to") or ax.default_shifts[from_pos]
+    sig = GridUFuncSignature.from_string(
+        f"({ax_name}:{from_pos})->({ax_name}:{to_pos})"
+    )
+    grid_ufunc, remaining = _select_grid_ufunc(
+        name, sig, module=gridops, boundary=spec.get("boundary"),
+        fill_value=spec.get("fill_value"),
+    )
+    new = {
+        k: v for k, v in spec.items()
+        if k not in ("op", "to", "boundary", "fill_value")
+    }
+    new["func"] = grid_ufunc.ufunc
+    new["signature"] = grid_ufunc.signature
+    new["boundary_width"] = grid_ufunc.boundary_width
+    new["axis"] = [(ax_name,)]
+    new["boundary"] = remaining.get("boundary")
+    new["fill_value"] = remaining.get("fill_value")
+    return new
+
+
 class _OpPlan:
     """Resolved static bookkeeping for one op in the batch."""
 
@@ -133,11 +180,15 @@ def sharded_apply_many(
     Each entry of ``op_specs`` is a dict with keys ``func``, ``args``
     (array or list; single-entry dicts mark vector components), ``axis``,
     ``signature``, ``boundary_width``, and optionally ``boundary``,
-    ``fill_value``, ``other_component``, ``kwargs``.  Returns a list with
-    one entry per op (a GriddedArray, or a tuple for multi-output ufuncs),
-    each equal to the corresponding single-op
-    :func:`sharded_apply_as_grid_ufunc` call.
+    ``fill_value``, ``other_component``, ``kwargs``.  Built-in ops can be
+    named instead: ``dict(op="diff", args=v, axis="X", to="left",
+    boundary="fill")`` selects the gridops kernel exactly like
+    ``ShardedGrid.diff`` would (cumsum excepted — prefix sums have their
+    own collective plan).  Returns a list with one entry per op (a
+    GriddedArray, or a tuple for multi-output ufuncs), each equal to the
+    corresponding single-op :func:`sharded_apply_as_grid_ufunc` call.
     """
+    op_specs = [_normalize_spec(spec, grid) for spec in op_specs]
     face_setup = None
     first = None
     for spec in op_specs:
