@@ -26,7 +26,6 @@ import jax
 import numpy as np
 
 import xgcm_tpu as xt
-from xgcm_tpu.core import gridops
 from xgcm_tpu.grids import llc_grid
 from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
 
@@ -66,20 +65,13 @@ def main():
 
     # the whole diagnostic set in ONE shard_map / ONE exchange round:
     # each distinct input is padded once at the max width any op requests
-    d = gridops.diff_center_to_left
-    i = gridops.interp_left_to_center
+    # (name-based specs select the same gridops kernels as sgrid.diff)
     outs = sgrid.apply_many([
-        dict(func=d.ufunc, args=[v_sh], axis=[("X",)],
-             signature=d.signature, boundary_width=d.boundary_width,
+        dict(op="diff", args=v_sh, axis="X", to="left", boundary="fill"),
+        dict(op="diff", args=u_sh, axis="Y", to="left", boundary="fill"),
+        dict(op="interp", args=u_sh, axis="X", to="center",
              boundary="fill"),
-        dict(func=d.ufunc, args=[u_sh], axis=[("Y",)],
-             signature=d.signature, boundary_width=d.boundary_width,
-             boundary="fill"),
-        dict(func=i.ufunc, args=[u_sh], axis=[("X",)],
-             signature=i.signature, boundary_width=i.boundary_width,
-             boundary="fill"),
-        dict(func=i.ufunc, args=[v_sh], axis=[("Y",)],
-             signature=i.signature, boundary_width=i.boundary_width,
+        dict(op="interp", args=v_sh, axis="Y", to="center",
              boundary="fill"),
     ])
     dvdx, dudy, u_c, v_c = outs
