@@ -425,3 +425,69 @@ class TestPerShardTransform:
         np.testing.assert_allclose(
             np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
         )
+
+    def test_columns_first_layout_sharded(self):
+        """(zc, col) columns-first input with col sharded: the layout
+        contract yields (sigma, col) and the per-shard path preserves it."""
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        nz, ncol = 10, 64
+        gridz = self._zgrid(nz)
+        rng = np.random.RandomState(9)
+        qT = GriddedArray(rng.rand(nz, ncol), ("zc", "col"), name="q")
+        sigT = GriddedArray(
+            np.sort(rng.rand(nz, ncol), 0) * 8 + 20, ("zc", "col"),
+            name="sigma",
+        )
+        target = GriddedArray(
+            np.linspace(21, 27, 5), ("sigma",), name="sigma"
+        )
+        expected = gridz.transform(qT, "Z", target, target_data=sigT)
+        assert expected.dims == ("sigma", "col")  # the layout contract
+        mesh = make_mesh({"c": 8})
+        sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+        out = sgrid.transform(
+            shard_gridded(qT, mesh, {"col": "c"}), "Z", target,
+            target_data=shard_gridded(sigT, mesh, {"col": "c"}),
+        )
+        assert out.dims == ("sigma", "col")
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+
+    def test_log_method_and_default_target_data(self):
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        nz, ncol = 10, 64
+        gridz = self._zgrid(nz)
+        rng = np.random.RandomState(10)
+        q = GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name="q")
+        sigma = GriddedArray(
+            np.sort(rng.rand(ncol, nz), -1) * 8 + 20, ("col", "zc"),
+            name="sigma",
+        )
+        mesh = make_mesh({"c": 8})
+        sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+        q_sh = shard_gridded(q, mesh, {"col": "c"})
+        s_sh = shard_gridded(sigma, mesh, {"col": "c"})
+        # log method
+        e_log = gridz.transform(
+            q, "Z", np.linspace(21, 27, 5), target_data=sigma,
+            target_dim="sigma", method="log",
+        )
+        o_log = sgrid.transform(
+            q_sh, "Z", np.linspace(21, 27, 5), target_data=s_sh,
+            target_dim="sigma", method="log",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_log.data), np.asarray(e_log.data), rtol=1e-12
+        )
+        # target_data=None resolves to the axis coordinate inside the
+        # shard (grid coords ride the closure as replicated constants)
+        t2 = np.linspace(1.5, 8.5, 4)
+        e_def = gridz.transform(q, "Z", t2)
+        o_def = sgrid.transform(q_sh, "Z", t2)
+        assert o_def.dims == e_def.dims
+        np.testing.assert_allclose(
+            np.asarray(o_def.data), np.asarray(e_def.data), rtol=1e-12
+        )
