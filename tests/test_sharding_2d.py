@@ -491,3 +491,106 @@ class TestPerShardTransform:
         np.testing.assert_allclose(
             np.asarray(o_def.data), np.asarray(e_def.data), rtol=1e-12
         )
+
+
+class TestBatchShardedOps:
+    """Ops whose sharded dims are pure batch dims run inside shard_map
+    with zero collectives (per-shard Pallas on multichip TPU)."""
+
+    def test_batch_sharded_diff_matches_and_is_collective_free(self):
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+        from xgcm_tpu.utils import count_collectives
+
+        nz, ny, nx = 8, 8, 16
+        ds = Dataset(coords={
+            "xc": ("xc", np.arange(nx) + 0.5, {"axis": "X"}),
+            "xg": ("xg", np.arange(nx) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "z": ("z", np.arange(nz) * 1.0, {"axis": "Z"}),
+        })
+        grid2 = Grid(ds)
+        rng = np.random.RandomState(11)
+        q = GriddedArray(rng.rand(nz, ny, nx), ("z", "yb", "xc"), name="q")
+        mesh = make_mesh({"zm": 8})
+        sg = ShardedGrid(grid2, mesh, {"z": "zm"})
+        q_sh = shard_gridded(q, mesh, {"z": "zm"})
+        expected = grid2.diff(q, "X", boundary="fill")
+        out = sg.diff(q_sh, "X", boundary="fill")
+        assert out.dims == expected.dims
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+        counts = count_collectives(
+            lambda d: sg.diff(
+                GriddedArray(d, q.dims, name="q"), "X", boundary="fill"
+            ).data,
+            q.data,
+        )
+        assert counts["total"] == 0, counts
+        # cumsum along the unsharded dim is also shard-local
+        e_c = grid2.cumsum(q, "X", boundary="fill")
+        o_c = sg.cumsum(q_sh, "X", boundary="fill")
+        np.testing.assert_allclose(
+            np.asarray(o_c.data), np.asarray(e_c.data), rtol=1e-12
+        )
+
+    def test_face_inface_sharding_stays_gspmd(self):
+        """A sharded face-connected in-face dim is NOT batch-safe (rotated
+        halos cross shards): the op must keep the GSPMD fall-through and
+        stay correct."""
+        from .datasets import cubed_sphere_dataset
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+        ds, fc = cubed_sphere_dataset(n=8)
+        grid2 = Grid(ds, face_connections=fc)
+        da = ds["data_c"]
+        mesh = make_mesh({"ym": 8})
+        # face dim NOT sharded; y (in-face, rotation target) sharded
+        sg = ShardedGrid(grid2, mesh, {"y": "ym"})
+        assert not sg._batch_only_sharded(da, "X")
+        out = sg.diff(
+            shard_gridded(da, mesh, {"y": "ym"}), "X", boundary="fill"
+        )
+        expected = grid2.diff(da, "X", boundary="fill")
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+
+    def test_z_batch_on_face_grid_is_shard_local(self):
+        """A sharded NON-connected dim (z) on a face grid IS batch-safe."""
+        from .datasets import cubed_sphere_dataset
+        from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+        from xgcm_tpu.utils import count_collectives
+
+        n, nz = 4, 8
+        _, fc = cubed_sphere_dataset(n=n)
+        ds = Dataset(coords={
+            "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+            "xl": ("xl", np.arange(n) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+            "yl": ("yl", np.arange(n) * 1.0,
+                   {"axis": "Y", "c_grid_axis_shift": -0.5}),
+            "z": ("z", np.arange(nz) * 1.0, {"axis": "Z"}),
+            "face": ("face", np.arange(6)),
+        })
+        gridf = Grid(ds, face_connections=fc)
+        rng = np.random.RandomState(12)
+        q = GriddedArray(
+            rng.rand(6, nz, n, n), ("face", "z", "y", "x"), name="q"
+        )
+        mesh = make_mesh({"zm": 8})
+        sg = ShardedGrid(gridf, mesh, {"z": "zm"})
+        q_sh = shard_gridded(q, mesh, {"z": "zm"})
+        expected = gridf.diff(q, "X", boundary="fill")
+        out = sg.diff(q_sh, "X", boundary="fill")
+        np.testing.assert_allclose(
+            np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+        )
+        counts = count_collectives(
+            lambda d: sg.diff(
+                GriddedArray(d, q.dims, name="q"), "X", boundary="fill"
+            ).data,
+            q.data,
+        )
+        assert counts["total"] == 0, counts

@@ -179,14 +179,77 @@ class ShardedGrid:
                         name, out, ax_name, ax_to, boundary, fill_value, **kw
                     )
             else:
-                out = getattr(self.grid, name)(
-                    out, ax_name, to=ax_to, boundary=boundary,
+                out = self._batch_sharded_op(
+                    name, out, ax_name, to=ax_to, boundary=boundary,
                     fill_value=fill_value, **kw,
                 )
 
             if mw:
                 out = out / self.grid.get_metric(out, mw)
         return out
+
+    def _batch_only_sharded(self, da, ax_name):
+        """True when ``da``'s mesh-mapped dims are pure batch dims for an
+        op along ``ax_name``: the op's own core dim is unsharded, and on a
+        face-connected grid neither the face dim nor any face-connected
+        in-face dim is sharded (cross-face halos rotate x into y, so a
+        sharded in-face dim is NOT local to the shard)."""
+        if isinstance(da, dict):
+            return False
+        sharded = {
+            d for d in da.dims if self.dim_to_mesh_axis.get(d) is not None
+        }
+        if not sharded:
+            return False
+        ax_dims = set(self.grid.axes[ax_name].coords.values())
+        if sharded & ax_dims:
+            return False
+        grid = self.grid
+        if grid._face_connections is not None:
+            conn_axes = {
+                a
+                for links in grid._face_connections[grid._facedim].values()
+                for a in links
+            }
+            unsafe = {grid._facedim}
+            for a in conn_axes:
+                unsafe |= set(grid.axes[a].coords.values())
+            if sharded & unsafe:
+                return False
+        return True
+
+    def _batch_sharded_op(self, name, da, ax_name, **kw):
+        """Run a built-in op whose mesh-mapped dims are all batch dims
+        INSIDE shard_map: embarrassingly parallel, zero collectives, and
+        on multichip TPU any Pallas fast path applies per shard instead of
+        GSPMD gathering around an unpartitionable pallas_call.  Falls back
+        to the plain (GSPMD-correct) Grid method otherwise."""
+        if not self._batch_only_sharded(da, ax_name):
+            return getattr(self.grid, name)(da, ax_name, **kw)
+        from jax import shard_map
+
+        from .mesh import partition_spec
+
+        grid = self.grid
+
+        def local(d):
+            return getattr(grid, name)(
+                GriddedArray(d, da.dims, name=da.name), ax_name, **kw
+            ).data
+
+        abstract = jax.eval_shape(
+            lambda d: getattr(grid, name)(
+                GriddedArray(d, da.dims, name=da.name), ax_name, **kw
+            ),
+            da.data,
+        )
+        raw = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=partition_spec(da.dims, self.dim_to_mesh_axis),
+            out_specs=partition_spec(abstract.dims, self.dim_to_mesh_axis),
+        )(da.data)
+        return GriddedArray(raw, abstract.dims, name=abstract.name)
 
     def interp(self, da, axis, **kw):
         return self._op("interp", da, axis, **kw)
