@@ -594,3 +594,43 @@ class TestBatchShardedOps:
             q.data,
         )
         assert counts["total"] == 0, counts
+
+
+def test_per_column_2d_target_sharded():
+    """A spatially varying (col, m) target rides the column sharding."""
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+    nz, ncol, m = 10, 64, 5
+    ds = Dataset(coords={
+        "zc": ("zc", np.arange(nz) + 0.5),
+        "zo": ("zo", np.arange(nz + 1) * 1.0),
+    })
+    gridz = Grid(
+        ds, coords={"Z": {"center": "zc", "outer": "zo"}},
+        periodic=False, autoparse_metadata=False,
+    )
+    rng = np.random.RandomState(13)
+    q = GriddedArray(rng.rand(ncol, nz), ("col", "zc"), name="q")
+    sigma = GriddedArray(
+        np.sort(rng.rand(ncol, nz), -1) * 8 + 20, ("col", "zc"),
+        name="sigma",
+    )
+    tgt2d = GriddedArray(
+        np.sort(rng.rand(ncol, m), -1) * 6 + 21, ("col", "sigma"),
+        name="sigma",
+    )
+    expected = gridz.transform(
+        q, "Z", tgt2d, target_data=sigma, target_dim="sigma",
+    )
+    mesh = make_mesh({"c": 8})
+    sgrid = ShardedGrid(gridz, mesh, {"col": "c"})
+    out = sgrid.transform(
+        shard_gridded(q, mesh, {"col": "c"}), "Z",
+        shard_gridded(tgt2d, mesh, {"col": "c"}),
+        target_data=shard_gridded(sigma, mesh, {"col": "c"}),
+        target_dim="sigma",
+    )
+    assert out.dims == expected.dims
+    np.testing.assert_allclose(
+        np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+    )

@@ -411,9 +411,18 @@ class ShardedGrid:
             in_specs.append(partition_spec(ga.dims, self.dim_to_mesh_axis))
             datas.append(ga.data)
         tgt_is_ga = isinstance(target, GriddedArray)
-        tgt_data = target.data if tgt_is_ga else jnp.asarray(target)
-        in_specs.append(P(*([None] * tgt_data.ndim)))
-        datas.append(tgt_data)
+        if tgt_is_ga:
+            # per-column (spatially varying) targets may share the column
+            # sharding; plain 1-D target vectors replicate (their dim is
+            # the new output dim, never mesh-mapped)
+            in_specs.append(
+                partition_spec(target.dims, self.dim_to_mesh_axis)
+            )
+            datas.append(target.data)
+        else:
+            tgt_data = jnp.asarray(target)
+            in_specs.append(P(*([None] * tgt_data.ndim)))
+            datas.append(tgt_data)
         if target_data is not None:
             in_specs.append(
                 partition_spec(target_data.dims, self.dim_to_mesh_axis)
