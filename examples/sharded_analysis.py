@@ -67,6 +67,25 @@ def main():
     ok = np.allclose(np.asarray(transport.data), np.asarray(expected.data))
     print("matches single-device:", bool(ok))
 
+    # batch several ops into ONE exchange round with name-based specs
+    dvdx, u_c = sgrid.apply_many([
+        dict(op="diff", args=v, axis="X", to="left", boundary="fill"),
+        dict(op="interp", args=u, axis="X", to="center", boundary="fill"),
+    ])
+    print("apply_many:", dvdx.dims, u_c.dims)
+
+    # audit the communication budget of any expression (the regression
+    # bound the reference's dask task-count test only stubbed)
+    from xgcm_tpu.utils import count_collectives
+
+    budget = count_collectives(
+        lambda vd: sgrid.diff(
+            xt.GriddedArray(vd, ("yg", "xc")), "X"
+        ).data,
+        v.data,
+    )
+    print("collective budget of one sharded diff:", budget)
+
 
 if __name__ == "__main__":
     main()
