@@ -634,3 +634,43 @@ def test_per_column_2d_target_sharded():
     np.testing.assert_allclose(
         np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
     )
+
+
+def test_custom_ufunc_batch_only_sharding():
+    """A custom ufunc whose sharded dims are pure batch dims routes
+    through the engine-inside-shard_map: equal results, zero collectives."""
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+    from xgcm_tpu.utils import count_collectives
+
+    nz, ny, nx = 8, 8, 16
+    ds = Dataset(coords={
+        "xc": ("xc", np.arange(nx) + 0.5, {"axis": "X"}),
+        "xg": ("xg", np.arange(nx) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+        "z": ("z", np.arange(nz) * 1.0, {"axis": "Z"}),
+    })
+    grid2 = Grid(ds)
+    rng = np.random.RandomState(14)
+    q = GriddedArray(rng.rand(nz, ny, nx), ("z", "yb", "xc"), name="q")
+
+    def sm3(a):
+        return (a[..., :-2] + a[..., 1:-1] + a[..., 2:]) / 3.0
+
+    kw = dict(axis=[("X",)], signature="(X:center)->(X:center)",
+              boundary_width={"X": (1, 1)}, boundary="extend")
+    mesh = make_mesh({"zm": 8})
+    sg = ShardedGrid(grid2, mesh, {"z": "zm"})
+    q_sh = shard_gridded(q, mesh, {"z": "zm"})
+    e = grid2.apply_as_grid_ufunc(sm3, q, **kw)
+    o = sg.apply_as_grid_ufunc(sm3, q_sh, **kw)
+    assert o.dims == e.dims
+    np.testing.assert_allclose(
+        np.asarray(o.data), np.asarray(e.data), rtol=1e-12
+    )
+    cc = count_collectives(
+        lambda d: sg.apply_as_grid_ufunc(
+            sm3, GriddedArray(d, q.dims, name="q"), **kw
+        ).data,
+        q.data,
+    )
+    assert cc["total"] == 0, cc

@@ -343,7 +343,17 @@ class ShardedGrid:
             self.grid._face_connections is not None
             and self.dim_to_mesh_axis.get(self.grid._facedim) is not None
         )
-        if any_sharded or face_sharded:
+        # batch-only sharding also routes through the engine-inside-
+        # shard_map: local pads, zero collectives, per-shard kernels
+        batch_sharded = any(
+            self.dim_to_mesh_axis.get(d) is not None
+            for a in args
+            for d in getattr(
+                next(iter(a.values())) if isinstance(a, dict) else a,
+                "dims", (),
+            )
+        )
+        if any_sharded or face_sharded or batch_sharded:
             return sharded_apply_as_grid_ufunc(
                 func, *args, axis=axis, grid=self.grid, signature=sig,
                 mesh=self.mesh, dim_to_mesh_axis=self.dim_to_mesh_axis,
