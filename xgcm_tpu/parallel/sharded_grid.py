@@ -457,7 +457,7 @@ class ShardedGrid:
         tgt_is_ga = isinstance(target, GriddedArray)
         tgt_dims = target.dims if tgt_is_ga else None
 
-        def local(*flat):
+        def local_ga(*flat):
             arrs = [
                 GriddedArray(d, ga.dims, name=ga.name)
                 for d, ga in zip(flat[: len(das)], das)
@@ -474,57 +474,23 @@ class ShardedGrid:
                     flat[k + 1], target_data.dims, name=target_data.name
                 )
             if multi:
-                outs = grid.transform_multi(
+                return grid.transform_multi(
                     arrs, axis, tgt, target_data=td, **kwargs
                 )
-                return tuple(o.data for o in outs)
-            out = grid.transform(
-                arrs[0], axis, tgt, target_data=td, **kwargs
-            )
-            return out.data
+            return grid.transform(arrs[0], axis, tgt, target_data=td,
+                                  **kwargs)
+
+        def local(*flat):
+            out = local_ga(*flat)
+            return tuple(o.data for o in out) if multi else out.data
 
         in_specs, datas = self._transform_specs(das, target, target_data)
         # output dims via an abstract trace OUTSIDE shard_map — the
         # transform's output layout is deterministic in dim order (the
         # columns-first contract), so global-shape eval_shape names the
         # per-shard layout too
-        if multi:
-            abstract = jax.eval_shape(
-                lambda *f: grid.transform_multi(
-                    [
-                        GriddedArray(d, ga.dims, name=ga.name)
-                        for d, ga in zip(f[: len(das)], das)
-                    ],
-                    axis,
-                    (GriddedArray(f[len(das)], tgt_dims, name=target.name)
-                     if tgt_is_ga else f[len(das)]),
-                    target_data=(
-                        GriddedArray(f[-1], target_data.dims,
-                                     name=target_data.name)
-                        if target_data is not None else None
-                    ),
-                    **kwargs,
-                ),
-                *datas,
-            )
-            out_gas = list(abstract)
-        else:
-            abstract = jax.eval_shape(
-                lambda *f: grid.transform(
-                    GriddedArray(f[0], das[0].dims, name=das[0].name),
-                    axis,
-                    (GriddedArray(f[len(das)], tgt_dims, name=target.name)
-                     if tgt_is_ga else f[len(das)]),
-                    target_data=(
-                        GriddedArray(f[-1], target_data.dims,
-                                     name=target_data.name)
-                        if target_data is not None else None
-                    ),
-                    **kwargs,
-                ),
-                *datas,
-            )
-            out_gas = [abstract]
+        abstract = jax.eval_shape(local_ga, *datas)
+        out_gas = list(abstract) if multi else [abstract]
         out_specs = tuple(
             partition_spec(o.dims, self.dim_to_mesh_axis) for o in out_gas
         )
