@@ -547,7 +547,9 @@ class TestBatchShardedOps:
         mesh = make_mesh({"ym": 8})
         # face dim NOT sharded; y (in-face, rotation target) sharded
         sg = ShardedGrid(grid2, mesh, {"y": "ym"})
-        assert not sg._batch_only_sharded(da, "X")
+        assert not sg._batch_safe_dims(
+            da.dims, grid2.axes["X"].coords.values()
+        )
         out = sg.diff(
             shard_gridded(da, mesh, {"y": "ym"}), "X", boundary="fill"
         )
@@ -662,6 +664,55 @@ def test_custom_ufunc_batch_only_sharding():
     sg = ShardedGrid(grid2, mesh, {"z": "zm"})
     q_sh = shard_gridded(q, mesh, {"z": "zm"})
     e = grid2.apply_as_grid_ufunc(sm3, q, **kw)
+    o = sg.apply_as_grid_ufunc(sm3, q_sh, **kw)
+    assert o.dims == e.dims
+    np.testing.assert_allclose(
+        np.asarray(o.data), np.asarray(e.data), rtol=1e-12
+    )
+    cc = count_collectives(
+        lambda d: sg.apply_as_grid_ufunc(
+            sm3, GriddedArray(d, q.dims, name="q"), **kw
+        ).data,
+        q.data,
+    )
+    assert cc["total"] == 0, cc
+
+
+def test_custom_ufunc_batch_sharding_on_face_grid_without_face_mapped():
+    """Face grid, face dim NOT mesh-mapped, z batch-sharded: the custom
+    ufunc runs per shard (regression: this briefly raised the engine's
+    face-dim-required error)."""
+    from .datasets import cubed_sphere_dataset
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+    from xgcm_tpu.utils import count_collectives
+
+    n, nz = 4, 8
+    _, fc = cubed_sphere_dataset(n=n)
+    ds = Dataset(coords={
+        "x": ("x", np.arange(n) + 0.5, {"axis": "X"}),
+        "xl": ("xl", np.arange(n) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+        "y": ("y", np.arange(n) + 0.5, {"axis": "Y"}),
+        "yl": ("yl", np.arange(n) * 1.0,
+               {"axis": "Y", "c_grid_axis_shift": -0.5}),
+        "z": ("z", np.arange(nz) * 1.0, {"axis": "Z"}),
+        "face": ("face", np.arange(6)),
+    })
+    gridf = Grid(ds, face_connections=fc)
+    rng = np.random.RandomState(15)
+    q = GriddedArray(
+        rng.rand(6, nz, n, n), ("face", "z", "y", "x"), name="q"
+    )
+
+    def sm3(a):
+        return (a[..., :-2] + a[..., 1:-1] + a[..., 2:]) / 3.0
+
+    kw = dict(axis=[("X",)], signature="(X:center)->(X:center)",
+              boundary_width={"X": (1, 1)}, boundary="fill")
+    mesh = make_mesh({"zm": 8})
+    sg = ShardedGrid(gridf, mesh, {"z": "zm"})
+    q_sh = shard_gridded(q, mesh, {"z": "zm"})
+    e = gridf.apply_as_grid_ufunc(sm3, q, **kw)
     o = sg.apply_as_grid_ufunc(sm3, q_sh, **kw)
     assert o.dims == e.dims
     np.testing.assert_allclose(

@@ -188,21 +188,18 @@ class ShardedGrid:
                 out = out / self.grid.get_metric(out, mw)
         return out
 
-    def _batch_only_sharded(self, da, ax_name):
-        """True when ``da``'s mesh-mapped dims are pure batch dims for an
-        op along ``ax_name``: the op's own core dim is unsharded, and on a
-        face-connected grid neither the face dim nor any face-connected
-        in-face dim is sharded (cross-face halos rotate x into y, so a
-        sharded in-face dim is NOT local to the shard)."""
-        if isinstance(da, dict):
-            return False
+    def _batch_safe_dims(self, dims, core_dims=()):
+        """True when the mesh-mapped members of ``dims`` are pure batch
+        dims: none is a core dim of the op, and on a face-connected grid
+        none is the face dim or a face-connected in-face dim (cross-face
+        halos rotate x into y, so a sharded in-face dim is NOT local to
+        the shard)."""
         sharded = {
-            d for d in da.dims if self.dim_to_mesh_axis.get(d) is not None
+            d for d in dims if self.dim_to_mesh_axis.get(d) is not None
         }
         if not sharded:
             return False
-        ax_dims = set(self.grid.axes[ax_name].coords.values())
-        if sharded & ax_dims:
+        if sharded & set(core_dims):
             return False
         grid = self.grid
         if grid._face_connections is not None:
@@ -218,38 +215,39 @@ class ShardedGrid:
                 return False
         return True
 
-    def _batch_sharded_op(self, name, da, ax_name, **kw):
-        """Run a built-in op whose mesh-mapped dims are all batch dims
-        INSIDE shard_map: embarrassingly parallel, zero collectives, and
-        on multichip TPU any Pallas fast path applies per shard instead of
-        GSPMD gathering around an unpartitionable pallas_call.  Falls back
-        to the plain (GSPMD-correct) Grid method otherwise."""
-        if not self._batch_only_sharded(da, ax_name):
-            return getattr(self.grid, name)(da, ax_name, **kw)
+    def _batch_sharded_call(self, local_ga_fn, da):
+        """Run ``local_ga_fn(shard of da.data) -> GriddedArray`` INSIDE
+        shard_map: embarrassingly parallel, zero collectives, and on
+        multichip TPU any Pallas fast path applies per shard instead of
+        GSPMD gathering around an unpartitionable pallas_call."""
         from jax import shard_map
 
         from .mesh import partition_spec
 
-        grid = self.grid
-
-        def local(d):
-            return getattr(grid, name)(
-                GriddedArray(d, da.dims, name=da.name), ax_name, **kw
-            ).data
-
-        abstract = jax.eval_shape(
-            lambda d: getattr(grid, name)(
-                GriddedArray(d, da.dims, name=da.name), ax_name, **kw
-            ),
-            da.data,
-        )
+        abstract = jax.eval_shape(local_ga_fn, da.data)
         raw = shard_map(
-            local,
+            lambda d: local_ga_fn(d).data,
             mesh=self.mesh,
             in_specs=partition_spec(da.dims, self.dim_to_mesh_axis),
             out_specs=partition_spec(abstract.dims, self.dim_to_mesh_axis),
         )(da.data)
         return GriddedArray(raw, abstract.dims, name=abstract.name)
+
+    def _batch_sharded_op(self, name, da, ax_name, **kw):
+        """Built-in op whose mesh-mapped dims are all batch dims → run it
+        per shard via :meth:`_batch_sharded_call`; otherwise fall back to
+        the plain (GSPMD-correct) Grid method."""
+        if isinstance(da, dict) or not self._batch_safe_dims(
+            da.dims, self.grid.axes[ax_name].coords.values()
+        ):
+            return getattr(self.grid, name)(da, ax_name, **kw)
+        grid = self.grid
+        return self._batch_sharded_call(
+            lambda d: getattr(grid, name)(
+                GriddedArray(d, da.dims, name=da.name), ax_name, **kw
+            ),
+            da,
+        )
 
     def interp(self, da, axis, **kw):
         return self._op("interp", da, axis, **kw)
@@ -343,8 +341,11 @@ class ShardedGrid:
             self.grid._face_connections is not None
             and self.dim_to_mesh_axis.get(self.grid._facedim) is not None
         )
-        # batch-only sharding also routes through the engine-inside-
-        # shard_map: local pads, zero collectives, per-shard kernels
+        # batch-only sharding also runs per shard: non-face grids (and
+        # face grids whose face dim is mapped) go through the engine-
+        # inside-shard_map; a face grid WITHOUT its face dim mapped takes
+        # a plain shard_map wrapper when the sharded dims are batch-safe
+        # (the engine requires the face dim mapped), else GSPMD
         batch_sharded = any(
             self.dim_to_mesh_axis.get(d) is not None
             for a in args
@@ -353,18 +354,33 @@ class ShardedGrid:
                 "dims", (),
             )
         )
-        if any_sharded or face_sharded or batch_sharded:
+        if any_sharded or face_sharded or (
+            batch_sharded and self.grid._face_connections is None
+        ):
             return sharded_apply_as_grid_ufunc(
                 func, *args, axis=axis, grid=self.grid, signature=sig,
                 mesh=self.mesh, dim_to_mesh_axis=self.dim_to_mesh_axis,
                 boundary_width=boundary_width, boundary=boundary,
                 fill_value=fill_value, **kwargs,
             )
-        return self.grid.apply_as_grid_ufunc(
-            func, *args, axis=axis, signature=sig,
-            boundary_width=boundary_width, boundary=boundary,
-            fill_value=fill_value, **kwargs,
-        )
+        def call(*a):
+            return self.grid.apply_as_grid_ufunc(
+                func, *a, axis=axis, signature=sig,
+                boundary_width=boundary_width, boundary=boundary,
+                fill_value=fill_value, **kwargs,
+            )
+
+        if (
+            batch_sharded
+            and len(args) == 1
+            and isinstance(args[0], GriddedArray)
+            and self._batch_safe_dims(args[0].dims)
+        ):
+            da = args[0]
+            return self._batch_sharded_call(
+                lambda d: call(GriddedArray(d, da.dims, name=da.name)), da
+            )
+        return call(*args)
 
     def apply_many(self, op_specs):
         """Run a batch of grid-ufunc applications in ONE shard_map with
