@@ -19,6 +19,16 @@ AXIS_SHIFT_CENTER = 0
 VALID_AXIS_SHIFTS = [AXIS_SHIFT_LEFT, AXIS_SHIFT_RIGHT, AXIS_SHIFT_CENTER]
 
 
+def assert_valid_comodo(ds: Dataset):
+    """Verify that the dataset meets COMODO conventions.
+
+    Mirrors the reference's placeholder (comodo.py:11-19, an unimplemented
+    TODO there as well): COMODO has no formal validator; parsing errors
+    surface from the position/coord extraction below.
+    """
+    # parity with the reference: intentionally a no-op
+
+
 def get_all_axes(ds: Dataset):
     axes = set()
     for d in ds.dims:

@@ -11,7 +11,7 @@ communication budgets, e.g.::
 
     n = count_collectives(lambda u, v: sgrid.diff(v, "X") - sgrid.diff(u, "Y"),
                           u.data, v.data)
-    assert n["total"] <= 4      # one ring exchange (2 ppermutes) per diff
+    assert n["total"] <= 2      # one one-sided ring exchange per diff
 
 Used by tests/test_apply_many.py to assert the multi-op API matches the
 hand-fused diagnostics program's collective count.
