@@ -159,3 +159,43 @@ def test_apply_many_sharded_z_on_face_grid():
     )
     _match(outs[0], e0, rtol=1e-12)
     _match(outs[1], e1, rtol=1e-12)
+
+
+def test_sharded_z_without_face_mapping():
+    """Face dim NOT mesh-mapped, Z (non-connected) sharded: faces are
+    local to every shard, so the ring route serves the Z halos."""
+    ds, fc = _cs_with_z()
+    grid = Grid(ds, face_connections=fc)
+    da = ds["data_c"]
+    mesh = make_mesh({"zm": 8}, devices=jax.devices()[:8])
+    sg = ShardedGrid(grid, mesh, {"z": "zm"})
+    kw = dict(
+        axis=[("Z",)],
+        signature="(Z:center)->(Z:center)",
+        boundary_width={"Z": (1, 1)},
+        boundary="extend",
+    )
+    sh = shard_gridded(da, mesh, {"z": "zm"})
+    s = sg.apply_as_grid_ufunc(smooth3, sh, **kw)
+    e = grid.apply_as_grid_ufunc(smooth3, da, **kw)
+    _match(s, e, rtol=1e-12)
+
+
+def test_sharded_inface_without_face_mapping_raises_clearly():
+    """Direct engine use with a sharded face-connected dim and no face
+    mapping gets the explicit error (the ShardedGrid API falls back to
+    GSPMD instead — tests/test_fuzz_sharded_routing.py)."""
+    from xgcm_tpu.parallel.sharded_ufunc import sharded_apply_as_grid_ufunc
+
+    ds, fc = _cs_with_z()
+    grid = Grid(ds, face_connections=fc)
+    da = ds["data_c"]
+    mesh = make_mesh({"ym": 8}, devices=jax.devices()[:8])
+    sh = shard_gridded(da, mesh, {"y": "ym"})
+    with pytest.raises(NotImplementedError, match="face-connected dims"):
+        sharded_apply_as_grid_ufunc(
+            smooth3, sh, axis=[("Y",)], grid=grid,
+            signature="(Y:center)->(Y:center)",
+            mesh=mesh, dim_to_mesh_axis={"y": "ym"},
+            boundary_width={"Y": (1, 1)}, boundary="fill",
+        )

@@ -307,3 +307,40 @@ class TestWideHalos:
         s = sgrid.apply_as_grid_ufunc(very_wide, sgrid.shard(da), **kw)
         e = grid.apply_as_grid_ufunc(very_wide, da, **kw)
         _assert_matches(s, e)
+
+
+class TestRingHaloSizeOneShards:
+    """ring_halo_pad on size-1 shards: the global edge PAIR spans two
+    shards, which the per-shard edge slice silently truncated (regression
+    — 'extend' halos came back empty and downstream ufuncs shrank)."""
+
+    @pytest.mark.parametrize("boundary,expect", [
+        ("extend", [0.0, 0.0, 1.0]),
+        ("extrapolate", [-1.0, 0.0, 1.0]),
+        ("fill", [-7.0, 0.0, 1.0]),
+        ("periodic", [7.0, 0.0, 1.0]),
+    ])
+    def test_first_shard_halo(self, boundary, expect):
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from xgcm_tpu.parallel import make_mesh
+        from xgcm_tpu.parallel.halo import ring_halo_pad
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh({"zm": 8})
+        x = jnp.arange(8.0)
+
+        def body(d):
+            return ring_halo_pad(d, 0, (1, 1), "zm", boundary, -7.0)
+
+        out = np.asarray(
+            shard_map(body, mesh=mesh, in_specs=P("zm"),
+                      out_specs=P("zm"))(x)
+        )
+        assert out.shape == (24,)
+        np.testing.assert_allclose(out[:3], expect)
+        # interior shard 3 sees true neighbours either side
+        np.testing.assert_allclose(out[9:12], [2.0, 3.0, 4.0])

@@ -123,10 +123,19 @@ def ring_halo_pad(
         return shape
 
     def edge_values():
-        # global first/second and last/second-to-last rows, on every shard
-        firsts = lax.all_gather(take(x, slice(0, 2)), mesh_axis, axis=0)
-        lasts = lax.all_gather(take(x, slice(-2, None)), mesh_axis, axis=0)
-        return firsts[0], lasts[-1]  # (2, ...) each along `axis`
+        # global first/second and last/second-to-last rows, on every shard.
+        # Gather min(2, n_local) rows per shard TILED along `axis` (global
+        # order) and slice the true global edge pair — on size-1 shards the
+        # two edge rows span two shards, so a per-shard [0:2] slice cannot
+        # supply them (it silently returned empty slices downstream).
+        k = min(2, n_local)
+        firsts = lax.all_gather(
+            take(x, slice(0, k)), mesh_axis, axis=axis, tiled=True
+        )
+        lasts = lax.all_gather(
+            take(x, slice(-k, None)), mesh_axis, axis=axis, tiled=True
+        )
+        return take(firsts, slice(0, 2)), take(lasts, slice(-2, None))
 
     need_edges = boundary in ("extend", "extrapolate")
     if need_edges:

@@ -165,8 +165,10 @@ class ShardedGrid:
                         interior_mesh_axis=interior_y,
                         interior_mesh_axis_x=interior_x,
                     )
-            elif not isinstance(out, dict) and self._core_dim_sharded(
-                out, ax_name, ax_to
+            elif (
+                not isinstance(out, dict)
+                and self._core_dim_sharded(out, ax_name, ax_to)
+                and not self._face_axis_without_face_mapping(ax_name)
             ):
                 if name == "cumsum":
                     out = sharded_cumsum(
@@ -187,6 +189,23 @@ class ShardedGrid:
             if mw:
                 out = out / self.grid.get_metric(out, mw)
         return out
+
+    def _face_axis_without_face_mapping(self, ax_name):
+        """True when ``ax_name`` is a face-connected axis but the face dim
+        is NOT mesh-mapped: its rotated cross-face halos are not
+        shard-local, so explicit-collective routes cannot serve a sharded
+        core dim there — the GSPMD fall-through stays correct instead."""
+        grid = self.grid
+        if grid._face_connections is None:
+            return False
+        if self.dim_to_mesh_axis.get(grid._facedim) is not None:
+            return False
+        conn_axes = {
+            a
+            for links in grid._face_connections[grid._facedim].values()
+            for a in links
+        }
+        return ax_name in conn_axes
 
     def _batch_safe_dims(self, dims, core_dims=()):
         """True when the mesh-mapped members of ``dims`` are pure batch
@@ -354,8 +373,25 @@ class ShardedGrid:
                 "dims", (),
             )
         )
-        if any_sharded or face_sharded or (
-            batch_sharded and self.grid._face_connections is None
+        # a sharded face-connected core dim WITHOUT the face dim mapped has
+        # no explicit-collective route (rotated cross-face halos are not
+        # shard-local) — the GSPMD fall-through below stays correct
+        face_unroutable = (
+            not face_sharded
+            and self.grid._face_connections is not None
+            and any(
+                self._face_axis_without_face_mapping(n)
+                and self.dim_to_mesh_axis.get(
+                    self.grid.axes[n].coords.get(p)
+                ) is not None
+                for arg_ns, arg_ps in zip(axis, sig.in_ax_positions)
+                for n, p in zip(arg_ns, arg_ps)
+            )
+        )
+        if not face_unroutable and (
+            any_sharded or face_sharded or (
+                batch_sharded and self.grid._face_connections is None
+            )
         ):
             return sharded_apply_as_grid_ufunc(
                 func, *args, axis=axis, grid=self.grid, signature=sig,

@@ -259,12 +259,37 @@ def sharded_apply_as_grid_ufunc(
     """
     face_setup = None
     if grid._face_connections is not None:
-        _first = args[0] if args else None
-        _first = _maybe_unpack_vector_component(_first)
-        face_setup = _FaceSetup(
-            grid, mesh, dim_to_mesh_axis,
-            first_arg_dims=tuple(getattr(_first, "dims", ())),
-        )
+        if dim_to_mesh_axis.get(grid._facedim) is not None:
+            _first = args[0] if args else None
+            _first = _maybe_unpack_vector_component(_first)
+            face_setup = _FaceSetup(
+                grid, mesh, dim_to_mesh_axis,
+                first_arg_dims=tuple(getattr(_first, "dims", ())),
+            )
+        else:
+            # face dim local on every shard: connected-axis halos stay
+            # intact locally, so the plain ring route serves sharded
+            # NON-connected axes (e.g. Z) — but a sharded face-connected
+            # dim would need rotated cross-face strips from other shards
+            conn_dims = {
+                d
+                for links in grid._face_connections[grid._facedim].values()
+                for a in links
+                for d in grid.axes[a].coords.values()
+            }
+            bad = sorted(conn_dims & set(dim_to_mesh_axis))
+            if bad:
+                raise NotImplementedError(
+                    f"sharding the face-connected dims {bad} requires the "
+                    f"face dim {grid._facedim!r} mapped to a mesh axis too "
+                    "(rotated cross-face halos are not shard-local); or "
+                    "use the plain Grid op under jit (GSPMD)"
+                )
+            if any(isinstance(a, dict) for a in args):
+                raise NotImplementedError(
+                    "vector components on a face-connected grid require "
+                    "the face dim mesh-mapped"
+                )
     if not pad_before_func:
         raise NotImplementedError(
             "pad_before_func=False (cumsum-style) ops cannot use halo "
