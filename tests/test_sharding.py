@@ -65,8 +65,14 @@ def test_sharded_op_matches_single_device(grid, op, boundary):
 
 
 @pytest.mark.parametrize("frm_to", [("center", "left"), ("center", "right")])
-@pytest.mark.parametrize("boundary", ["fill", "extend"])
+@pytest.mark.parametrize(
+    "boundary", ["fill", "extend", "periodic", "extrapolate"]
+)
 def test_sharded_cumsum_matches(grid, frm_to, boundary):
+    # regression: the periodic wrap of the shifting pairs must read the
+    # TRIMMED cumsum's last element (cs[-2]), like the reference's
+    # trim-before-pad order — the ring halo of the untrimmed data
+    # wrapped cs[-1]
     frm, to = frm_to
     mesh = make_mesh({"x": 8})
     a = np.random.rand(NY, N)

@@ -354,6 +354,31 @@ def sharded_cumsum(
         if shift:
             # result = [bc-element, global_cumsum[:-1]]: shift right by one
             padded = ring_halo_pad(data, axis_num, (1, 0), mesh_axis, bc, fv)
+            if bc in ("periodic", None):
+                # the reference TRIMS the last cumsum element before
+                # padding (grid.py:1131-1154), so the periodic wrap reads
+                # the trimmed array's last value cs[-2] = S - x_last — the
+                # ring halo of the untrimmed data wrapped cs[-1] instead
+                last_in = lax.all_gather(
+                    lax.slice_in_dim(
+                        block, block.shape[axis_num] - 1,
+                        block.shape[axis_num], axis=axis_num,
+                    ),
+                    mesh_axis,
+                )[-1]
+                wrap = jnp.sum(totals, axis=0) - last_in
+                halo = lax.slice_in_dim(padded, 0, 1, axis=axis_num)
+                halo = jnp.where(idx == 0, wrap, halo)
+                padded = jnp.concatenate(
+                    [
+                        halo,
+                        lax.slice_in_dim(
+                            padded, 1, padded.shape[axis_num],
+                            axis=axis_num,
+                        ),
+                    ],
+                    axis=axis_num,
+                )
             data = lax.slice_in_dim(
                 padded, 0, padded.shape[axis_num] - 1, axis=axis_num
             )
