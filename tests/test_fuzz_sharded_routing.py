@@ -101,3 +101,27 @@ def test_face_grid_routing_fuzz(op, mapping):
         np.testing.assert_allclose(
             np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
         )
+
+
+@pytest.mark.parametrize("mapping_idx", [0, 1])
+def test_face_grid_extrapolate_boundary(mapping_idx):
+    """extrapolate BC through the face-sharded routes (face-only and
+    face x interior) — the one BC mode the face tests did not sweep."""
+    mapping, meshspec = [
+        ({"face": "f"}, {"f": 6}),
+        ({"face": "f", "y": "ym"}, {"f": 2, "ym": 4}),
+    ][mapping_idx]
+    ds, fc = cubed_sphere_dataset(n=8)
+    grid = Grid(ds, face_connections=fc)
+    da = ds["data_c"]
+    mesh = make_mesh(meshspec)
+    sg = ShardedGrid(grid, mesh, mapping)
+    sh = shard_gridded(da, mesh, {d: m for d, m in mapping.items()
+                                  if d in da.dims})
+    for op in ("diff", "interp"):
+        for axis in ("X", "Y"):
+            expected = getattr(grid, op)(da, axis, boundary="extrapolate")
+            out = getattr(sg, op)(sh, axis, boundary="extrapolate")
+            np.testing.assert_allclose(
+                np.asarray(out.data), np.asarray(expected.data), rtol=1e-12
+            )
