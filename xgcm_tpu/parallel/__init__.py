@@ -1,5 +1,8 @@
 from .face_sharded import (  # noqa: F401
+    FaceAxisRoles,
     compile_face_plan,
+    face_axis_roles,
+    face_halo_pad_widths,
     sharded_face_cumsum,
     sharded_face_op,
 )
