@@ -215,8 +215,26 @@ def ring_halo_pad(
     return jnp.concatenate(parts, axis=axis)
 
 
+def _face_connected_axis(grid: Grid, axis_name: str) -> bool:
+    if grid._face_connections is None:
+        return False
+    return axis_name in {
+        a
+        for links in grid._face_connections[grid._facedim].values()
+        for a in links
+    }
+
+
 def _resolve(grid: Grid, da: GriddedArray, axis_name: str, to, boundary, fill_value):
     ax = grid.axes[axis_name]
+    if _face_connected_axis(grid, axis_name):
+        # a plain ring halo would wrap the LOCAL grid BC instead of the
+        # rotated/flipped cross-face strips — silently wrong, so refuse
+        raise NotImplementedError(
+            f"axis {axis_name!r} is face-connected; ring halos cannot "
+            "serve its cross-face boundaries — use ShardedGrid (routes "
+            "through the face exchange plan) or sharded_face_op directly"
+        )
     from_pos, dim = ax._get_position_name(da)
     to_pos = to or ax.default_shifts[from_pos]
     if (from_pos, to_pos) not in _SHARDABLE_WIDTHS:
@@ -307,6 +325,11 @@ def sharded_cumsum(
     trim/pad (reference grid.py:1131-1154) becomes a one-element halo shift.
     The reference could not parallelise cumsum at all (grid.py:682-684).
     """
+    if _face_connected_axis(grid, axis_name):
+        raise NotImplementedError(
+            f"axis {axis_name!r} is face-connected; use ShardedGrid.cumsum "
+            "(routes through the face plan) or sharded_face_cumsum directly"
+        )
     ax = grid.axes[axis_name]
     from_pos, dim = ax._get_position_name(da)
     to_pos = to or ax.default_shifts[from_pos]
