@@ -53,6 +53,12 @@ def sharded_cgrid_diagnostics(
     ke at the centers, each equal to the corresponding chain of
     ShardedGrid/Grid ops.
     """
+    if grid._face_connections is not None:
+        raise NotImplementedError(
+            "sharded_cgrid_diagnostics uses ring halos, which cannot serve "
+            "face-connected boundaries; batch the ops through "
+            "ShardedGrid.apply_many on face grids instead"
+        )
     ax_x = grid.axes[x_axis]
     ax_y = grid.axes[y_axis]
     u_xpos, u_xdim = ax_x._get_position_name(u)
