@@ -339,3 +339,41 @@ class TestNameBasedSpecs:
         sg = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
         with pytest.raises(ValueError, match="cumsum"):
             sg.apply_many([dict(op="cumsum", args=sg.shard(u), axis="X")])
+
+
+def test_apply_many_face_grid_z_batch_without_face_mapping():
+    """apply_many on a face grid with only a NON-connected dim sharded
+    (face dim unmapped) takes the ring route — faces are shard-local."""
+    import numpy as _np
+
+    n, nz = 8, 8
+    _, fc = cubed_sphere_dataset(n=n)
+    ds = Dataset(coords={
+        "x": ("x", _np.arange(n) + 0.5, {"axis": "X"}),
+        "xl": ("xl", _np.arange(n) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+        "y": ("y", _np.arange(n) + 0.5, {"axis": "Y"}),
+        "yl": ("yl", _np.arange(n) * 1.0,
+               {"axis": "Y", "c_grid_axis_shift": -0.5}),
+        "z": ("z", _np.arange(nz) * 1.0, {"axis": "Z"}),
+        "face": ("face", _np.arange(6)),
+    })
+    grid = Grid(ds, face_connections=fc)
+    rng = _np.random.RandomState(17)
+    q = GriddedArray(rng.rand(6, nz, n, n), ("face", "z", "y", "x"),
+                     name="q")
+    mesh = make_mesh({"zm": 8})
+    sg = ShardedGrid(grid, mesh, {"z": "zm"})
+    sh = shard_gridded(q, mesh, {"z": "zm"})
+    d_out, i_out = sg.apply_many([
+        dict(op="diff", args=sh, axis="X", boundary="fill"),
+        dict(op="interp", args=sh, axis="Y", boundary="fill"),
+    ])
+    np.testing.assert_allclose(
+        np.asarray(d_out.data),
+        np.asarray(grid.diff(q, "X", boundary="fill").data), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(i_out.data),
+        np.asarray(grid.interp(q, "Y", boundary="fill").data), rtol=1e-12,
+    )

@@ -197,10 +197,40 @@ def sharded_apply_many(
         first = _maybe_unpack_vector_component(a0)
         break
     if grid._face_connections is not None:
-        face_setup = _FaceSetup(
-            grid, mesh, dim_to_mesh_axis,
-            first_arg_dims=tuple(getattr(first, "dims", ())),
-        )
+        if dim_to_mesh_axis.get(grid._facedim) is not None:
+            face_setup = _FaceSetup(
+                grid, mesh, dim_to_mesh_axis,
+                first_arg_dims=tuple(getattr(first, "dims", ())),
+            )
+        else:
+            # face dim local on every shard: the ring route below serves
+            # sharded NON-connected axes; a sharded face-connected dim has
+            # no shard-local halo (same rule as the single-op engine)
+            conn_dims = {
+                d
+                for links in grid._face_connections[grid._facedim].values()
+                for a in links
+                for d in grid.axes[a].coords.values()
+            }
+            bad = sorted(conn_dims & set(dim_to_mesh_axis))
+            if bad:
+                raise NotImplementedError(
+                    f"sharding the face-connected dims {bad} requires the "
+                    f"face dim {grid._facedim!r} mapped to a mesh axis too"
+                )
+            if any(
+                isinstance(
+                    s["args"][0]
+                    if isinstance(s["args"], (list, tuple))
+                    else s["args"],
+                    dict,
+                )
+                for s in op_specs
+            ):
+                raise NotImplementedError(
+                    "vector components on a face-connected grid require "
+                    "the face dim mesh-mapped"
+                )
 
     plans = [_OpPlan(spec, grid) for spec in op_specs]
     axis_to_mesh_axis = _sharded_axes_of(grid, dim_to_mesh_axis)
@@ -220,7 +250,12 @@ def sharded_apply_many(
                         f"changes the array length"
                     )
 
-    local_grid = _local_grid(grid, mesh, axis_to_mesh_axis)
+    local_grid = _local_grid(
+        grid, mesh, axis_to_mesh_axis,
+        # faces-local route: shards hold whole faces, so local
+        # pads of connected axes must assemble cross-face halos
+        keep_face_connections=face_setup is None,
+    )
     sharded_dims = {
         dim: axis_to_mesh_axis[name]
         for name, ax in grid.axes.items()

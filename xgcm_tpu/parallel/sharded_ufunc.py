@@ -83,14 +83,19 @@ def _sharded_axes_of(
     return out
 
 
-def _local_grid(grid: Grid, mesh: Mesh, axis_to_mesh_axis) -> Grid:
+def _local_grid(
+    grid: Grid, mesh: Mesh, axis_to_mesh_axis, keep_face_connections=False
+) -> Grid:
     """A Grid whose sharded axes carry per-shard (local) dim sizes.
 
     Only length-preserving positions are kept on sharded axes.  Coordinate
     *values* are irrelevant inside the kernel (GriddedArray is label-free);
     only dim sizes matter for the engine's bookkeeping and output checks.
-    Face connections are intentionally NOT carried over: the sharded pad
+    Face connections are NOT carried over by default: the face-sharded pad
     hook realises them with collectives before the engine's kernel runs.
+    ``keep_face_connections=True`` is for the faces-local route (face dim
+    NOT mesh-mapped): every shard holds whole faces, so the LOCAL pads of
+    face-connected axes must assemble real cross-face halos.
     """
     coords_spec = {}
     ds_coords = {}
@@ -118,6 +123,13 @@ def _local_grid(grid: Grid, mesh: Mesh, axis_to_mesh_axis) -> Grid:
         boundary[name] = ax.boundary
         fill_value[name] = ax.fill_value
         default_shifts[name] = dict(ax.default_shifts)
+    face_connections = None
+    if keep_face_connections and grid._face_connections is not None:
+        facedim = grid._facedim
+        ds_coords[facedim] = np.arange(
+            grid._ds.dims[facedim], dtype=np.float64
+        )
+        face_connections = grid._face_connections
     ds = Dataset(coords={d: (d, v) for d, v in ds_coords.items()})
     return Grid(
         ds,
@@ -125,6 +137,7 @@ def _local_grid(grid: Grid, mesh: Mesh, axis_to_mesh_axis) -> Grid:
         boundary=boundary,
         fill_value=fill_value,
         default_shifts=default_shifts,
+        face_connections=face_connections,
         autoparse_metadata=False,
     )
 
@@ -361,7 +374,12 @@ def sharded_apply_as_grid_ufunc(
     bc = grid._complete_user_kwargs_using_axis_defaults(boundary, "boundary")
     fv = grid._complete_user_kwargs_using_axis_defaults(fill_value, "fill_value")
 
-    local_grid = _local_grid(grid, mesh, axis_to_mesh_axis)
+    local_grid = _local_grid(
+        grid, mesh, axis_to_mesh_axis,
+        # faces-local route: shards hold whole faces, so local
+        # pads of connected axes must assemble cross-face halos
+        keep_face_connections=face_setup is None,
+    )
     sharded_dims = {
         dim: axis_to_mesh_axis[name]
         for name, ax in grid.axes.items()
