@@ -199,3 +199,25 @@ def test_sharded_inface_without_face_mapping_raises_clearly():
             mesh=mesh, dim_to_mesh_axis={"y": "ym"},
             boundary_width={"Y": (1, 1)}, boundary="fill",
         )
+
+
+def test_sharded_z_with_face_axis_widths_without_face_mapping():
+    """Face dim unmapped, Z core-sharded, widths on BOTH X (face-connected,
+    local) and Z (ring): the faces-local engine route must assemble real
+    cross-face halos for X (regression: the per-shard grid dropped the
+    connection table, silently substituting the basic BC at face edges)."""
+    ds, fc = _cs_with_z()
+    grid = Grid(ds, face_connections=fc)
+    da = ds["data_c"]
+    mesh = make_mesh({"zm": 8}, devices=jax.devices()[:8])
+    sg = ShardedGrid(grid, mesh, {"z": "zm"})
+    kw = dict(
+        axis=[("X", "Z")],
+        signature="(X:center,Z:center)->(X:center,Z:center)",
+        boundary_width={"X": (1, 1), "Z": (1, 1)},
+        boundary="fill",
+    )
+    sh = shard_gridded(da, mesh, {"z": "zm"})
+    s = sg.apply_as_grid_ufunc(cross_xz, sh, **kw)
+    e = grid.apply_as_grid_ufunc(cross_xz, da, **kw)
+    _match(s, e, rtol=1e-12)
