@@ -1,0 +1,92 @@
+"""A minimal duck-typed stand-in for xarray, used ONLY by the adapter tests.
+
+The build image has no xarray, so tests/test_xarray_adapter.py skips
+entirely there.  This stub implements exactly the surface the adapter
+consumes (``Dataset.coords/data_vars/sizes/attrs``, ``DataArray.data/dims/
+name/attrs/assign_coords``) so the bridge logic — including the coordinate
+reattachment rule ported from reference grid_ufunc.py:1195-1266 — runs in
+CI regardless.  tests/test_xarray_adapter_stub.py installs this module as
+``sys.modules["xarray"]`` and reloads the adapter around each test.
+
+Not a general xarray replacement: no indexing, alignment, or lazy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["DataArray", "Dataset"]
+
+
+def _as_dims(dims):
+    if dims is None:
+        return None
+    if isinstance(dims, str):
+        return (dims,)
+    return tuple(dims)
+
+
+class DataArray:
+    def __init__(self, data, dims=None, name=None, attrs=None, coords=None):
+        self.data = np.asarray(data)
+        dims = _as_dims(dims)
+        if dims is None:
+            dims = tuple(f"dim_{i}" for i in range(self.data.ndim))
+        if len(dims) != self.data.ndim:
+            raise ValueError(f"dims {dims} do not match shape {self.data.shape}")
+        self.dims = dims
+        self.name = name
+        self.attrs = dict(attrs) if attrs else {}
+        self.coords = dict(coords) if coords else {}
+
+    @property
+    def values(self):
+        return self.data
+
+    def assign_coords(self, mapping):
+        out = DataArray(
+            self.data, dims=self.dims, name=self.name, attrs=self.attrs,
+            coords=self.coords,
+        )
+        out.coords.update(mapping)
+        return out
+
+    def __getitem__(self, key):
+        return self.coords[key]
+
+
+def _coerce_variable(name, value):
+    """Accept a DataArray or the xarray tuple forms (dims, data) /
+    (dims, data, attrs)."""
+    if isinstance(value, DataArray):
+        return DataArray(
+            value.data, dims=value.dims, name=name, attrs=value.attrs
+        )
+    dims, data, *rest = value
+    attrs = rest[0] if rest else None
+    return DataArray(data, dims=_as_dims(dims), name=name, attrs=attrs)
+
+
+class Dataset:
+    def __init__(self, data_vars=None, coords=None, attrs=None):
+        self.data_vars = {
+            k: _coerce_variable(k, v) for k, v in (data_vars or {}).items()
+        }
+        self.coords = {
+            k: _coerce_variable(k, v) for k, v in (coords or {}).items()
+        }
+        self.attrs = dict(attrs) if attrs else {}
+        sizes = {}
+        for var in list(self.data_vars.values()) + list(self.coords.values()):
+            for d, n in zip(var.dims, var.data.shape):
+                if sizes.setdefault(d, n) != n:
+                    raise ValueError(f"conflicting sizes for dim {d!r}")
+        self.sizes = sizes
+
+    def __getitem__(self, key):
+        if key in self.data_vars:
+            return self.data_vars[key]
+        return self.coords[key]
+
+    def __contains__(self, key):
+        return key in self.data_vars or key in self.coords

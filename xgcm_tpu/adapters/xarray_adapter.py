@@ -28,6 +28,7 @@ except ImportError:  # pragma: no cover - xarray not present in this image
 __all__ = [
     "HAS_XARRAY",
     "maybe_from_xarray",
+    "as_native",
     "dataset_from_xarray",
     "dataarray_from_xarray",
     "to_xarray",
@@ -39,6 +40,19 @@ def maybe_from_xarray(obj: Any) -> Optional[Dataset]:
     if HAS_XARRAY and isinstance(obj, xr.Dataset):
         return dataset_from_xarray(obj)
     return None
+
+
+def as_native(obj: Any) -> Any:
+    """Convert an ``xarray.DataArray`` to :class:`GriddedArray`; return
+    anything else unchanged.
+
+    Op entry points call this so reference users can pass their xarray
+    objects straight into ``grid.diff(da, ...)`` etc. (the reference
+    consumes DataArrays everywhere — grid.py:603-706); when xarray is not
+    installed this is a no-op isinstance miss."""
+    if HAS_XARRAY and isinstance(obj, xr.DataArray):
+        return dataarray_from_xarray(obj)
+    return obj
 
 
 def dataarray_from_xarray(da: "xr.DataArray") -> GriddedArray:

@@ -436,6 +436,10 @@ class Grid:
     def interp_like(self, array, like, boundary=None, fill_value=None):
         """Interpolate `array` to the grid positions of `like`
         (reference grid.py:540-591)."""
+        from ..adapters.xarray_adapter import as_native
+
+        array = as_native(array)
+        like = as_native(like)
         interp_axes = []
         for axname, axis in self.axes.items():
             try:
@@ -491,6 +495,12 @@ class Grid:
             axis = [axis]
 
         data = _check_data_input(data, self)
+        if isinstance(other_component, dict):
+            from ..adapters.xarray_adapter import as_native
+
+            other_component = {
+                k: as_native(v) for k, v in other_component.items()
+            }
         data_unpacked = _maybe_unpack_vector_component(data)
 
         to = self._map_kwargs_over_axes(to)
@@ -797,6 +807,9 @@ class Grid:
         Computed with ``jnp.cumsum`` (XLA parallel scan) followed by the
         position-dependent trim/pad table; the dask-era restriction that
         cumsum cannot be chunked does not apply here."""
+        from ..adapters.xarray_adapter import as_native
+
+        da = as_native(da)
         if isinstance(axis, str):
             axis = [axis]
         to = self._map_kwargs_over_axes(to)
@@ -877,6 +890,9 @@ class Grid:
             category=DeprecationWarning,
         )
 
+        from ..adapters.xarray_adapter import as_native
+
+        vector = {k: as_native(v) for k, v in vector.items()}
         to = kwargs.get("to", "center")
         if to != "center":
             raise NotImplementedError(
@@ -927,6 +943,9 @@ class Grid:
 
         NaNs in floating data are skipped, matching xarray's default
         ``skipna=True`` sum semantics."""
+        from ..adapters.xarray_adapter import as_native
+
+        da = as_native(da)
         weight = self.get_metric(da, axis)
         weighted = da * weight
         dim = self._get_dims_from_axis(da, axis)
@@ -936,6 +955,9 @@ class Grid:
 
     def cumint(self, da, axis, **kwargs):
         """cumsum(da * metric) (reference grid.py:1381-1426)."""
+        from ..adapters.xarray_adapter import as_native
+
+        da = as_native(da)
         weight = self.get_metric(da, axis)
         weighted = da * weight
         return self.cumsum(weighted, axis, **kwargs)
@@ -943,6 +965,9 @@ class Grid:
     def average(self, da, axis, **kwargs):
         """NaN-aware weighted mean, matching xarray's ``weighted.mean``
         semantics (reference grid.py:1428-1451)."""
+        from ..adapters.xarray_adapter import as_native
+
+        da = as_native(da)
         weight = self.get_metric(da, axis)
         dims = self._get_dims_from_axis(da, axis)
         nan_mask = jnp.isnan(da.data)
@@ -956,8 +981,13 @@ class Grid:
     def transform(self, da, axis, target, **kwargs):
         """Vertical coordinate transform: linear / log / conservative remap
         (reference grid.py:1453-1542 -> transform.py:279-512)."""
+        from ..adapters.xarray_adapter import as_native
         from ..ops.transform import transform
 
+        da = as_native(da)
+        target = as_native(target)
+        if "target_data" in kwargs:
+            kwargs["target_data"] = as_native(kwargs["target_data"])
         return transform(self, axis, da, target, **kwargs)
 
     def transform_multi(self, das, axis, target, **kwargs):
@@ -967,8 +997,13 @@ class Grid:
         membership selection across variables (beyond-reference; the
         density-space analysis pattern of remapping T, S, u, v onto the
         same sigma surfaces)."""
+        from ..adapters.xarray_adapter import as_native
         from ..ops.transform import transform_multi
 
+        das = [as_native(d) for d in das]
+        target = as_native(target)
+        if "target_data" in kwargs:
+            kwargs["target_data"] = as_native(kwargs["target_data"])
         return transform_multi(self, axis, das, target, **kwargs)
 
 

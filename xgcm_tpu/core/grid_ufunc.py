@@ -56,16 +56,24 @@ def _maybe_unpack_vector_component(data: DataInput) -> GriddedArray:
 
 
 def _check_data_input(data: DataInput, grid: "Grid") -> DataInput:
-    """Validate a scalar or single-component-vector input
+    """Validate a scalar or single-component-vector input, converting
+    xarray DataArrays to native containers when xarray is installed
     (reference grid_ufunc.py:107-142)."""
     if data is None:
         return data
+    if not isinstance(data, (GriddedArray, dict)):
+        from ..adapters.xarray_adapter import as_native
+
+        data = as_native(data)
     if not isinstance(data, (GriddedArray, dict)):
         raise TypeError(
             "All data arguments must be either a GriddedArray or Dictionary. "
             f"Got {type(data)}."
         )
     if isinstance(data, dict):
+        from ..adapters.xarray_adapter import as_native
+
+        data = {k: as_native(v) for k, v in data.items()}
         if len(data) != 1:
             raise ValueError(
                 "Vector components provided as dictionaries should contain "
