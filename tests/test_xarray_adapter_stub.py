@@ -178,6 +178,26 @@ def test_transform_accepts_dataarrays(xr):
     )
 
 
+def test_sharded_grid_accepts_dataarrays(xds, xr):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from xgcm_tpu.adapters.xarray_adapter import dataarray_from_xarray
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh
+
+    grid = Grid(xds)
+    mesh = make_mesh({"xm": 4, "ym": 2})
+    sg = ShardedGrid(
+        grid, mesh, {"XC": "xm", "XG": "xm", "YC": "ym", "YG": "ym"}
+    )
+    implicit = sg.diff(xds["temp"], "X")
+    explicit = sg.diff(dataarray_from_xarray(xds["temp"]), "X")
+    np.testing.assert_allclose(
+        np.asarray(implicit.data), np.asarray(explicit.data)
+    )
+
+
 def test_to_xarray_reattaches_grid_coords(xds, xr):
     from xgcm_tpu.adapters.xarray_adapter import to_xarray
 

@@ -129,8 +129,16 @@ class ShardedGrid:
         self, name, da, axis, to=None, boundary=None, fill_value=None,
         metric_weighted=None, **kw,
     ):
+        from ..adapters.xarray_adapter import as_native
         from .face_sharded import sharded_face_cumsum, sharded_face_op
 
+        da = as_native(da)
+        if isinstance(da, dict):
+            da = {k: as_native(v) for k, v in da.items()}
+        if isinstance(kw.get("other_component"), dict):
+            kw["other_component"] = {
+                k: as_native(v) for k, v in kw["other_component"].items()
+            }
         if isinstance(axis, str):
             axis = [axis]
         to = self.grid._map_kwargs_over_axes(to)
@@ -313,6 +321,10 @@ class ShardedGrid:
         grid.py:540-591, same default-shift semantics as Grid.interp_like);
         interps route through :meth:`interp` so sharded core dims take the
         explicit-collective path."""
+        from ..adapters.xarray_adapter import as_native
+
+        array = as_native(array)
+        like = as_native(like)
         interp_axes = []
         for axname, ax in self.grid.axes.items():
             try:
@@ -565,6 +577,11 @@ class ShardedGrid:
         test_transform.py::test_chunking_dim_error).  Mesh-mapped column
         dims run per shard inside shard_map with zero collectives — on
         multichip TPU the fused Pallas kernel applies per shard."""
+        from ..adapters.xarray_adapter import as_native
+
+        da = as_native(da)
+        target = as_native(target)
+        target_data = as_native(target_data)
         self._check_transform_dim(da, axis)
         if any(self.dim_to_mesh_axis.get(d) is not None for d in da.dims):
             return self._sharded_transform(
@@ -578,7 +595,11 @@ class ShardedGrid:
         """Multi-variable vertical transform (same sharding rules as
         :meth:`transform`; the fused shared-selection kernel applies per
         shard)."""
-        das = list(das)
+        from ..adapters.xarray_adapter import as_native
+
+        das = [as_native(d) for d in das]
+        target = as_native(target)
+        target_data = as_native(target_data)
         for da in das:
             self._check_transform_dim(da, axis)
         if das and any(
