@@ -197,6 +197,11 @@ def test_sharded_grid_accepts_dataarrays(xds, xr):
         np.asarray(implicit.data), np.asarray(explicit.data)
     )
 
+    [am] = sg.apply_many([dict(op="diff", args=xds["temp"], axis="X")])
+    np.testing.assert_allclose(
+        np.asarray(am.data), np.asarray(explicit.data)
+    )
+
 
 def test_to_xarray_reattaches_grid_coords(xds, xr):
     from xgcm_tpu.adapters.xarray_adapter import to_xarray

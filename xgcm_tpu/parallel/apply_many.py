@@ -51,6 +51,25 @@ from .sharded_ufunc import (
 __all__ = ["sharded_apply_many"]
 
 
+def _convert_spec_arrays(spec: Mapping[str, Any]) -> Mapping[str, Any]:
+    """Convert xarray DataArrays in a spec's ``args``/``other_component``
+    to native containers (same entry-point bridge as Grid ops)."""
+    from ..adapters.xarray_adapter import as_native
+
+    def conv(a):
+        if isinstance(a, dict):
+            return {k: as_native(v) for k, v in a.items()}
+        if isinstance(a, (list, tuple)):
+            return type(a)(conv(x) for x in a)
+        return as_native(a)
+
+    out = dict(spec)
+    for key in ("args", "other_component"):
+        if key in out and out[key] is not None:
+            out[key] = conv(out[key])
+    return out
+
+
 def _normalize_spec(spec: Mapping[str, Any], grid: Grid) -> Mapping[str, Any]:
     """Expand a name-based spec (``op="diff", axis="X", to=...``) into the
     full func/signature/boundary_width form by selecting the same gridops
@@ -188,7 +207,9 @@ def sharded_apply_many(
     GriddedArray, or a tuple for multi-output ufuncs), each equal to the
     corresponding single-op :func:`sharded_apply_as_grid_ufunc` call.
     """
-    op_specs = [_normalize_spec(spec, grid) for spec in op_specs]
+    op_specs = [
+        _normalize_spec(_convert_spec_arrays(spec), grid) for spec in op_specs
+    ]
     face_setup = None
     first = None
     for spec in op_specs:
