@@ -66,12 +66,20 @@ def xds(xr):
 
 
 def test_dataset_roundtrip(xds):
-    from xgcm_tpu.adapters.xarray_adapter import dataset_from_xarray
+    from xgcm_tpu.adapters.xarray_adapter import (
+        dataset_from_xarray,
+        dataset_to_xarray,
+    )
 
     ds = dataset_from_xarray(xds)
     assert ds.dims == dict(xds.sizes)
     assert ds.coords["XC"].attrs["axis"] == "X"
     np.testing.assert_allclose(np.asarray(ds["temp"].data), xds["temp"].values)
+
+    back = dataset_to_xarray(ds)
+    assert dict(back.sizes) == dict(xds.sizes)
+    assert back["XG"].attrs["c_grid_axis_shift"] == -0.5
+    np.testing.assert_allclose(back["temp"].values, xds["temp"].values)
 
 
 def test_grid_autoparses_stub_dataset(xds):
@@ -214,3 +222,11 @@ def test_to_xarray_reattaches_grid_coords(xds, xr):
     np.testing.assert_allclose(xa["XG"].values, xds["XG"].values)
     # a coord on a dim NOT in the result is not attached
     assert "XC" not in xa.coords
+
+    # vector-op results (dicts) convert per component
+    with pytest.warns(DeprecationWarning):
+        vec = grid.interp_2d_vector({"X": xds["u"], "Y": xds["v"]})
+    xvec = to_xarray(vec, grid)
+    assert set(xvec) == {"X", "Y"}
+    assert isinstance(xvec["X"], xr.DataArray)
+    assert "XC" in xvec["X"].coords

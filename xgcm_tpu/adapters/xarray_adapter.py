@@ -32,6 +32,7 @@ __all__ = [
     "dataset_from_xarray",
     "dataarray_from_xarray",
     "to_xarray",
+    "dataset_to_xarray",
 ]
 
 
@@ -69,12 +70,15 @@ def dataset_from_xarray(ds: "xr.Dataset") -> Dataset:
     )
 
 
-def to_xarray(garr: GriddedArray, grid=None) -> "xr.DataArray":
+def to_xarray(garr, grid=None) -> "xr.DataArray":
     """Convert a GriddedArray back to xarray, attaching every grid dataset
     coordinate whose dims are fully present in the result (the reattachment
-    rule of reference grid_ufunc.py:1224-1241)."""
+    rule of reference grid_ufunc.py:1224-1241).  Dicts (vector-op results)
+    convert per component."""
     if not HAS_XARRAY:
         raise ImportError("xarray is not installed")
+    if isinstance(garr, dict):
+        return {k: to_xarray(v, grid) for k, v in garr.items()}
     out = xr.DataArray(np.asarray(garr.data), dims=garr.dims, name=garr.name)
     if grid is not None:
         matching = {
@@ -86,3 +90,19 @@ def to_xarray(garr: GriddedArray, grid=None) -> "xr.DataArray":
             {k: xr.DataArray(v[1], dims=v[0]) for k, v in matching.items()}
         )
     return out
+
+
+def dataset_to_xarray(ds: Dataset) -> "xr.Dataset":
+    """Convert a native Dataset back to an ``xr.Dataset`` (inverse of
+    :func:`dataset_from_xarray`; variable/coord attrs round-trip)."""
+    if not HAS_XARRAY:
+        raise ImportError("xarray is not installed")
+
+    def tup(v):
+        return (v.dims, np.asarray(v.data), dict(v.attrs))
+
+    return xr.Dataset(
+        {k: tup(v) for k, v in ds.data_vars.items()},
+        coords={k: tup(v) for k, v in ds.coords.items()},
+        attrs=dict(ds.attrs),
+    )
