@@ -62,3 +62,22 @@ def test_to_xarray_attaches_grid_coords(xds):
     assert isinstance(xa, xr.DataArray)
     assert "XG" in xa.coords and "YC" in xa.coords
     np.testing.assert_allclose(xa["XG"].values, xds["XG"].values)
+
+
+def test_ops_accept_dataarrays_directly(xds):
+    grid = Grid(xds)
+    implicit = grid.diff(xds["temp"], "X")
+    explicit = grid.diff(dataarray_from_xarray(xds["temp"]), "X")
+    assert implicit.dims == ("YC", "XG")
+    np.testing.assert_allclose(
+        np.asarray(implicit.data), np.asarray(explicit.data)
+    )
+
+
+def test_dataset_to_xarray_roundtrip(xds):
+    from xgcm_tpu.adapters.xarray_adapter import dataset_to_xarray
+
+    back = dataset_to_xarray(dataset_from_xarray(xds))
+    assert dict(back.sizes) == dict(xds.sizes)
+    assert back["XG"].attrs["c_grid_axis_shift"] == -0.5
+    np.testing.assert_allclose(back["temp"].values, xds["temp"].values)
