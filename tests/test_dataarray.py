@@ -25,6 +25,13 @@ class TestConstruction:
         with pytest.raises(KeyError):
             g.get_axis_num("q")
 
+    def test_size_and_values(self):
+        g = GriddedArray(np.arange(6.0).reshape(2, 3), ("y", "x"))
+        assert g.size == 6
+        v = g.values
+        assert isinstance(v, np.ndarray)
+        np.testing.assert_array_equal(v, np.arange(6.0).reshape(2, 3))
+
     def test_from_gridded(self):
         g = GriddedArray(np.arange(3.0), ("x",), name="a")
         h = GriddedArray(g, ("y",))

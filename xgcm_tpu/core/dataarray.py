@@ -100,6 +100,19 @@ class GriddedArray:
     def sizes(self) -> Dict[str, int]:
         return dict(zip(self.dims, self.data.shape))
 
+    @property
+    def size(self) -> int:
+        out = 1
+        for n in self.data.shape:
+            out *= int(n)
+        return out
+
+    @property
+    def values(self) -> np.ndarray:
+        """Data as a numpy array (xarray-compatible accessor; forces a
+        device-to-host transfer for jax arrays — keep off hot paths)."""
+        return np.asarray(self.data)
+
     def get_axis_num(self, dim: str) -> int:
         try:
             return self.dims.index(dim)
