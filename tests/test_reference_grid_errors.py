@@ -15,8 +15,7 @@ from .datasets import dataset_1d_left
 
 
 def _ds():
-    ds, _, _ = dataset_1d_left()
-    return ds
+    return dataset_1d_left()
 
 
 class TestInvalidGrid:
@@ -25,7 +24,7 @@ class TestInvalidGrid:
             Grid(_ds(), coords={1: {"left": "XG"}}, autoparse_metadata=False)
 
     def test_non_ds_type(self):
-        with pytest.raises(TypeError, match="must be of type"):
+        with pytest.raises(TypeError, match="is of type"):
             Grid(4, coords={"ax1": {"left": "XG"}}, autoparse_metadata=False)
 
     def test_invalid_position_name(self):
@@ -46,9 +45,10 @@ class TestInvalidGrid:
 
 
 def test_invalid_boundary_error():
+    coords = {"X": {"center": "XC", "left": "XG"}}
     for bad in ["bad", {"X": "bad"}, {"X": 0}, 0]:
         with pytest.raises(ValueError):
-            Grid(_ds(), boundary=bad, autoparse_metadata=False)
+            Grid(_ds(), coords=coords, boundary=bad, autoparse_metadata=False)
 
 
 def test_invalid_fill_value_error():

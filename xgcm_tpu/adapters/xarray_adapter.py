@@ -10,7 +10,7 @@ core dims; input coords preserved on non-core dims; first input wins).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Union
 
 import numpy as np
 
@@ -70,11 +70,11 @@ def dataset_from_xarray(ds: "xr.Dataset") -> Dataset:
     )
 
 
-def to_xarray(garr, grid=None) -> "xr.DataArray":
+def to_xarray(garr, grid=None) -> "Union[xr.DataArray, Dict[str, xr.DataArray]]":
     """Convert a GriddedArray back to xarray, attaching every grid dataset
     coordinate whose dims are fully present in the result (the reattachment
     rule of reference grid_ufunc.py:1224-1241).  Dicts (vector-op results)
-    convert per component."""
+    convert per component and return a dict of DataArrays."""
     if not HAS_XARRAY:
         raise ImportError("xarray is not installed")
     if isinstance(garr, dict):
