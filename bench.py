@@ -18,10 +18,13 @@ Prints ONE JSON line:
 """
 
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+_BASELINE_JSON = pathlib.Path(__file__).resolve().parent / "BASELINE.json"
 
 
 def _log(msg):
@@ -39,6 +42,197 @@ def numpy_vorticity(u, v, inv_dx, inv_dy):
     up = np.concatenate([u[-1:, :], u], axis=0)
     dudy = up[1:, :] - up[:-1, :]
     return dvdx * inv_dx[None, :] - dudy * inv_dy[:, None]
+
+
+# --------------------------------------------------------------- baseline pin
+#
+# The reference publishes no numbers (SURVEY.md §6) and xarray/dask are not
+# installed in this image, so the reference-side baseline is a single-core
+# numpy implementation of the identical arithmetic — favourable to the
+# reference, whose compute core is numpy slice arithmetic UNDER xarray/dask
+# overhead (gridops.py:23-29, transform.py:15-142).  Because this host's CPU
+# throughput drifts ±10-15% run to run, the baseline is PINNED: measured once
+# as the median of >=5 interleaved rounds per config (``--pin-baseline``),
+# recorded in BASELINE.json["published"], and every subsequent bench run
+# reports vs_baseline against the pinned value (the live re-measurement is
+# printed separately as a drift check).
+
+
+def _np_tutorial_1d():
+    """Config 1: 1D periodic 128-pt diff+interp+cumsum center->left."""
+    n = 128
+    a = np.random.RandomState(3).rand(n).astype(np.float64)
+
+    def run():
+        ap = np.concatenate([a[-1:], a])
+        d = ap[1:] - ap[:-1]
+        i = 0.5 * (ap[1:] + ap[:-1])
+        c = np.cumsum(a)[:-1]
+        return d, i, c
+
+    return run, 3 * n
+
+
+def _np_vorticity_2048():
+    """Config 2: C-grid vorticity, 2048x2048 f32 (the headline denominator)."""
+    rng = np.random.RandomState(0)
+    n = 2048
+    u = rng.rand(n, n).astype(np.float32)
+    v = rng.rand(n, n).astype(np.float32)
+    ix = (rng.rand(n) + 1.0).astype(np.float32)
+    iy = (rng.rand(n) + 1.0).astype(np.float32)
+    return (lambda: numpy_vorticity(u, v, ix, iy)), n * n
+
+
+def _np_integrate_2048():
+    """Config 3: area-weighted integrate, 2048x2048 f32."""
+    rng = np.random.RandomState(1)
+    n = 2048
+    tr = rng.rand(n, n).astype(np.float32)
+    area = rng.rand(n, n).astype(np.float32)
+    return (lambda: (tr * area).sum()), n * n
+
+
+def _np_transform_linear():
+    """Config 4a: linear depth->density remap, 50 levels x 16384 columns.
+
+    Per-column ``np.interp`` — the exact core of the reference's numba
+    kernel (transform.py:33) — which beats a dense vectorized numpy
+    formulation at this shape."""
+    rng = np.random.RandomState(2)
+    nz, ncol, m = 50, 16384, 36
+    theta = np.sort(rng.rand(ncol, nz).astype(np.float32), -1) * 30
+    phi = rng.rand(ncol, nz).astype(np.float32)
+    tgt = np.linspace(1, 29, m).astype(np.float32)
+
+    def run():
+        out = np.empty((ncol, m), np.float32)
+        for c in range(ncol):
+            out[c] = np.interp(tgt, theta[c], phi[c])
+        return out
+
+    return run, ncol * nz
+
+
+def _np_transform_conservative():
+    """Config 4b: conservative remap via vectorized overlap weights
+    (favourable stand-in for the reference's O(n*m) per-column numba loop,
+    transform.py:88-142)."""
+    rng = np.random.RandomState(4)
+    nz, ncol, m = 50, 16384, 36
+    edges = np.sort(rng.rand(ncol, nz + 1).astype(np.float32), -1) * 30
+    lo, hi = edges[:, :-1, None], edges[:, 1:, None]
+    phi = rng.rand(ncol, nz).astype(np.float32)
+    tedges = np.linspace(0, 30, m + 1).astype(np.float32)
+    tlo, thi = tedges[:-1][None, None], tedges[1:][None, None]
+
+    def run():
+        w = np.clip(
+            np.minimum(hi, thi) - np.maximum(lo, tlo), 0, None
+        ) / (hi - lo)
+        return np.einsum("cz,czm->cm", phi, w)
+
+    return run, ncol * nz
+
+
+def _np_face_diff():
+    """Config 5: cross-face diff on 6 x 1024^2 faces.  Compute-equivalent
+    stand-in: per-face padded diff with a copied neighbour strip (the
+    reference's halo assembly is xarray slice+concat per edge on top of
+    this, padding.py:157-315 — so this is favourable to the reference)."""
+    rng = np.random.RandomState(5)
+    n = 1024
+    f = rng.rand(6, n, n).astype(np.float32)
+
+    def run():
+        strips = f[np.roll(np.arange(6), 1), :, -1:]  # neighbour edge strip
+        fp = np.concatenate([strips, f], axis=2)
+        return fp[:, :, 1:] - fp[:, :, :-1]
+
+    return run, 6 * n * n
+
+
+_BASELINE_CONFIGS = {
+    "tutorial_1d_128": _np_tutorial_1d,
+    "vorticity_2048": _np_vorticity_2048,
+    "integrate_2048": _np_integrate_2048,
+    "transform_linear_50x16384": _np_transform_linear,
+    "transform_conservative_50x16384": _np_transform_conservative,
+    "cubed_sphere_diff_6x1024": _np_face_diff,
+}
+
+
+def measure_numpy_baseline(name, rounds=5, inner=3):
+    """Median over `rounds` of best-of-`inner` throughput (gridpoints/s)."""
+    run, gp = _BASELINE_CONFIGS[name]()
+    run()  # warm (allocator, page faults)
+    per_round = []
+    for _ in range(rounds):
+        best = float("inf")
+        for _ in range(inner):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        per_round.append(gp / best)
+    return float(np.median(per_round)), per_round
+
+
+def pin_baseline(rounds=5):
+    """Measure all configs with INTERLEAVED rounds (so host drift hits every
+    config equally) and write the medians to BASELINE.json["published"]."""
+    import datetime
+    import os
+
+    runs = {k: fn() for k, fn in _BASELINE_CONFIGS.items()}
+    for run, _ in runs.values():
+        run()  # warm all
+    samples = {k: [] for k in runs}
+    for r in range(rounds):
+        for k, (run, gp) in runs.items():
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            samples[k].append(gp / best)
+        _log(f"pin round {r + 1}/{rounds} done")
+
+    doc = json.loads(_BASELINE_JSON.read_text())
+    published = {
+        k: {
+            "Ggps": round(float(np.median(v)) / 1e9, 4),
+            "spread": [round(min(v) / 1e9, 4), round(max(v) / 1e9, 4)],
+        }
+        for k, v in samples.items()
+    }
+    published["_meta"] = {
+        "method": (
+            f"single-core numpy reference-equivalent arithmetic; median of "
+            f"{rounds} interleaved rounds (best-of-3 each); favourable to "
+            f"the reference for the slice-arithmetic configs (no xarray/"
+            f"dask overhead).  CAVEAT: the two transform configs stand in "
+            f"for numba @guvectorize kernels (transform.py:15-142) which "
+            f"JIT-compile the per-column loops — on a fast core numba "
+            f"could beat these numpy stand-ins by 5-20x, so treat the "
+            f"transform multipliers as upper bounds."
+        ),
+        "host_cpus": os.cpu_count(),
+        "date": datetime.date.today().isoformat(),
+    }
+    doc["published"] = published
+    _BASELINE_JSON.write_text(json.dumps(doc, indent=2) + "\n")
+    for k, v in published.items():
+        if not k.startswith("_"):
+            _log(f"pinned {k}: {v['Ggps']} Ggps (spread {v['spread']})")
+    return published
+
+
+def _pinned_baseline_Ggps(name="vorticity_2048"):
+    try:
+        doc = json.loads(_BASELINE_JSON.read_text())
+        return float(doc["published"][name]["Ggps"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
 
 
 def main():
@@ -319,19 +513,26 @@ def main():
         _log(f"bf16 bench failed: {e}")
         gps_bf16 = None
 
-    # --- numpy baseline (reference-equivalent, this host's CPU) ---
-    n_base = 2048
-    ub, vb = u_np[:n_base, :n_base], v_np[:n_base, :n_base]
-    ixb, iyb = inv_dx_np[:n_base], inv_dy_np[:n_base]
-    numpy_vorticity(ub, vb, ixb, iyb)
-    # best-of-N: the shared host is noisy; give the baseline its best showing
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        numpy_vorticity(ub, vb, ixb, iyb)
-        times.append(time.perf_counter() - t0)
-    t_numpy = min(times)
-    gps_numpy = n_base * n_base / t_numpy
+    # --- numpy baseline: PINNED value from BASELINE.json["published"]
+    # (measured once by `bench.py --pin-baseline`, median of interleaved
+    # rounds); the live re-measurement below is only a drift check — the
+    # host CPU drifts ±10-15% run to run, which used to swing the headline
+    # multiplier 146x-859x on noise alone ---
+    gps_numpy_pinned = _pinned_baseline_Ggps("vorticity_2048")
+    gps_numpy_live, _rounds = measure_numpy_baseline("vorticity_2048")
+    if gps_numpy_pinned is not None:
+        gps_numpy = gps_numpy_pinned * 1e9
+        _log(
+            f"numpy baseline: pinned {gps_numpy_pinned:.4f} Ggps, "
+            f"live {gps_numpy_live / 1e9:.4f} (drift "
+            f"{gps_numpy_live / gps_numpy:.2f}x)"
+        )
+    else:
+        gps_numpy = gps_numpy_live
+        _log(
+            "numpy baseline: NO pinned value in BASELINE.json - run "
+            "`python bench.py --pin-baseline`; using live measurement"
+        )
 
     # --- secondary: vertical transform (linear, 50 -> 36 levels) THROUGH
     # THE PUBLIC API: grid.transform on a non-periodic Z grid.  The
@@ -797,7 +998,14 @@ def main():
             "vorticity_bf16_Ggps": round(gps_bf16 / 1e9, 3) if gps_bf16 else None,
             "bf16_pallas_bitexact_vs_xla": bf16_pallas_exact,
             "transform_kernels_bitexact_vs_xla": transform_kernels_exact,
-            "numpy_baseline_Ggps": round(gps_numpy / 1e9, 4),
+            "numpy_baseline_pinned_Ggps": (
+                round(gps_numpy_pinned, 4) if gps_numpy_pinned else None
+            ),
+            "numpy_baseline_live_Ggps": round(gps_numpy_live / 1e9, 4),
+            "baseline_drift": (
+                round(gps_numpy_live / (gps_numpy_pinned * 1e9), 3)
+                if gps_numpy_pinned else None
+            ),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
             "transform_linear_colmajor_Ggps": (
                 round(transform_colmajor_gps / 1e9, 3)
@@ -829,4 +1037,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--pin-baseline" in sys.argv[1:]:
+        pin_baseline()
+    else:
+        main()

@@ -61,3 +61,18 @@ def test_numpy_baseline_matches_framework():
     np.testing.assert_allclose(
         np.asarray(zeta.data), baseline, rtol=1e-6, atol=1e-6
     )
+
+
+def test_pinned_baseline_recorded():
+    """BASELINE.json['published'] is populated (SURVEY §6 deliverable) and
+    bench.py reads the pinned headline denominator from it."""
+    import json
+
+    mod = _load_bench()
+    doc = json.loads((_BENCH.parent / "BASELINE.json").read_text())
+    published = doc.get("published", {})
+    for key in mod._BASELINE_CONFIGS:
+        assert key in published, f"config {key} not pinned"
+        assert published[key]["Ggps"] > 0
+    pinned = mod._pinned_baseline_Ggps("vorticity_2048")
+    assert pinned is not None and pinned > 0
