@@ -43,16 +43,80 @@ class DataArray:
     def values(self):
         return self.data
 
+    @property
+    def sizes(self):
+        return dict(zip(self.dims, self.data.shape))
+
     def assign_coords(self, mapping):
         out = DataArray(
             self.data, dims=self.dims, name=self.name, attrs=self.attrs,
             coords=self.coords,
         )
-        out.coords.update(mapping)
+        for k, v in mapping.items():
+            out.coords[k] = _coerce_variable(k, v)
+        return out
+
+    def drop_vars(self, names):
+        if isinstance(names, str):
+            names = [names]
+        out = DataArray(
+            self.data, dims=self.dims, name=self.name, attrs=self.attrs,
+            coords={k: v for k, v in self.coords.items() if k not in names},
+        )
         return out
 
     def __getitem__(self, key):
         return self.coords[key]
+
+    # dim-name-based broadcasting arithmetic (the slice xarray ops the
+    # adapter round-trip relies on: derivative's diff/metric, user math)
+    def _binop(self, other, op, reflexive=False):
+        if not isinstance(other, DataArray):
+            data = op(other, self.data) if reflexive else op(self.data, other)
+            return DataArray(
+                data, dims=self.dims, name=self.name, coords=self.coords
+            )
+        all_dims = list(self.dims) + [
+            d for d in other.dims if d not in self.dims
+        ]
+
+        def expand(da):
+            data, dims = da.data, list(da.dims)
+            for d in all_dims:
+                if d not in dims:
+                    data = data[None, ...]
+                    dims = [d] + dims
+            return np.transpose(data, [dims.index(d) for d in all_dims])
+
+        a, b = expand(self), expand(other)
+        data = op(b, a) if reflexive else op(a, b)
+        coords = dict(other.coords)
+        coords.update(self.coords)  # first (self) wins
+        return DataArray(data, dims=all_dims, name=self.name, coords=coords)
+
+    def __add__(self, other):
+        return self._binop(other, lambda a, b: a + b)
+
+    def __radd__(self, other):
+        return self._binop(other, lambda a, b: a + b, reflexive=True)
+
+    def __sub__(self, other):
+        return self._binop(other, lambda a, b: a - b)
+
+    def __rsub__(self, other):
+        return self._binop(other, lambda a, b: a - b, reflexive=True)
+
+    def __mul__(self, other):
+        return self._binop(other, lambda a, b: a * b)
+
+    def __rmul__(self, other):
+        return self._binop(other, lambda a, b: a * b, reflexive=True)
+
+    def __truediv__(self, other):
+        return self._binop(other, lambda a, b: a / b)
+
+    def __rtruediv__(self, other):
+        return self._binop(other, lambda a, b: a / b, reflexive=True)
 
 
 def _coerce_variable(name, value):

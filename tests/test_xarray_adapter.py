@@ -81,3 +81,90 @@ def test_dataset_to_xarray_roundtrip(xds):
     assert dict(back.sizes) == dict(xds.sizes)
     assert back["XG"].attrs["c_grid_axis_shift"] == -0.5
     np.testing.assert_allclose(back["temp"].values, xds["temp"].values)
+
+
+def test_xarray_in_xarray_out(xds):
+    """The reference contract: xarray inputs come back as xr.DataArray with
+    grid coords on the shifted core dim (reference grid_ufunc.py:1224-1241)."""
+    grid = Grid(xds)
+    out = grid.diff(xds["temp"], "X")
+    assert isinstance(out, xr.DataArray)
+    assert out.dims == ("YC", "XG")
+    np.testing.assert_allclose(out["XG"].values, xds["XG"].values)
+    np.testing.assert_allclose(out["YC"].values, xds["YC"].values)
+
+
+def test_input_coords_preserved_on_noncore_dims(xds):
+    """Coords the user modified on non-core dims survive the round-trip and
+    override the grid's (reference grid_ufunc.py:1204-1222, GH #496)."""
+    grid = Grid(xds)
+    temp = xds["temp"].assign_coords(
+        YC=("YC", np.arange(N) * 10.0),
+        ylabel=("YC", np.arange(N) + 100.0),
+    )
+    out = grid.diff(temp, "X", keep_coords=True)
+    np.testing.assert_allclose(out["XG"].values, xds["XG"].values)
+    np.testing.assert_allclose(out["YC"].values, np.arange(N) * 10.0)
+    np.testing.assert_allclose(out["ylabel"].values, np.arange(N) + 100.0)
+
+
+def test_first_input_wins_coord_precedence(xds):
+    """When several inputs carry the same non-core coord, the first input's
+    version wins (reference #719 convention)."""
+    from xgcm_tpu import apply_as_grid_ufunc
+
+    grid = Grid(xds)
+    a = xds["temp"].assign_coords(tag=("YC", np.arange(N) * 1.0))
+    b = xds["temp"].assign_coords(tag=("YC", np.arange(N) * 2.0))
+
+    def add(x, y):
+        return x + y
+
+    out = apply_as_grid_ufunc(
+        add, a, b,
+        axis=[("X",), ("X",)],
+        grid=grid,
+        signature="(X:center),(X:center)->(X:center)",
+    )
+    assert isinstance(out, xr.DataArray)
+    np.testing.assert_allclose(out["tag"].values, np.arange(N) * 1.0)
+
+
+def test_keep_coords_false_warns_and_drops(xds):
+    """keep_coords=False drops non-dim coords with a DeprecationWarning
+    (reference grid_ufunc.py:1252-1258, test_grid.py:386-392)."""
+    grid = Grid(xds)
+    temp = xds["temp"].assign_coords(ylabel=("YC", np.arange(N) + 100.0))
+    with pytest.warns(DeprecationWarning, match="keep_coords"):
+        out = grid.diff(temp, "X", keep_coords=False)
+    assert "ylabel" not in out.coords
+    assert "XG" in out.coords
+
+    out = grid.diff(temp, "X", keep_coords=True)
+    assert "ylabel" in out.coords
+
+
+def test_restore_input_dim_order_xarray(xds):
+    """Outputs follow the input's dim order with the core dim renamed in
+    place (reference grid_ufunc.py:57-104, GH #533)."""
+    grid = Grid(xds)
+    transposed = xds["temp"].transpose("XC", "YC")
+    out = grid.diff(transposed, "X")
+    assert out.dims == ("XG", "YC")
+
+
+def test_transform_xarray_out(xds):
+    nz = 6
+    rs = np.random.RandomState(1)
+    zds = xr.Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    grid = Grid(
+        zds, coords={"Z": {"center": "zc"}}, periodic=False,
+        autoparse_metadata=False,
+    )
+    da = xr.DataArray(rs.rand(nz), dims=("zc",), name="temp")
+    sigma = xr.DataArray(np.linspace(20.0, 28.0, nz), dims=("zc",), name="s")
+    target = np.linspace(21.0, 27.0, 4)
+    out = grid.transform(da, "Z", target, target_data=sigma)
+    assert isinstance(out, xr.DataArray)
+    assert out.dims == ("s",)
+    np.testing.assert_allclose(out["s"].values, target)

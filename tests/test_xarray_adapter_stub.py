@@ -88,15 +88,18 @@ def test_grid_autoparses_stub_dataset(xds):
     assert grid.axes["Y"].coords == {"center": "YC", "left": "YG"}
 
 
-def test_ops_accept_dataarrays_directly(xds):
+def test_ops_accept_dataarrays_directly(xds, xr):
     from xgcm_tpu.adapters.xarray_adapter import dataarray_from_xarray
 
     grid = Grid(xds)
     native = dataarray_from_xarray(xds["temp"])
 
+    # xarray-in -> xarray-out (the reference's contract); native-in stays
+    # native
     implicit = grid.diff(xds["temp"], "X")
     explicit = grid.diff(native, "X")
-    assert isinstance(implicit, GriddedArray)
+    assert isinstance(implicit, xr.DataArray)
+    assert isinstance(explicit, GriddedArray)
     assert implicit.dims == ("YC", "XG")
     np.testing.assert_allclose(
         np.asarray(implicit.data), np.asarray(explicit.data)
@@ -105,6 +108,7 @@ def test_ops_accept_dataarrays_directly(xds):
     # dict (vector-component) input values convert too
     implicit = grid.interp({"X": xds["u"]}, "X")
     explicit = grid.interp({"X": dataarray_from_xarray(xds["u"])}, "X")
+    assert isinstance(implicit, xr.DataArray)
     np.testing.assert_allclose(
         np.asarray(implicit.data), np.asarray(explicit.data)
     )
@@ -112,6 +116,7 @@ def test_ops_accept_dataarrays_directly(xds):
     # direct-use entry points (no _check_data_input on these paths)
     implicit = grid.cumsum(xds["temp"], "X")
     explicit = grid.cumsum(native, "X")
+    assert isinstance(implicit, xr.DataArray)
     np.testing.assert_allclose(
         np.asarray(implicit.data), np.asarray(explicit.data)
     )
@@ -119,6 +124,84 @@ def test_ops_accept_dataarrays_directly(xds):
     like = grid.interp(native, "X")
     out = grid.interp_like(xds["temp"], like)
     np.testing.assert_allclose(np.asarray(out.data), np.asarray(like.data))
+
+
+def test_xarray_out_coord_reattachment(xds, xr):
+    """Grid coords go on the position-shifted core dim; input coords on
+    non-core dims survive and OVERRIDE the grid's (reference
+    grid_ufunc.py:1195-1266, GH #496)."""
+    grid = Grid(xds)
+
+    temp = xds["temp"]
+    # a user-modified coordinate on the Y (non-core for an X-op) dim, plus
+    # a non-dim coord riding on it
+    recast_yc = xr.DataArray(np.arange(N) * 10.0, dims=("YC",), name="YC")
+    temp = temp.assign_coords({"YC": recast_yc,
+                               "ylabel": (("YC",), np.arange(N) + 100.0)})
+
+    out = grid.diff(temp, "X", keep_coords=True)
+    assert isinstance(out, xr.DataArray)
+    assert set(out.dims) == {"YC", "XG"}
+    # shifted core dim: coord comes from the GRID dataset
+    np.testing.assert_allclose(
+        np.asarray(out.coords["XG"].data), np.arange(N) * 1.0
+    )
+    # non-core dim: the INPUT's (modified) coord wins over the grid's
+    np.testing.assert_allclose(
+        np.asarray(out.coords["YC"].data), np.arange(N) * 10.0
+    )
+    # non-dim input coord on a non-core dim is preserved
+    np.testing.assert_allclose(
+        np.asarray(out.coords["ylabel"].data), np.arange(N) + 100.0
+    )
+
+    # keep_coords=False drops non-dim coords and warns its deprecation
+    # (reference grid_ufunc.py:1252-1258)
+    with pytest.warns(DeprecationWarning, match="keep_coords"):
+        out2 = grid.diff(temp, "X", keep_coords=False)
+    assert "ylabel" not in out2.coords
+    assert "XG" in out2.coords
+
+
+def test_xarray_out_calculus_and_reductions(xds, xr):
+    """derivative / integrate / average / cumint round-trip to xarray;
+    reductions keep augmented coords (reference test_grid.py:357-383)."""
+    ds = xr.Dataset(
+        {"tracer": (("YC", "XC"), np.random.RandomState(2).rand(N, N))},
+        coords={
+            "XC": ("XC", np.arange(N) + 0.5, {"axis": "X"}),
+            "XG": ("XG", np.arange(N) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "YC": ("YC", np.arange(N) + 0.5, {"axis": "Y"}),
+            "dx": ("XG", np.full(N, 2.0)),
+        },
+    )
+    grid = Grid(
+        ds,
+        coords={"X": {"center": "XC", "left": "XG"}, "Y": {"center": "YC"}},
+        metrics={("X",): ["dx"]},
+        autoparse_metadata=False,
+    )
+    tr = ds["tracer"]
+
+    d = grid.derivative(tr, "X")
+    assert isinstance(d, xr.DataArray)
+    np.testing.assert_allclose(
+        np.asarray(d.data),
+        np.asarray(grid.diff(tr, "X").data) / 2.0,
+    )
+
+    integ = grid.integrate(tr, "X")
+    assert isinstance(integ, xr.DataArray)
+    assert integ.dims == ("YC",)
+    assert "YC" in integ.coords
+
+    avg = grid.average(tr, "X")
+    assert isinstance(avg, xr.DataArray)
+
+    ci = grid.cumint(tr, "X", boundary="fill")
+    assert isinstance(ci, xr.DataArray)
+    assert "XG" in ci.dims
 
 
 def test_vector_ops_accept_dataarrays(xds):
@@ -179,8 +262,13 @@ def test_transform_accepts_dataarrays(xr):
     np.testing.assert_allclose(
         np.asarray(implicit.data), np.asarray(explicit.data)
     )
+    # xarray-in -> xarray-out with the target values as the new dim coord
+    assert isinstance(implicit, xr.DataArray)
+    assert implicit.dims == ("s",)
+    np.testing.assert_allclose(np.asarray(implicit.coords["s"].data), target)
 
     [im] = grid.transform_multi([da], "Z", target, target_data=sigma)
+    assert isinstance(im, xr.DataArray)
     np.testing.assert_allclose(
         np.asarray(im.data), np.asarray(explicit.data)
     )

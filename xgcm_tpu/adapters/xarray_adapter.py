@@ -29,11 +29,133 @@ __all__ = [
     "HAS_XARRAY",
     "maybe_from_xarray",
     "as_native",
+    "is_dataarray",
+    "collect_xr_inputs",
+    "reattach_coords",
     "dataset_from_xarray",
     "dataarray_from_xarray",
     "to_xarray",
     "dataset_to_xarray",
 ]
+
+
+def is_dataarray(obj: Any) -> bool:
+    """True iff `obj` is an ``xr.DataArray`` (False when xarray is absent)."""
+    return HAS_XARRAY and isinstance(obj, xr.DataArray)
+
+
+def collect_xr_inputs(args) -> tuple:
+    """Scan raw op inputs (scalars or ``{axis: component}`` dicts, possibly
+    nested in a sequence) for xarray DataArrays.
+
+    Returns ``(return_xr, xr_args)``: whether the op should round-trip back
+    to xarray (the reference's contract is xarray-in -> xarray-out), and the
+    original DataArrays in argument order for the first-input-wins coord
+    precedence of reference grid_ufunc.py:1204-1222."""
+    if not HAS_XARRAY:
+        return False, []
+    xr_args = []
+    return_xr = False
+    for i, a in enumerate(args):
+        vals = list(a.values()) if isinstance(a, dict) else [a]
+        for v in vals:
+            if isinstance(v, xr.DataArray):
+                xr_args.append(v)
+                if i == 0:
+                    return_xr = True
+    return return_xr, xr_args
+
+
+def _grid_coord_to_xr(c) -> "xr.DataArray":
+    return xr.DataArray(
+        np.asarray(c.data), dims=c.dims, name=c.name, attrs=dict(c.attrs)
+    )
+
+
+def reattach_coords(
+    result,
+    grid,
+    input_args=(),
+    out_core_dim_names=frozenset(),
+    keep_coords: bool = True,
+    boundary_width=None,
+    extra_coords: Optional[Dict[str, Any]] = None,
+):
+    """Convert a native result back to an ``xr.DataArray``, applying the
+    reference's coordinate-reattachment rules (grid_ufunc.py:1195-1266):
+
+    - every grid-dataset coordinate whose dims are all present in the result
+      is attached (padding/compute strips labels; the grid restores them);
+    - coordinates carried on the ORIGINAL xarray inputs override those, for
+      any coordinate living entirely on non-core (not position-shifted)
+      dims — first input wins (GH #496 / #719);
+    - ``keep_coords=False`` warns (DeprecationWarning, reference
+      grid_ufunc.py:1252-1258) and drops non-dimension coordinates.
+
+    ``extra_coords`` (name -> DataArray/values) are assigned last — used by
+    ``transform`` to attach the target coordinate.  Dict results (vector
+    ops) convert per component.
+    """
+    if not HAS_XARRAY:
+        raise ImportError("xarray is not installed")
+    if isinstance(result, dict):
+        return {
+            k: reattach_coords(
+                v, grid, input_args, out_core_dim_names, keep_coords,
+                boundary_width, extra_coords,
+            )
+            for k, v in result.items()
+        }
+
+    res = xr.DataArray(
+        np.asarray(result.data), dims=result.dims, name=result.name
+    )
+
+    # grid._ds coords whose dims all appear in the result
+    all_matching = {
+        name: _grid_coord_to_xr(c)
+        for name, c in grid._ds.coords.items()
+        if all(d in res.dims for d in c.dims)
+    }
+
+    # input coords on entirely-non-core dims take precedence, first input wins
+    input_coords: Dict[str, Any] = {}
+    for arg in input_args:
+        for coord, da_coord in arg.coords.items():
+            if any(d in out_core_dim_names for d in da_coord.dims):
+                continue
+            input_coords.setdefault(coord, da_coord)
+    for coord, da_coord in input_coords.items():
+        if all(d in res.dims for d in da_coord.dims):
+            all_matching[coord] = da_coord
+
+    try:
+        res = res.assign_coords(all_matching)
+    except ValueError as err:
+        if boundary_width and str(err).startswith("conflicting sizes"):
+            raise ValueError(
+                f"{err} - does your grid ufunc correctly trim off the same "
+                f"number of elements which were added by padding using "
+                f"boundary_width={boundary_width}?"
+            )
+        raise
+
+    if extra_coords:
+        res = res.assign_coords(extra_coords)
+
+    if not keep_coords:
+        import warnings
+
+        warnings.warn(
+            "The keep_coords keyword argument is being deprecated - in "
+            "future it will be removed entirely, and the behaviour will "
+            "always be that currently given by keep_coords=True.",
+            category=DeprecationWarning,
+        )
+        non_dim = [c for c in res.coords if c not in res.dims]
+        res = res.drop_vars(non_dim)
+
+    return res
 
 
 def maybe_from_xarray(obj: Any) -> Optional[Dataset]:

@@ -490,10 +490,15 @@ class Grid:
         **kwargs,
     ):
         """Select and apply the right 1D grid ufunc per axis, sequentially
-        (reference grid.py:603-706)."""
+        (reference grid.py:603-706).  xarray inputs round-trip: the result
+        comes back as an ``xr.DataArray`` with the reference's coordinate
+        reattachment rules applied (grid_ufunc.py:1195-1266)."""
+        from ..adapters.xarray_adapter import collect_xr_inputs
+
         if isinstance(axis, str):
             axis = [axis]
 
+        return_xr, xr_args = collect_xr_inputs([data])
         data = _check_data_input(data, self)
         if isinstance(other_component, dict):
             from ..adapters.xarray_adapter import as_native
@@ -544,6 +549,18 @@ class Grid:
                 metric = self.get_metric(array, ax_metric_weighted)
                 array = array / metric
 
+        if return_xr:
+            from ..adapters.xarray_adapter import reattach_coords
+
+            # the position-shifted output dims must take their coords from
+            # the grid; everything else may keep input coords (GH #496)
+            out_core_dim_names = {
+                self.axes[ax_name].coords[sig.out_ax_positions[0][0]]
+                for sig, ax_name in zip(signatures, axis)
+            }
+            array = reattach_coords(
+                array, self, xr_args, out_core_dim_names, keep_coords
+            )
         return array
 
     def _maybe_fused_1d_op(
@@ -807,8 +824,9 @@ class Grid:
         Computed with ``jnp.cumsum`` (XLA parallel scan) followed by the
         position-dependent trim/pad table; the dask-era restriction that
         cumsum cannot be chunked does not apply here."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, collect_xr_inputs
 
+        return_xr, xr_args = collect_xr_inputs([da])
         da = as_native(da)
         if isinstance(axis, str):
             axis = [axis]
@@ -818,6 +836,7 @@ class Grid:
         metric_weighted = self._map_kwargs_over_axes(metric_weighted)
 
         data = da
+        new_dims = set()
         for ax_name in axis:
             ax = self.axes[ax_name]
             pos, dim = ax._get_position_name(data)
@@ -867,12 +886,20 @@ class Grid:
             )
 
             new_dim = ax.coords[ax_to]
+            new_dims.add(new_dim)
             data = padded.rename_dims({dim: new_dim})
 
             if ax_metric_weighted:
                 metric = self.get_metric(data, ax_metric_weighted)
                 data = data / metric
 
+        if return_xr:
+            from ..adapters.xarray_adapter import reattach_coords
+
+            # only the position-shifted result dims are "core": their coords
+            # come from the grid; input coords survive elsewhere
+            # (reference grid.py:1171-1181)
+            data = reattach_coords(data, self, xr_args, new_dims, keep_coords)
         return data
 
     # ----------------------------------------------------------- vector ops
@@ -890,9 +917,9 @@ class Grid:
             category=DeprecationWarning,
         )
 
-        from ..adapters.xarray_adapter import as_native
-
-        vector = {k: as_native(v) for k, v in vector.items()}
+        # components pass through unconverted: the per-component dispatch
+        # handles native/xarray round-trips (and position inference only
+        # needs `.dims`, which both container types expose)
         to = kwargs.get("to", "center")
         if to != "center":
             raise NotImplementedError(
@@ -934,8 +961,12 @@ class Grid:
     # ----------------------------------------------- metric-weighted calculus
     def derivative(self, da, axis, **kwargs):
         """diff / metric (reference grid.py:1308-1352)."""
+        from ..adapters.xarray_adapter import is_dataarray, to_xarray
+
         diff = self.diff(da, axis, **kwargs)
         dx = self.get_metric(diff, (axis,))
+        if is_dataarray(diff) and not is_dataarray(dx):
+            dx = to_xarray(dx)  # label-only wrap; xarray broadcasts by dims
         return diff / dx
 
     def integrate(self, da, axis, **kwargs):
@@ -943,30 +974,50 @@ class Grid:
 
         NaNs in floating data are skipped, matching xarray's default
         ``skipna=True`` sum semantics."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, collect_xr_inputs
 
+        return_xr, xr_args = collect_xr_inputs([da])
         da = as_native(da)
         weight = self.get_metric(da, axis)
         weighted = da * weight
         dim = self._get_dims_from_axis(da, axis)
         if jnp.issubdtype(weighted.dtype, jnp.floating):
             weighted = weighted.with_data(jnp.nan_to_num(weighted.data, nan=0.0))
-        return weighted.sum(dim, **kwargs)
+        out = weighted.sum(dim, **kwargs)
+        if return_xr:
+            from ..adapters.xarray_adapter import reattach_coords
+
+            # reductions keep augmented (non-dim) coords in the reference
+            # (test_grid.py:357-383 treats integrate/average as
+            # keep_coords=True); no dims are position-shifted
+            out = reattach_coords(out, self, xr_args, set(), True)
+        return out
 
     def cumint(self, da, axis, **kwargs):
         """cumsum(da * metric) (reference grid.py:1381-1426)."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, collect_xr_inputs
 
-        da = as_native(da)
-        weight = self.get_metric(da, axis)
-        weighted = da * weight
-        return self.cumsum(weighted, axis, **kwargs)
+        return_xr, xr_args = collect_xr_inputs([da])
+        da_native = as_native(da)
+        weight = self.get_metric(da_native, axis)
+        weighted = da_native * weight
+        out = self.cumsum(weighted, axis, **kwargs)
+        if return_xr:
+            from ..adapters.xarray_adapter import reattach_coords
+
+            new_dims = {d for d in out.dims if d not in da_native.dims}
+            out = reattach_coords(
+                out, self, xr_args, new_dims,
+                kwargs.get("keep_coords", False),
+            )
+        return out
 
     def average(self, da, axis, **kwargs):
         """NaN-aware weighted mean, matching xarray's ``weighted.mean``
         semantics (reference grid.py:1428-1451)."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, collect_xr_inputs
 
+        return_xr, xr_args = collect_xr_inputs([da])
         da = as_native(da)
         weight = self.get_metric(da, axis)
         dims = self._get_dims_from_axis(da, axis)
@@ -975,20 +1026,56 @@ class Grid:
         valid = da.with_data(jnp.where(nan_mask, 0.0, 1.0))
         num = (da_filled * weight).sum(dims, **kwargs)
         den = (valid * weight).sum(dims, **kwargs)
-        return num / den
+        out = num / den
+        if return_xr:
+            from ..adapters.xarray_adapter import reattach_coords
+
+            out = reattach_coords(out, self, xr_args, set(), True)
+        return out
 
     # ----------------------------------------------------------- transform
+    def _transform_to_xarray(self, out, da_native, xr_args, target, method):
+        """Round-trip a native transform result to xarray: the new target
+        dim gets the target values as its coordinate (bin midpoints for
+        conservative, matching reference transform.py:270-272); input
+        coords on untouched dims survive (``xr.apply_ufunc`` semantics in
+        reference transform.py:237-268)."""
+        from ..adapters.xarray_adapter import is_dataarray, reattach_coords
+
+        new_dims = {d for d in out.dims if d not in da_native.dims}
+        extra = {}
+        if len(new_dims) == 1:
+            (tdim,) = new_dims
+            tvals = target.values if is_dataarray(target) else np.asarray(
+                getattr(target, "data", target)
+            )
+            if tvals.ndim == 1:
+                if method == "conservative":
+                    tvals = 0.5 * (tvals[:-1] + tvals[1:])
+                if tvals.shape[0] == out.sizes[tdim]:
+                    extra[tdim] = (tdim, np.asarray(tvals))
+        return reattach_coords(
+            out, self, xr_args, new_dims, True, extra_coords=extra
+        )
+
     def transform(self, da, axis, target, **kwargs):
         """Vertical coordinate transform: linear / log / conservative remap
         (reference grid.py:1453-1542 -> transform.py:279-512)."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, collect_xr_inputs
         from ..ops.transform import transform
 
+        return_xr, xr_args = collect_xr_inputs([da])
+        orig_target = target
         da = as_native(da)
         target = as_native(target)
         if "target_data" in kwargs:
             kwargs["target_data"] = as_native(kwargs["target_data"])
-        return transform(self, axis, da, target, **kwargs)
+        out = transform(self, axis, da, target, **kwargs)
+        if return_xr:
+            out = self._transform_to_xarray(
+                out, da, xr_args, orig_target, kwargs.get("method", "linear")
+            )
+        return out
 
     def transform_multi(self, das, axis, target, **kwargs):
         """Transform SEVERAL arrays onto the same target coordinate —
@@ -997,14 +1084,23 @@ class Grid:
         membership selection across variables (beyond-reference; the
         density-space analysis pattern of remapping T, S, u, v onto the
         same sigma surfaces)."""
-        from ..adapters.xarray_adapter import as_native
+        from ..adapters.xarray_adapter import as_native, is_dataarray
         from ..ops.transform import transform_multi
 
-        das = [as_native(d) for d in das]
+        orig_das = list(das)
+        orig_target = target
+        das = [as_native(d) for d in orig_das]
         target = as_native(target)
         if "target_data" in kwargs:
             kwargs["target_data"] = as_native(kwargs["target_data"])
-        return transform_multi(self, axis, das, target, **kwargs)
+        outs = transform_multi(self, axis, das, target, **kwargs)
+        method = kwargs.get("method", "linear")
+        outs = [
+            self._transform_to_xarray(o, d, [orig], orig_target, method)
+            if is_dataarray(orig) else o
+            for o, d, orig in zip(outs, das, orig_das)
+        ]
+        return outs
 
 
 def raw_interp_function(data_left, data_right):

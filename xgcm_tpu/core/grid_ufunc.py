@@ -288,6 +288,13 @@ def apply_as_grid_ufunc(
     if grid is None:
         raise ValueError("Must provide a grid object to describe the Axes")
 
+    # xarray-in -> xarray-out contract (reference grid_ufunc.py:612-883
+    # operates on xr.DataArrays throughout; we compute label-free and
+    # round-trip at this boundary, reattaching coords per :1195-1266)
+    from ..adapters.xarray_adapter import collect_xr_inputs
+
+    return_xr, xr_args = collect_xr_inputs(args)
+
     args = _promote_to_sequence_and_check(args, grid)
     other_component = _promote_to_sequence_and_check(other_component, grid)
     if len(other_component) == 1 and other_component[0] is None:
@@ -383,6 +390,17 @@ def apply_as_grid_ufunc(
     # Name outputs after the (first) input, like xarray propagates names.
     first = _maybe_unpack_vector_component(args[0])
     results = tuple(r.rename(first.name) for r in results)
+
+    if return_xr:
+        from ..adapters.xarray_adapter import reattach_coords
+
+        out_core_names = {d for dims in out_core_dims for d in dims}
+        results = tuple(
+            reattach_coords(
+                r, grid, xr_args, out_core_names, keep_coords, boundary_width
+            )
+            for r in results
+        )
 
     if len(results) == 1:
         return results[0]
