@@ -192,41 +192,37 @@ def _fused_kernel(
     s_fold = s_full + npair * HUGE
 
     # ---- main membership loop in effective (direction-normalised) space.
-    # Exactly one interval [th_e_k, th_e_{k+1}) with th_e_{k+1} > t matches
-    # each in-range target (duplicate knots match only the last; NaN knots
-    # sanitise to `big` so trailing intervals have slope 0 and the edge
-    # clamps below overwrite them), so the accumulators are exact
-    # single-term selections and the final lerp is np.interp arithmetic.
+    # The selected interval is the LAST knot k with th_e_k <= t_eff
+    # (duplicate knots match only the last; NaN knots sanitise to `big` so
+    # they never fire for physical targets and the edge clamps below
+    # overwrite out-of-range rows), realised as LAST-WRITER-WINS predicated
+    # selects: TH/PH/S = where(h_k, row_k, prev).  Selection moves no
+    # arithmetic onto the values, so results are bitwise identical to the
+    # falling-edge one-hot FMA loop this replaces — at ~8 vreg-row ops per
+    # knot instead of ~14 (each (1, C) row broadcast against the (m, C)
+    # accumulators costs a full-height op on this hardware; 3 selects +
+    # 1 compare is the floor for exact np.interp-rounding selection).
+    # The tail half-open interval [th_e_{n-1}, +inf) joins the loop as a
+    # final slope-0 row (its NaN-data indicator folded like every other).
     t_eff = t * dsign  # (m, C)
-
-    th_e = th_e_full[0:1, :]
-    cs = th_e <= t_eff  # (m, C)
-    th_lo = jnp.zeros((m, C), f32)
-    ph_lo = jnp.zeros((m, C), f32)
-    s_sel = jnp.zeros((m, C), f32)
-    for k in range(n - 1):
-        th_e_n = th_e_full[k + 1 : k + 2, :]
-        cs_n = th_e_n <= t_eff
-        # cs > cs_n == cs & ~cs_n for bools, in one VPU op
-        c = (cs > cs_n).astype(f32)
-        th_lo = th_lo + c * th_e
-        ph_lo = ph_lo + c * ph_t[k : k + 1, :]
-        s_sel = s_sel + c * s_fold[k : k + 1, :]
-        cs = cs_n
-        th_e = th_e_n
-    # trailing half-open interval [th_e_{n-1}, +inf): slope 0, but NaN
-    # data at the last knot still propagates
-    cl = cs.astype(f32)
-    th_lo = th_lo + cl * th_e
-    ph_lo = ph_lo + cl * ph_t[n - 1 : n, :]
-    nan_tail = cl * nan_f[n - 1 : n, :]
-    is_nan_sel = s_sel >= HUGE * f32(0.5)
-    out = ph_lo + (t_eff - th_lo) * jnp.where(is_nan_sel, 0.0, s_sel)
+    s_loop = jnp.concatenate(
+        [s_fold, nan_f[n - 1 : n, :] * HUGE], axis=0
+    )  # (n, C)
+    TH = jnp.zeros((m, C), f32)
+    PH = jnp.zeros((m, C), f32)
+    S = jnp.zeros((m, C), f32)
+    for k in range(n):
+        h = th_e_full[k : k + 1, :] <= t_eff
+        TH = jnp.where(h, th_e_full[k : k + 1, :], TH)
+        PH = jnp.where(h, ph_t[k : k + 1, :], PH)
+        S = jnp.where(h, s_loop[k : k + 1, :], S)
+    is_nan_sel = S >= HUGE * f32(0.5)
+    out = PH + (t_eff - TH) * jnp.where(is_nan_sel, 0.0, S)
 
     # ---- np.interp edge clamps + NaN masking (original-space) ----
     # NaN-data propagation first; out-of-range targets still clamp to the
     # (possibly NaN) first/last data value, like np.interp's fp[0]/fp[-1]
-    out = jnp.where(is_nan_sel | (nan_tail > 0), f32(jnp.nan), out)
+    out = jnp.where(is_nan_sel, f32(jnp.nan), out)
     lo_ph = jnp.where(desc, last_ph, first_ph)  # value at the min-theta end
     hi_ph = jnp.where(desc, first_ph, last_ph)
     out = jnp.where(t < th_min, lo_ph, out)
@@ -246,7 +242,7 @@ def interp_linear_fused_T(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 128,
+    tile_cols: int = 256,
 ) -> jax.Array:
     """Lanes-major core of :func:`interp_linear_fused`: (n, cols) RAW
     columns (the kernel's native layout — columns ride the lanes) onto
@@ -305,7 +301,7 @@ def interp_linear_fused(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 128,
+    tile_cols: int = 256,
 ) -> jax.Array:
     """np.interp of (cols, n) RAW columns (NaNs allowed, either direction)
     onto (m,) shared OR (cols, m) per-column targets, returning the
@@ -457,37 +453,32 @@ def _fused_multi_kernel(*refs, n, m, nv, mask_edges, check_flip):
         for p, nf in zip(ph_ts, nan_fs)
     ]
 
+    # last-writer-wins predicated selects (see the single-variable kernel):
+    # the compare is shared, each variable adds 2 selects per knot — 4 + 4V
+    # vreg-row ops per knot vs the one-hot FMA loop's ~8 + 5V
     t_eff = t * dsign
-    th_e = th_e_full[0:1, :]
-    cs = th_e <= t_eff
-    th_lo = jnp.zeros((m, C), f32)
-    ph_los = [jnp.zeros((m, C), f32) for _ in range(nv)]
-    s_sels = [jnp.zeros((m, C), f32) for _ in range(nv)]
-    for k in range(n - 1):
-        th_e_n = th_e_full[k + 1 : k + 2, :]
-        cs_n = th_e_n <= t_eff
-        c = (cs > cs_n).astype(f32)
-        th_lo = th_lo + c * th_e
+    s_loops = [
+        jnp.concatenate([s, nf[n - 1 : n, :] * HUGE], axis=0)
+        for s, nf in zip(s_fulls, nan_fs)
+    ]
+    TH = jnp.zeros((m, C), f32)
+    PHs = [jnp.zeros((m, C), f32) for _ in range(nv)]
+    Ss = [jnp.zeros((m, C), f32) for _ in range(nv)]
+    for k in range(n):
+        h = th_e_full[k : k + 1, :] <= t_eff
+        TH = jnp.where(h, th_e_full[k : k + 1, :], TH)
         for v in range(nv):
-            ph_los[v] = ph_los[v] + c * ph_ts[v][k : k + 1, :]
-            s_sels[v] = s_sels[v] + c * s_fulls[v][k : k + 1, :]
-        cs = cs_n
-        th_e = th_e_n
-    cl = cs.astype(f32)
-    th_lo = th_lo + cl * th_e
-    w = t_eff - th_lo
+            PHs[v] = jnp.where(h, ph_ts[v][k : k + 1, :], PHs[v])
+            Ss[v] = jnp.where(h, s_loops[v][k : k + 1, :], Ss[v])
+    w = t_eff - TH
     below = t < th_min
     above = t >= th_max
     if mask_edges:
         edge_nan = below | (t > th_max)
     for v in range(nv):
-        is_nan_sel = s_sels[v] >= HUGE * f32(0.5)
-        out = (
-            ph_los[v] + cl * ph_ts[v][n - 1 : n, :]
-            + w * jnp.where(is_nan_sel, 0.0, s_sels[v])
-        )
-        nan_tail = cl * nan_fs[v][n - 1 : n, :]
-        out = jnp.where(is_nan_sel | (nan_tail > 0), f32(jnp.nan), out)
+        is_nan_sel = Ss[v] >= HUGE * f32(0.5)
+        out = PHs[v] + w * jnp.where(is_nan_sel, 0.0, Ss[v])
+        out = jnp.where(is_nan_sel, f32(jnp.nan), out)
         lo_ph = jnp.where(desc, last_phs[v], first_phs[v])
         hi_ph = jnp.where(desc, first_phs[v], last_phs[v])
         out = jnp.where(below, lo_ph, out)
@@ -507,7 +498,7 @@ def interp_linear_fused_multi_T(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 128,
+    tile_cols: int = 256,
 ):
     """Lanes-major core of :func:`interp_linear_fused_multi`: (n, cols)
     inputs, tuple of (m, cols) outputs, zero XLA transposes."""
@@ -551,7 +542,7 @@ def interp_linear_fused_multi(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 128,
+    tile_cols: int = 256,
 ):
     """np.interp of several (cols, n) phi variables onto the same raw theta
     columns and shared (m,) targets in ONE kernel pass; returns a tuple of
@@ -662,8 +653,14 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
     tmax = jnp.where(t1n, t2, jnp.where(t2n, t1, jnp.maximum(t1, t2)))
     valid = ~jnp.isnan(ph_raw) & ~cell_empty
     w_full = jnp.where(valid, jnp.where(jnp.isnan(ph_raw), 0.0, ph_raw), 0.0)
-    tmin = jnp.where(valid, tmin, 0.0)
-    tmax = jnp.where(valid, tmax, 0.0)
+    # SENTINEL validity: invalid cells get tmin = tmax = +1e38, so they
+    # never start (e - tmin < 0 everywhere) and never end — the overlap
+    # counts below need no separate validity factor, dropping the vf
+    # broadcast + multiply from the loop.  Their mass term is w = 0 through
+    # a degenerate (thick = 0) step far above every bin edge.
+    BIGS = f32(1.0e38)
+    tmin = jnp.where(valid, tmin, BIGS)
+    tmax = jnp.where(valid, tmax, BIGS)
     thick = tmax - tmin
     deg_full = thick == 0.0
     # degenerate cells take a HUGE slope instead of 0: clip((e-tmin)*BIG)
@@ -680,34 +677,36 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
     inv_full = jnp.where(
         deg_full, big_slope, 1.0 / jnp.where(deg_full, 1.0, thick)
     )
-    vf_full = valid.astype(f32)
     wdeg_full = w_full * deg_full.astype(f32)
 
     # all-m-edges broadcast: frac at every edge in ONE clip sweep, then
     # difference a static sublane-shifted slice — 4 (m, C) ops per cell
-    # where the separate up/lo evaluation cost 8
+    # where the separate up/lo evaluation cost 8.  The overlap counts
+    # reuse the same z = e - tmin rows: started(e_up) == (z_up >= 0),
+    # ended-below(e_lo) == (e_lo > tmax), and count = #started - #ended
+    # (every ended cell started first, real or sentinel alike), so the
+    # per-cell count work is two compares + two mask-adds.
+    one = f32(1.0)
+    zero = f32(0.0)
     e_all = jnp.broadcast_to(e, (m, C))
-    e_up = e_all[1:, :]
-    e_lo = e_all[: m - 1, :]
 
     out = jnp.zeros((m - 1, C), f32)
-    count = jnp.zeros((m - 1, C), f32)
+    G = jnp.zeros((m - 1, C), f32)   # cells started at-or-below e_up
+    L = jnp.zeros((m - 1, C), f32)   # cells ended strictly below e_lo
     for k in range(n):
         tmin_k = tmin[k : k + 1, :]
-        tmax_k = tmax[k : k + 1, :]
         inv_k = inv_full[k : k + 1, :]
         w_k = w_full[k : k + 1, :]
         wdeg_k = wdeg_full[k : k + 1, :]
-        vf_k = vf_full[k : k + 1, :]
-        frac_all = jnp.clip((e_all - tmin_k) * inv_k, 0.0, 1.0)  # (m, C)
+        tmax_k = tmax[k : k + 1, :]
+        z = e_all - tmin_k  # (m, C)
+        frac_all = jnp.clip(z * inv_k, 0.0, 1.0)
+        z_up = z[1:, :]
         out = out + w_k * (frac_all[1:, :] - frac_all[: m - 1, :])
-        out = out + wdeg_k * (e_up == tmin_k).astype(f32)
-        # a cell overlaps bin j iff tmin <= edge_{j+1} and not tmax < edge_j
-        # (touching counts)
-        g_up = (e_up >= tmin_k).astype(f32)
-        h = (e_lo <= tmax_k).astype(f32)
-        count = count + vf_k * (g_up * h)
-    out = jnp.where(count > 0, out, f32(jnp.nan))
+        out = out + wdeg_k * jnp.where(z_up == zero, one, zero)
+        G = G + jnp.where(z_up >= zero, one, zero)
+        L = L + jnp.where(e_all[: m - 1, :] > tmax_k, one, zero)
+    out = jnp.where(G - L > zero, out, f32(jnp.nan))
     out_ref[:, :] = out.astype(out_ref.dtype)
 
 
