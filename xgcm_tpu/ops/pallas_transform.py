@@ -498,7 +498,7 @@ def interp_linear_fused_multi_T(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 256,
+    tile_cols: int = 128,
 ):
     """Lanes-major core of :func:`interp_linear_fused_multi`: (n, cols)
     inputs, tuple of (m, cols) outputs, zero XLA transposes."""
@@ -542,7 +542,7 @@ def interp_linear_fused_multi(
     target: jax.Array,
     mask_edges: bool = False,
     check_flip: bool = True,
-    tile_cols: int = 256,
+    tile_cols: int = 128,
 ):
     """np.interp of several (cols, n) phi variables onto the same raw theta
     columns and shared (m,) targets in ONE kernel pass; returns a tuple of
