@@ -239,6 +239,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: compiles dominate bench wall time
+    # (~40-90 s each over the remote helper) and are never measured
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/xgcm_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import xgcm_tpu as xt
     from xgcm_tpu.ops import pallas_stencils as ps
 
@@ -301,11 +311,16 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, K, body, u))
         return run
 
-    def time_chained(f, *args, reps=3):
-        # best-of-N: probes get a post-workload re-time with max (drift
-        # guard); workloads get the same robustness here — a single timing
-        # in a slow drift window systematically understates roofline
-        # fractions (r3's cubed-sphere 0.884 was exactly this artifact)
+    workload_defs = {}
+
+    def time_chained(f, *args, reps=3, register=None):
+        # best-of-N, and registered workloads are RE-timed in the end-of-run
+        # drift-guard pass exactly like the probes: back-to-back reps all
+        # land in one drift window, so a workload timed in a slow window
+        # systematically understates its roofline fraction (r3's
+        # cubed-sphere 0.884, and this run's own llc dip, were exactly
+        # this artifact) — the guard gives probes and workloads the same
+        # two-window best
         float(f(*args))  # compile + sync
         best = None
         for _ in range(reps):
@@ -313,7 +328,14 @@ def main():
             float(f(*args))
             dt = (time.perf_counter() - t0) / K
             best = dt if best is None else min(best, dt)
+        if register is not None:
+            workload_defs[register] = (f, args, best)
         return best
+
+    def workload_time(name, default=None):
+        if name in workload_defs:
+            return workload_defs[name][2]
+        return default
 
     jnp.asarray(0.0).block_until_ready()
 
@@ -445,7 +467,8 @@ def main():
     hbm_gbps = probes.get("stream_f32")
 
     _log("compiling chained Grid-API vorticity")
-    t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy)
+    t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy,
+                         register="vorticity_api")
     _log(f"api path: {t_api*1e3:.3f} ms/iter")
 
     # --- fused Pallas kernel (TPU only) ---
@@ -459,6 +482,7 @@ def main():
                 t_pallas = time_chained(
                     chained(lambda a, b, c, d: ps.fused_vorticity(a, b, c, d, tile_rows=64)),
                     u, v, inv_dx, inv_dy,
+                    register="vorticity_pallas",
                 )
         except Exception:
             t_pallas = None
@@ -488,7 +512,8 @@ def main():
         bf16_args = tuple(
             a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy)
         )
-        t_bf16_api = time_chained(chained_bf16(api_vorticity), *bf16_args)
+        t_bf16_api = time_chained(chained_bf16(api_vorticity), *bf16_args,
+                                  register="vorticity_bf16_api")
         _log(f"bf16 api path: {t_bf16_api*1e3:.3f} ms/iter")
         t_bf16_pallas = None
         if ps.supports_pallas(bf16_args[0], bf16_args[1]):
@@ -672,7 +697,8 @@ def main():
 
     _log("compiling chained transform (lanes-major layout, public API)")
     try:
-        t_tr = time_chained(tr_chained, phiT, thetaT, targets)
+        t_tr = time_chained(tr_chained, phiT, thetaT, targets,
+                            register="transform_linear")
         transform_gps = ncol * nz / t_tr
     except Exception as e:
         _log(f"transform bench failed: {e}")
@@ -680,7 +706,8 @@ def main():
 
     _log("compiling chained transform (conventional layout)")
     try:
-        t_tr_cm = time_chained(tr_colmajor_chained, phi, theta, targets)
+        t_tr_cm = time_chained(tr_colmajor_chained, phi, theta, targets,
+                               register="transform_colmajor")
         transform_colmajor_gps = ncol * nz / t_tr_cm
     except Exception as e:
         _log(f"colmajor transform bench failed: {e}")
@@ -707,7 +734,8 @@ def main():
 
     _log("compiling chained 4-variable transform_multi (lanes-major)")
     try:
-        t_trm = time_chained(trm_chained, thetaT, phis4T, targets)
+        t_trm = time_chained(trm_chained, thetaT, phis4T, targets,
+                             register="transform_multi")
         transform_multi_gps = 4 * ncol * nz / t_trm
     except Exception as e:
         _log(f"transform_multi bench failed: {e}")
@@ -738,7 +766,8 @@ def main():
 
     _log("compiling chained conservative transform (lanes-major)")
     try:
-        t_cons = time_chained(cons_chained, phiT, theta_bT)
+        t_cons = time_chained(cons_chained, phiT, theta_bT,
+                              register="conservative")
         conservative_gps = ncol * nz / t_cons
     except Exception as e:
         _log(f"conservative bench failed: {e}")
@@ -780,10 +809,7 @@ def main():
 
     _log("compiling chained integrate (public grid.integrate API)")
     try:
-        float(integ_chained(u, area))
-        t0 = time.perf_counter()
-        float(integ_chained(u, area))
-        t_int = (time.perf_counter() - t0) / K
+        t_int = time_chained(integ_chained, u, area, register="integrate")
         integrate_gps = ny * nx / t_int
     except Exception as e:
         _log(f"integrate bench failed: {e}")
@@ -795,14 +821,35 @@ def main():
     except ImportError:  # driver may run bench outside the repo root
         cubed_sphere_dataset = None
 
-    # shared per-shape shifted-stream probe body for the (face, ny, nx)
-    # workloads (shapes differ per call; jit re-specialises)
+    # shared per-shape probe body for the (face, ny, nx) workloads (shapes
+    # differ per call; jit re-specialises).  A cross-face stencil must
+    # (a) read its neighbours through a lane-shifted window AND (b)
+    # re-read the four one-wide edge strips of every face to assemble
+    # halos — and lane-COLUMN extraction pays full HBM tiles (~512 B per
+    # 4 B element), ~7% of the whole pass at 6x2048².  No implementation
+    # of the op can avoid either, so the pattern probe includes both
+    # (same principle as the r3 shifted-probe refinement: compare each
+    # workload against what ITS OWN access pattern can sustain).
     @jax.jit
     def _shifted_stream_faces(d):
         def body(_, a):
+            ny_, nx_ = a.shape[-2:]
+            strips = jnp.stack(
+                [a[..., :, 0], a[..., :, nx_ - 1],
+                 a[..., 0, :], a[..., ny_ - 1, :]],
+                axis=-2,
+            )
+            halo = jnp.take(
+                strips[..., 1, :], jnp.roll(jnp.arange(a.shape[0]), 1),
+                axis=0,
+            )
             nb = jnp.roll(a, 1, axis=-1)
             idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
-            return a - jnp.where(idx == 0, jnp.float32(0), nb)
+            return a - jnp.where(
+                idx == 0,
+                halo[..., :, None] + jnp.float32(1e-30) * jnp.sum(strips),
+                nb,
+            )
         return jnp.sum(
             jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
         )
@@ -837,7 +884,7 @@ def main():
 
         _log("compiling chained cubed-sphere diff")
         try:
-            t_cs = time_chained(cs_chained, cs_data)
+            t_cs = time_chained(cs_chained, cs_data, register="cs_diff")
             cs_gps = 6 * nface * nface / t_cs
         except Exception as e:
             _log(f"cubed-sphere bench failed: {e}")
@@ -870,7 +917,7 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, K, body, d))
 
         _log("compiling chained LLC 13-face diff")
-        t_llc = time_chained(llc_chained, llc_data)
+        t_llc = time_chained(llc_chained, llc_data, register="llc_diff")
         llc_gps = 13 * n_llc * n_llc / t_llc
     except Exception as e:
         _log(f"LLC bench failed: {e}")
@@ -893,6 +940,43 @@ def main():
         except Exception:
             pass
     hbm_gbps = probes.get("stream_f32") or hbm_gbps
+
+    # ... and re-time every registered workload in this same window (best
+    # of the two windows kept), so probes and workloads are drift-matched
+    _log("re-timing workloads (drift guard)")
+    for _name in list(workload_defs):
+        _fn, _args, _best = workload_defs[_name]
+        try:
+            _t = time_chained(_fn, *_args, reps=2)
+            workload_defs[_name] = (_fn, _args, min(_best, _t))
+        except Exception:
+            pass
+
+    # rebind the per-workload gps values from the drift-guarded times
+    _wt = workload_time
+    t_api = _wt("vorticity_api", t_api)
+    t_pallas = _wt("vorticity_pallas", t_pallas)
+    t_best = min(x for x in (t_api, t_pallas) if x is not None)
+    gps = ny * nx / t_best
+    if _wt("vorticity_bf16_api") or _wt("vorticity_bf16_pallas"):
+        _tb = [x for x in (_wt("vorticity_bf16_api"),
+                           _wt("vorticity_bf16_pallas")) if x is not None]
+        if _tb and gps_bf16:
+            gps_bf16 = max(gps_bf16, ny * nx / min(_tb))
+    if _wt("transform_linear"):
+        transform_gps = ncol * nz / _wt("transform_linear")
+    if _wt("transform_colmajor"):
+        transform_colmajor_gps = ncol * nz / _wt("transform_colmajor")
+    if _wt("transform_multi"):
+        transform_multi_gps = 4 * ncol * nz / _wt("transform_multi")
+    if _wt("conservative"):
+        conservative_gps = ncol * nz / _wt("conservative")
+    if _wt("integrate"):
+        integrate_gps = ny * nx / _wt("integrate")
+    if _wt("cs_diff"):
+        cs_gps = 6 * nface * nface / _wt("cs_diff")
+    if _wt("llc_diff"):
+        llc_gps = 13 * 1024 * 1024 / _wt("llc_diff")
 
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; each
