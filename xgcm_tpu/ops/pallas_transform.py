@@ -3,9 +3,9 @@
 One kernel computes the FULL ``interp_1d_linear`` semantics for
 (cols, n) columns onto a shared (m,) target vector: the per-column
 monotonicity flip (reference xgcm transform.py:27-31), NaN sanitisation,
-per-interval slopes, exact one-hot interval membership, the np.interp
-edge clamps, and optional edge masking — all in-VMEM.  HBM traffic is
-theta + phi in (one XLA transpose each), out out.
+per-interval slopes, exact last-writer-wins interval selection, the
+np.interp edge clamps, and optional edge masking — all in-VMEM.  HBM
+traffic is theta + phi in (one XLA transpose each), out out.
 
 Why fused: the XLA prep it replaces was 2.6x the kernel cost at the
 512^2 x 50 benchmark shape — the one-hot column flip alone measured
@@ -385,12 +385,11 @@ def _fused_ref_jnp(theta, phi, target, mask_edges=False, check_flip=True):
 
 # ---------------------------------------------------------------------------
 # Multi-variable fused linear kernel: V phi variables remapped onto the
-# same theta/targets in one pass.  The membership selection (compares,
-# one-hot weights, th_lo) depends only on theta and the targets, so it is
-# computed ONCE and shared — per-knot cost is 3 + 3V tensor ops instead of
-# 6V for V separate calls, and theta's HBM traffic and transpose are paid
-# once.  This is the density-space analysis pattern: remap T, S, u, v, ...
-# onto the same sigma surfaces.
+# same theta/targets in one pass.  The membership compare depends only on
+# theta and the targets, so it is computed ONCE and shared — per-knot cost
+# is 4 + 4V vreg-row ops instead of 8V for V separate calls, and theta's
+# HBM traffic and transpose are paid once.  This is the density-space
+# analysis pattern: remap T, S, u, v, ... onto the same sigma surfaces.
 # ---------------------------------------------------------------------------
 
 
