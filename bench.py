@@ -826,10 +826,18 @@ def main():
     # (a) read its neighbours through a lane-shifted window AND (b)
     # re-read the four one-wide edge strips of every face to assemble
     # halos — and lane-COLUMN extraction pays full HBM tiles (~512 B per
-    # 4 B element), ~7% of the whole pass at 6x2048².  No implementation
+    # 4 B element), ~10% of the whole pass at 6x2048².  No implementation
     # of the op can avoid either, so the pattern probe includes both
     # (same principle as the r3 shifted-probe refinement: compare each
-    # workload against what ITS OWN access pattern can sustain).
+    # workload against what ITS OWN access pattern can sustain).  The
+    # probe realises the pattern as strips + cross-face take + the
+    # concat-form shifted subtract — the fastest of five formulations
+    # measured on-device (r4 study, BASELINE.md): the previous iota-where
+    # fix-up construct throttled the PROBE to ~0.6x of what every real
+    # implementation sustains (frac 1.46 in r4's first bench run), and
+    # an epsilon-coupled `sum(strips)` broadcast serialises the passes —
+    # the halo here is a genuine data dependency of the first lane
+    # column only, exactly like the op.
     @jax.jit
     def _shifted_stream_faces(d):
         def body(_, a):
@@ -839,17 +847,17 @@ def main():
                  a[..., 0, :], a[..., ny_ - 1, :]],
                 axis=-2,
             )
-            halo = jnp.take(
-                strips[..., 1, :], jnp.roll(jnp.arange(a.shape[0]), 1),
-                axis=0,
+            src_strips = jnp.take(
+                strips, jnp.roll(jnp.arange(a.shape[0]), 1), axis=-3
             )
-            nb = jnp.roll(a, 1, axis=-1)
-            idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
-            return a - jnp.where(
-                idx == 0,
-                halo[..., :, None] + jnp.float32(1e-30) * jnp.sum(strips),
-                nb,
+            side_sel = (
+                jnp.arange(4) == jnp.ones((a.shape[0], 1), jnp.int32)
+            ).astype(a.dtype)
+            halo = jnp.sum(src_strips * side_sel[:, :, None], axis=-2)
+            nb = jnp.concatenate(
+                [halo[..., :, None], a[..., :, :-1]], axis=-1
             )
+            return a - nb
         return jnp.sum(
             jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
         )
