@@ -56,6 +56,21 @@ class DataArray:
             out.coords[k] = _coerce_variable(k, v)
         return out
 
+    def copy(self):
+        return DataArray(
+            self.data.copy(), dims=self.dims, name=self.name,
+            attrs=self.attrs, coords=dict(self.coords),
+        )
+
+    def to_dataset(self, name=None):
+        name = name or self.name
+        if name is None:
+            raise ValueError("unable to convert unnamed DataArray")
+        return Dataset(
+            data_vars={name: (self.dims, self.data, self.attrs)},
+            coords=self.coords,
+        )
+
     def drop_vars(self, names):
         if isinstance(names, str):
             names = [names]
@@ -154,3 +169,17 @@ class Dataset:
 
     def __contains__(self, key):
         return key in self.data_vars or key in self.coords
+
+    def __getattr__(self, key):
+        # xarray-style attribute access to variables/coords; only called
+        # when normal attribute lookup fails
+        try:
+            dv = object.__getattribute__(self, "data_vars")
+            co = object.__getattribute__(self, "coords")
+        except AttributeError:
+            raise AttributeError(key)
+        if key in dv:
+            return dv[key]
+        if key in co:
+            return co[key]
+        raise AttributeError(key)
