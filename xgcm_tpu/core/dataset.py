@@ -130,8 +130,11 @@ class Dataset:
             out[name] = value
         return out
 
-    def assign_coords(self, **coordinates) -> "Dataset":
-        """Return a new Dataset with additional/replaced coordinates."""
+    def assign_coords(self, coords=None, **coordinates) -> "Dataset":
+        """Return a new Dataset with additional/replaced coordinates.
+        Accepts a positional mapping or keyword args (xarray-style)."""
+        if coords is not None:
+            coordinates = {**coords, **coordinates}
         new_coords = {**self.coords}
         for name, value in coordinates.items():
             new_coords[name] = self._coerce(name, value, is_coord=True)

@@ -750,9 +750,12 @@ class Grid:
         self, da: GriddedArray, axis, to
     ) -> List[GridUFuncSignature]:
         """One "(ax:from)->(ax:to)" signature per requested axis
-        (reference grid.py:708-734)."""
+        (reference grid.py:708-734).  Unknown axes and arrays lacking the
+        axis dimension raise the reference's typed errors
+        (grid.py:439-455, via the dispatch call at :680)."""
         signatures = []
         for ax_name in axis:
+            self._get_dims_from_axis(da, ax_name)
             ax = self.axes[ax_name]
             from_pos, _ = ax._get_position_name(da)
             to_pos = to.get(ax_name)
@@ -838,6 +841,9 @@ class Grid:
         data = da
         new_dims = set()
         for ax_name in axis:
+            # reference's typed unknown-axis / missing-dim errors
+            # (grid.py:439-455)
+            self._get_dims_from_axis(data, ax_name)
             ax = self.axes[ax_name]
             pos, dim = ax._get_position_name(data)
 
