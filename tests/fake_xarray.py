@@ -37,11 +37,17 @@ class DataArray:
         self.dims = dims
         self.name = name
         self.attrs = dict(attrs) if attrs else {}
-        self.coords = dict(coords) if coords else {}
+        self.coords = {
+            k: _coerce_variable(k, v) for k, v in (coords or {}).items()
+        }
 
     @property
     def values(self):
         return self.data
+
+    @property
+    def dtype(self):
+        return self.data.dtype
 
     @property
     def sizes(self):
