@@ -177,6 +177,14 @@ def _parse_annotations(annotations: List[str]) -> Tuple[AxPosList, AxPosList]:
     names: AxPosList = []
     positions: AxPosList = []
     for arg in annotations:
+        # Strict validation: the reference's type-hint parser silently treats
+        # a malformed annotation ("nonsense", "X:Mars") as unannotated — a
+        # known wart it xfails in test_invalid_arg_annotation /
+        # test_invalid_return_arg_annotation (reference
+        # test_grid_ufunc.py:155-186).  We raise instead, so those two
+        # reference tests pass here without the xfail.
+        if not re.match(f"^{_PAIR_LIST}$", arg.replace(" ", "")):
+            raise ValueError(f"Not a valid grid ufunc signature annotation: {arg}")
         pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", arg)
         names.append(tuple(n for n, _ in pairs))
         positions.append(tuple(p for _, p in pairs))
