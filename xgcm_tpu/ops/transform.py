@@ -549,6 +549,18 @@ def _fused_linear_T(phi_T, theta_T, target, mask_edges=False,
     )
 
 
+def _require_gridded(name: str, obj) -> None:
+    """Mid-level wrappers take named-dim arrays only; a bare numpy target
+    (no dim names) is the reference's ValueError contract
+    (reference test_transform.py:952-974 test_linear_interpolation_target_value_error)."""
+    if not isinstance(obj, GriddedArray):
+        raise ValueError(
+            f"`{name}` needs to be a GriddedArray with named dims, "
+            f"but is of type {type(obj)}. Use Grid.transform for raw "
+            "numpy targets."
+        )
+
+
 def linear_interpolation(
     phi: GriddedArray,
     theta: GriddedArray,
@@ -574,6 +586,8 @@ def linear_interpolation(
     chained transforms never round-trip the layout through XLA
     transposes.  All other inputs keep the xarray-style
     core-dim-moved-last output order."""
+    for nm, obj in (("phi", phi), ("theta", theta), ("target", target)):
+        _require_gridded(nm, obj)
     columns_first = _columns_first_2d(phi, theta, target, phi_dim, theta_dim)
     if columns_first:
         out = _fused_linear_T(phi.data, theta.data, target.data, **kwargs)
@@ -672,6 +686,8 @@ def conservative_interpolation(
     Layout-aware fast path: see :func:`linear_interpolation` — a (zc, col)
     input returns ``(target_dim, col)`` through the transpose-free kernel
     entry."""
+    for nm, obj in (("phi", phi), ("theta", theta), ("target", target)):
+        _require_gridded(nm, obj)
     columns_first = _columns_first_2d(phi, theta, target, phi_dim, theta_dim)
     if columns_first:
         out = _fused_conservative_T(phi.data, theta.data, target.data)
