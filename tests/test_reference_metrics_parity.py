@@ -18,6 +18,8 @@ rewritten against the native API:
   array lacks.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -302,3 +304,272 @@ def test_metric_axes_missing_from_array(funcname):
         func(reduced, "X", **kwargs)
     with pytest.raises(ValueError, match="Did not find single matching dimension"):
         func(reduced, ["X", "Y", "Z"], **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# get_metric resolution conditions (reference test_metrics.py:42-280)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_2d_grid():
+    # this is a uniform grid
+    # a non-uniform grid would provide a more rigorous test
+    dx = 10.0
+    dy = 11.0
+    area = 120.0
+    ny, nx = 7, 9
+    ds = Dataset(
+        data_vars={"foo": (("YC", "XC"), np.ones((ny, nx)))},
+        coords={
+            "XC": ("XC", np.arange(nx, dtype=float)),
+            "dX": (("XC",), np.full(nx, dx)),
+            "YC": ("YC", np.arange(ny, dtype=float)),
+            "dY": (("YC",), np.full(ny, dy)),
+            "area": (("YC", "XC"), np.full((ny, nx), area)),
+        },
+    )
+
+    grid = Grid(
+        ds,
+        coords={"X": {"center": "XC"}, "Y": {"center": "YC"}},
+        metrics={("X",): ["dX"], ("Y",): ["dY"], ("X", "Y"): ["area"]},
+        autoparse_metadata=False,
+    )
+
+    np.testing.assert_allclose(_np(grid.get_metric(ds["foo"], ("X",))), _np(ds["dX"]))
+    np.testing.assert_allclose(_np(grid.get_metric(ds["foo"], ("Y",))), _np(ds["dY"]))
+    np.testing.assert_allclose(
+        _np(grid.get_metric(ds["foo"], ("X", "Y"))), _np(ds["area"])
+    )
+    np.testing.assert_allclose(
+        _np(grid.get_metric(ds["foo"], ("Y", "X"))), _np(ds["area"])
+    )
+
+    # try with no area metric: falls back to the dX*dY product (condition 3)
+    grid = Grid(
+        ds,
+        coords={"X": {"center": "XC"}, "Y": {"center": "YC"}},
+        metrics={("X",): ["dX"], ("Y",): ["dY"]},
+        autoparse_metadata=False,
+    )
+    product = grid.get_metric(ds["foo"], ("Y", "X"))
+    expected = np.asarray(ds["dY"].data)[:, None] * np.asarray(ds["dX"].data)[None, :]
+    np.testing.assert_allclose(
+        _np(product.transpose("YC", "XC"))
+        if hasattr(product, "transpose")
+        else _np(product),
+        expected,
+    )
+
+
+@pytest.mark.parametrize(
+    "key, metric_vars",
+    [
+        (("X",), ["dx_t"]),  # recommended way
+        ("X", "dx_t"),
+        (("X", "Y"), ["area_t"]),
+        (
+            ("X", "Y"),
+            ["area_t", "area_t"],
+        ),  # this should also trigger an error, it does not (reference parity)
+        (("X", "Y"), ["area_t", "area_e", "area_n", "area_ne"]),
+        (("X", "Y", "Z"), ["volume_t"]),
+    ],
+)
+def test_assign_metric(key, metric_vars):
+    ds, coords, _ = datasets_grid_metric("C")
+    _ = Grid(ds, coords=coords, metrics={key: metric_vars}, autoparse_metadata=False)
+
+
+@pytest.mark.parametrize(
+    "axes, expected",
+    [
+        (
+            ("X", "Y"),
+            (
+                (frozenset({"X", "Y"}),),
+                (frozenset({"X"}), frozenset({"Y"})),
+                (frozenset({"Y"}), frozenset({"X"})),
+            ),
+        ),
+        (
+            ("X", "Y", "Z"),
+            (
+                (frozenset({"Y", "X", "Z"}),),
+                (frozenset({"Z"}), frozenset({"X"}), frozenset({"Y"})),
+                (frozenset({"X"}), frozenset({"Y"}), frozenset({"Z"})),
+                (frozenset({"Y"}), frozenset({"X"}), frozenset({"Z"})),
+                (frozenset({"Y", "Z"}), frozenset({"X"})),
+                (frozenset({"Y", "X"}), frozenset({"Z"})),
+                (frozenset({"X", "Z"}), frozenset({"Y"})),
+            ),
+        ),
+    ],
+)
+def test_iterate_axis_combinations(axes, expected):
+    from xgcm_tpu.core.metrics import iterate_axis_combinations
+
+    actual = list(iterate_axis_combinations(axes))
+    expected = [set(e) for e in expected]
+    actual = [set(a) for a in actual]
+
+    # output order is not guaranteed: same count, same elements both ways
+    assert len(actual) == len(expected)
+    for a in actual:
+        assert set(a) in expected
+    for e in expected:
+        assert set(e) in actual
+
+
+@pytest.mark.parametrize(
+    "axes, data_var, drop_vars, metric_expected_list",
+    [
+        ("X", "tracer", None, ["dx_t"]),
+        (["X", "Y"], "tracer", None, ["area_t"]),
+        (("X", "Y"), "tracer", None, ["area_t"]),
+        (["X", "Y", "Z"], "tracer", None, ["volume_t"]),
+        (["X"], "u", None, ["dx_e"]),
+        (["X", "Y"], "u", None, ["area_e"]),
+    ],
+)
+def test_get_metric_orig(axes, data_var, drop_vars, metric_expected_list):
+    ds, coords, metrics = datasets_grid_metric("C")
+    if drop_vars:
+        metrics = {k: [a for a in v if a not in drop_vars] for k, v in metrics.items()}
+
+    grid = Grid(ds, coords=coords, metrics=metrics, autoparse_metadata=False)
+    metric = grid.get_metric(ds[data_var], axes)
+    expected = 1.0
+    for me in metric_expected_list:
+        expected = expected * np.asarray(ds[me].data)
+    np.testing.assert_allclose(_np(metric), expected)
+
+
+def test_get_metric_with_conditions_01():
+    # Condition 1: metric with matching axes and dimensions exists
+    ds, coords, metrics = datasets_grid_metric("C")
+    grid = Grid(ds, coords=coords, metrics=metrics, autoparse_metadata=False)
+    get_metric = grid.get_metric(ds["v"], ("X", "Y"))
+    np.testing.assert_allclose(_np(get_metric), _np(ds["area_n"]))
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_get_metric_with_conditions_02a(periodic):
+    # Condition 2, case a: interpolate metric with matching axes to the
+    # desired dimensions
+    ds, coords, _ = datasets_grid_metric("C")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        grid = Grid(
+            ds,
+            coords=coords,
+            periodic=periodic,
+            boundary="extend",
+            autoparse_metadata=False,
+        )
+    grid.set_metrics(("X", "Y"), "area_e")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        get_metric = grid.get_metric(ds["v"], ("X", "Y"))
+        expected_metric = grid.interp(ds["area_e"], ("X", "Y"))
+
+    np.testing.assert_allclose(_np(get_metric), _np(expected_metric))
+
+
+def test_get_metric_with_conditions_02b():
+    # Condition 2, case b: select the metric with matching axes and
+    # interpolate from there, even if other metrics in the desired
+    # positions are available
+    ds, coords, _ = datasets_grid_metric("C")
+    grid = Grid(ds, coords=coords, autoparse_metadata=False)
+    grid.set_metrics(("X", "Y"), "area_e")
+    grid.set_metrics(("X"), "dx_n")
+    grid.set_metrics(("Y"), "dx_n")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        get_metric = grid.get_metric(ds["v"], ("X", "Y"))
+        # condition 2 interpolates with boundary="extend" regardless of the
+        # grid default (reference grid.py:497-500)
+        expected_metric = grid.interp(ds["area_e"], ("X", "Y"), boundary="extend")
+
+    np.testing.assert_allclose(_np(get_metric), _np(expected_metric))
+
+
+def test_get_metric_with_conditions_03a():
+    # Condition 3: use provided metrics with matching dimensions to
+    # calculate the required metric
+    ds, coords, _ = datasets_grid_metric("C")
+    grid = Grid(ds, coords=coords, autoparse_metadata=False)
+    grid.set_metrics(("X"), "dx_n")
+    grid.set_metrics(("Y"), "dy_n")
+
+    get_metric = grid.get_metric(ds["v"], ("X", "Y"))
+    expected = np.asarray(ds["dy_n"].data)[:, None] * np.asarray(ds["dx_n"].data)[None, :]
+    np.testing.assert_allclose(
+        _np(get_metric.transpose("yu", "xt")), expected
+    )
+
+
+def test_get_metric_with_conditions_03b():
+    ds, coords, _ = datasets_grid_metric("C")
+    grid = Grid(ds, coords=coords, autoparse_metadata=False)
+    grid.set_metrics(("X", "Y"), "area_t")
+    grid.set_metrics(("Z"), "dz_t")
+
+    get_metric = grid.get_metric(ds["tracer"], ("X", "Y", "Z"))
+    expected = (
+        np.asarray(ds["dz_t"].data)[:, None, None]
+        * np.asarray(ds["area_t"].data)[None, :, :]
+    )
+    np.testing.assert_allclose(
+        _np(get_metric.transpose("zt", "yt", "xt")), expected
+    )
+
+
+def test_get_metric_with_conditions_04a():
+    # Condition 4, case a: 1 metric on the wrong position (must interpolate
+    # before multiplying).  Needs genuinely 2-D metrics (reference
+    # datasets.py:597-622): dx_t lives at (yt, xt) while v is at (yu, xt).
+    ds, coords = _ds_2d_metrics()
+    grid = Grid(ds, coords=coords, autoparse_metadata=False)
+    grid.set_metrics(("X"), "dx_t")
+    grid.set_metrics(("Y"), "dx_n")  # (yu, xt): dims already match v
+
+    v = GriddedArray(np.random.rand(3, 4), ("yu", "xt"), name="v")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        get_metric = grid.get_metric(v, ("X", "Y"))
+        # condition 4 interpolates with boundary="extend"
+        # (reference grid.py:519-527)
+        interp_metric = grid.interp(ds["dx_t"], "Y", boundary="extend")
+
+    expected = np.asarray(interp_metric.transpose("yu", "xt").data) * np.asarray(
+        ds["dx_n"].transpose("yu", "xt").data
+    )
+    np.testing.assert_allclose(_np(get_metric.transpose("yu", "xt")), expected)
+
+
+def test_get_metric_with_conditions_04b():
+    # Condition 4, case b: 2 metrics on the wrong position (must interpolate
+    # both before multiplying).  Both dx_t and area_t live at (yt, xt) while
+    # v is at (yu, xt).
+    ds, coords = _ds_2d_metrics()
+    grid = Grid(ds, coords=coords, autoparse_metadata=False)
+    grid.set_metrics(("X"), "dx_t")
+    grid.set_metrics(("Y"), "area_t")  # stand-in dy with dims (yt, xt)
+
+    v = GriddedArray(np.random.rand(3, 4), ("yu", "xt"), name="v")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        get_metric = grid.get_metric(v, ("X", "Y"))
+        # condition 4 interpolates with boundary="extend"
+        # (reference grid.py:519-527)
+        interp_metric_1 = grid.interp(ds["dx_t"], "Y", boundary="extend")
+        interp_metric_2 = grid.interp(ds["area_t"], "Y", boundary="extend")
+
+    expected = np.asarray(
+        interp_metric_1.transpose("yu", "xt").data
+    ) * np.asarray(interp_metric_2.transpose("yu", "xt").data)
+    np.testing.assert_allclose(_np(get_metric.transpose("yu", "xt")), expected)
