@@ -141,15 +141,23 @@ class DataArray:
 
 
 def _coerce_variable(name, value):
-    """Accept a DataArray or the xarray tuple forms (dims, data) /
-    (dims, data, attrs)."""
+    """Accept a DataArray, the xarray tuple forms (dims, data) /
+    (dims, data, attrs), or a bare array (xarray assigns it along the
+    same-named dimension)."""
     if isinstance(value, DataArray):
         return DataArray(
             value.data, dims=value.dims, name=name, attrs=value.attrs
         )
-    dims, data, *rest = value
-    attrs = rest[0] if rest else None
-    return DataArray(data, dims=_as_dims(dims), name=name, attrs=attrs)
+    if (
+        isinstance(value, tuple)
+        and len(value) in (2, 3)
+        and isinstance(value[0], (str, list, tuple))
+    ):
+        dims, data, *rest = value
+        attrs = rest[0] if rest else None
+        return DataArray(data, dims=_as_dims(dims), name=name, attrs=attrs)
+    arr = np.asarray(value)
+    return DataArray(arr, dims=(name,) if arr.ndim == 1 else None, name=name)
 
 
 class Dataset:
