@@ -78,6 +78,13 @@ _QUICK_FILES = {
     "test_sharding.py",
     "test_bench_smoke.py",
     "test_utils.py",
+    # reference-name parity files that run in seconds (pure logic + small
+    # eager arrays) — cheap coverage of the reference's own contracts
+    "test_reference_signature_parity.py",
+    "test_reference_axis_parity.py",
+    "test_reference_metadata_parsers_parity.py",
+    "test_reference_padding_parity.py",
+    "test_reference_faceconnections_parity.py",
 }
 
 
