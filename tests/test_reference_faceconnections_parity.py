@@ -327,3 +327,25 @@ class TestErrors:
         msg = "Padding vector components requires `other_component` input"
         with pytest.raises(ValueError, match=msg):
             grid.diff({"X": ds["u"]}, "X", other_component=None)
+
+
+@pytest.mark.parametrize("face_coord_dim", [True, False])
+def test_create_connected_grid(ds, ds_face_connections_x_to_x, face_coord_dim):
+    if face_coord_dim:
+        # face dim present only through the data vars, no coordinate variable
+        ds = Dataset(
+            coords={k: (v.dims, np.asarray(v.data), dict(v.attrs))
+                    for k, v in ds.coords.items() if k != "face"},
+            data_vars={k: (ds[k].dims, np.asarray(ds[k].data))
+                       for k in ("data_c", "u", "v")},
+        )
+
+    # simplest scenario with one face connection
+    grid = Grid(ds, face_connections=ds_face_connections_x_to_x)
+
+    xaxis = grid.axes["X"]
+    assert xaxis._facedim == "face"
+    assert xaxis._face_connections[0][1][0] == 1
+    assert xaxis._face_connections[0][1][1] is xaxis
+    assert xaxis._face_connections[1][0][0] == 0
+    assert xaxis._face_connections[1][0][1] is xaxis

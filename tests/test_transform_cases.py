@@ -375,3 +375,11 @@ def test_conservative_multidim_target_not_implemented():
             da, "Z", target,
             target_data=tdata, target_dim="s_w", method="conservative",
         )
+
+
+# The reference's high-level runner is named test_grid_transform
+# (test_transform.py:1053-1068) and iterates "all cases except
+# conservative multidim" — exactly what test_transform_case does over
+# CASES.  Alias the exact reference name so the parametrized case table
+# is discoverable under it too.
+test_grid_transform = test_transform_case
