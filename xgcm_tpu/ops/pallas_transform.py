@@ -631,12 +631,24 @@ def supports_fused_conservative(phi, theta, edges, nv: int = 1) -> bool:
     return True
 
 
-def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
+def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m, reassoc=False):
     """One (n+1, C) bounds + (n, C) cells tile -> (m-1, C) rebinned output.
 
     Per-cell scalar state (bounds, thickness, degeneracy, weight) is
     vectorised over (n, C) tiles; the accumulation loop is sequential over
-    cells with (m, C) work per cell, mirroring the linear kernel."""
+    cells with (m, C) work per cell, mirroring the linear kernel.
+
+    ``reassoc=True`` telescopes the mass accumulation: instead of
+    differencing each cell's cumulative-mass fractions inside the loop
+    (``out += w * (frac[1:] - frac[:m-1])``), it accumulates
+    ``F += w * frac`` at all m edges and differences ONCE after the loop.
+    Mathematically identical; the floating-point sum is REASSOCIATED, so
+    results differ from the exact kernel (and the XLA oracle) by f32
+    summation order only (~1e-6 abs on 50-cell columns) — measured 5-22%
+    faster on v5e because the per-cell dependency chain on the output
+    accumulator is one op shorter.  Opt-in via
+    ``transform(..., reassociate=True)``; the default stays bit-exact
+    against the XLA path (the bench.py hardware gate)."""
     f32 = jnp.float32
     C = th_ref.shape[1]
     e = e_ref[:, 0:1].astype(f32)  # (m, 1) bin edges, increasing
@@ -690,6 +702,7 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
     e_all = jnp.broadcast_to(e, (m, C))
 
     out = jnp.zeros((m - 1, C), f32)
+    F = jnp.zeros((m, C), f32)       # reassoc: cumulative mass at ALL edges
     G = jnp.zeros((m - 1, C), f32)   # cells started at-or-below e_up
     L = jnp.zeros((m - 1, C), f32)   # cells ended strictly below e_lo
     for k in range(n):
@@ -701,25 +714,32 @@ def _conservative_kernel(th_ref, ph_ref, e_ref, out_ref, *, n, m):
         z = e_all - tmin_k  # (m, C)
         frac_all = jnp.clip(z * inv_k, 0.0, 1.0)
         z_up = z[1:, :]
-        out = out + w_k * (frac_all[1:, :] - frac_all[: m - 1, :])
+        if reassoc:
+            F = F + w_k * frac_all
+        else:
+            out = out + w_k * (frac_all[1:, :] - frac_all[: m - 1, :])
         out = out + wdeg_k * jnp.where(z_up == zero, one, zero)
         G = G + jnp.where(z_up >= zero, one, zero)
         L = L + jnp.where(e_all[: m - 1, :] > tmax_k, one, zero)
+    if reassoc:
+        out = out + (F[1:, :] - F[: m - 1, :])
     out = jnp.where(G - L > zero, out, f32(jnp.nan))
     out_ref[:, :] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_cols",))
+@functools.partial(jax.jit, static_argnames=("tile_cols", "reassociate"))
 def conservative_fused_T(
     thT: jax.Array,
     phT: jax.Array,
     edges: jax.Array,
     tile_cols: int = 128,
+    reassociate: bool = False,
 ) -> jax.Array:
     """Lanes-major core of :func:`conservative_fused`: (n+1, cols) raw
     bounds + (n, cols) cells into shared increasing bins, returning
     (m-1, cols) — no XLA transposes on the hot path (the layout-aware
-    entry, VERDICT r2 item 4)."""
+    entry, VERDICT r2 item 4).  ``reassociate=True`` selects the
+    telescoped mass accumulator (see :func:`_conservative_kernel`)."""
     n1, cols = thT.shape
     n = n1 - 1
     (m,) = edges.shape
@@ -733,7 +753,7 @@ def conservative_fused_T(
 
     tile = lambda i: (0, i)  # noqa: E731
     return pl.pallas_call(
-        functools.partial(_conservative_kernel, n=n, m=m),
+        functools.partial(_conservative_kernel, n=n, m=m, reassoc=reassociate),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
@@ -750,6 +770,7 @@ def conservative_fused(
     phi: jax.Array,
     edges: jax.Array,
     tile_cols: int = 128,
+    reassociate: bool = False,
 ) -> jax.Array:
     """Conservative rebin of (cols, n) cells with (cols, n+1) RAW bounds
     (NaNs allowed) into (m-1,) shared increasing bins, returning the
@@ -757,14 +778,16 @@ def conservative_fused(
     semantics of :func:`xgcm_tpu.ops.transform.interp_1d_conservative`
     for increasing targets (decreasing targets flip outside)."""
     return conservative_fused_T(
-        theta.T, phi.T, edges, tile_cols=tile_cols
+        theta.T, phi.T, edges, tile_cols=tile_cols, reassociate=reassociate
     ).T
 
 
-def _conservative_multi_kernel(*refs, n, m, nv):
+def _conservative_multi_kernel(*refs, n, m, nv, reassoc=False):
     """Multi-variable conservative rebin: every fraction/step/count term
     depends only on theta, so V variables share the whole selection and
-    each costs just two extra FMAs per cell."""
+    each costs just two extra FMAs per cell.  ``reassoc`` telescopes each
+    variable's mass accumulator exactly as in
+    :func:`_conservative_kernel` (reassociated f32 sums, opt-in)."""
     th_ref = refs[0]
     ph_refs = refs[1 : 1 + nv]
     e_ref = refs[1 + nv]
@@ -814,35 +837,45 @@ def _conservative_multi_kernel(*refs, n, m, nv):
     e_lo = e_all[: m - 1, :]
 
     outs = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
+    Fs = [jnp.zeros((m, C), f32) for _ in range(nv)]  # reassoc accumulators
     counts = [jnp.zeros((m - 1, C), f32) for _ in range(nv)]
     for k in range(n):
         tmin_k = tmin[k : k + 1, :]
         tmax_k = tmax[k : k + 1, :]
         inv_k = inv_full[k : k + 1, :]
         frac_all = jnp.clip((e_all - tmin_k) * inv_k, 0.0, 1.0)
-        dfrac = frac_all[1:, :] - frac_all[: m - 1, :]
+        if not reassoc:
+            dfrac = frac_all[1:, :] - frac_all[: m - 1, :]
         corr = (e_up == tmin_k).astype(f32)
         g_up = (e_up >= tmin_k).astype(f32)
         h = (e_lo <= tmax_k).astype(f32)
         overlap = g_up * h
         for v in range(nv):
-            outs[v] = (
-                outs[v]
-                + ws[v][k : k + 1, :] * dfrac
-                + wdegs[v][k : k + 1, :] * corr
-            )
+            if reassoc:
+                Fs[v] = Fs[v] + ws[v][k : k + 1, :] * frac_all
+                outs[v] = outs[v] + wdegs[v][k : k + 1, :] * corr
+            else:
+                outs[v] = (
+                    outs[v]
+                    + ws[v][k : k + 1, :] * dfrac
+                    + wdegs[v][k : k + 1, :] * corr
+                )
             counts[v] = counts[v] + vfs[v][k : k + 1, :] * overlap
     for v in range(nv):
-        o = jnp.where(counts[v] > 0, outs[v], f32(jnp.nan))
+        o = outs[v]
+        if reassoc:
+            o = o + (Fs[v][1:, :] - Fs[v][: m - 1, :])
+        o = jnp.where(counts[v] > 0, o, f32(jnp.nan))
         out_refs[v][:, :] = o.astype(out_refs[v].dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_cols",))
+@functools.partial(jax.jit, static_argnames=("tile_cols", "reassociate"))
 def conservative_fused_multi_T(
     thT: jax.Array,
     phTs,
     edges: jax.Array,
     tile_cols: int = 128,
+    reassociate: bool = False,
 ):
     """Lanes-major core of :func:`conservative_fused_multi`: (n+1, cols)
     bounds + (n, cols) variables, tuple of (m-1, cols) outputs, zero XLA
@@ -861,7 +894,9 @@ def conservative_fused_multi_T(
 
     tile = lambda i: (0, i)  # noqa: E731
     outs = pl.pallas_call(
-        functools.partial(_conservative_multi_kernel, n=n, m=m, nv=nv),
+        functools.partial(
+            _conservative_multi_kernel, n=n, m=m, nv=nv, reassoc=reassociate
+        ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((n + 1, C), tile, memory_space=pltpu.VMEM),
@@ -885,28 +920,38 @@ def conservative_fused_multi(
     phis,
     edges: jax.Array,
     tile_cols: int = 128,
+    reassociate: bool = False,
 ):
     """Conservative rebin of several (cols, n) variables with the SAME
     (cols, n+1) raw bounds into shared increasing bins, one kernel pass;
     returns a tuple of (cols, m-1) results with full
     :func:`conservative_fused` semantics per variable."""
     outs = conservative_fused_multi_T(
-        theta.T, tuple(p.T for p in phis), edges, tile_cols=tile_cols
+        theta.T,
+        tuple(p.T for p in phis),
+        edges,
+        tile_cols=tile_cols,
+        reassociate=reassociate,
     )
     return tuple(o.T for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def conservative_fused_multi_ad(theta, phis, edges):
-    """Differentiable front for the multi-variable conservative kernel."""
-    return conservative_fused_multi(theta, phis, edges)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conservative_fused_multi_ad(theta, phis, edges, reassociate=False):
+    """Differentiable front for the multi-variable conservative kernel.
+    ``reassociate`` only affects the forward kernel (the backward
+    differentiates the exact jnp formulation either way)."""
+    return conservative_fused_multi(theta, phis, edges, reassociate=reassociate)
 
 
-def _cfm_fwd(theta, phis, edges):
-    return conservative_fused_multi(theta, phis, edges), (theta, phis, edges)
+def _cfm_fwd(theta, phis, edges, reassociate=False):
+    return (
+        conservative_fused_multi(theta, phis, edges, reassociate=reassociate),
+        (theta, phis, edges),
+    )
 
 
-def _cfm_bwd(res, gs):
+def _cfm_bwd(reassociate, res, gs):
     theta, phis, edges = res
     from .transform import _conservative_rebin
 
@@ -929,18 +974,22 @@ def _cfm_bwd(res, gs):
 conservative_fused_multi_ad.defvjp(_cfm_fwd, _cfm_bwd)
 
 
-@jax.custom_vjp
-def conservative_fused_ad(theta, phi, edges):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conservative_fused_ad(theta, phi, edges, reassociate=False):
     """Differentiable front for the fused conservative kernel (backward
-    differentiates the jnp formulation in ops.transform)."""
-    return conservative_fused(theta, phi, edges)
+    differentiates the jnp formulation in ops.transform).  ``reassociate``
+    selects the telescoped forward kernel (reassociated f32 sums)."""
+    return conservative_fused(theta, phi, edges, reassociate=reassociate)
 
 
-def _cf_fwd(theta, phi, edges):
-    return conservative_fused(theta, phi, edges), (theta, phi, edges)
+def _cf_fwd(theta, phi, edges, reassociate=False):
+    return (
+        conservative_fused(theta, phi, edges, reassociate=reassociate),
+        (theta, phi, edges),
+    )
 
 
-def _cf_bwd(res, g):
+def _cf_bwd(reassociate, res, g):
     theta, phi, edges = res
     from .transform import _conservative_rebin
 
@@ -1030,17 +1079,20 @@ def _ilfT_bwd(mask_edges, check_flip, res, g):
 interp_linear_fused_T_ad.defvjp(_ilfT_fwd, _ilfT_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def conservative_fused_T_ad(thT, phT, edges):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conservative_fused_T_ad(thT, phT, edges, reassociate=False):
     """Differentiable front for :func:`conservative_fused_T`."""
-    return conservative_fused_T(thT, phT, edges)
+    return conservative_fused_T(thT, phT, edges, reassociate=reassociate)
 
 
-def _cfT_fwd(thT, phT, edges):
-    return conservative_fused_T(thT, phT, edges), (thT, phT, edges)
+def _cfT_fwd(thT, phT, edges, reassociate=False):
+    return (
+        conservative_fused_T(thT, phT, edges, reassociate=reassociate),
+        (thT, phT, edges),
+    )
 
 
-def _cfT_bwd(res, g):
+def _cfT_bwd(reassociate, res, g):
     thT, phT, edges = res
     from .transform import _conservative_rebin
 
@@ -1098,17 +1150,20 @@ def _ilfmT_bwd(mask_edges, check_flip, res, gs):
 interp_linear_fused_multi_T_ad.defvjp(_ilfmT_fwd, _ilfmT_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def conservative_fused_multi_T_ad(thT, phTs, edges):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conservative_fused_multi_T_ad(thT, phTs, edges, reassociate=False):
     """Differentiable front for :func:`conservative_fused_multi_T`."""
-    return conservative_fused_multi_T(thT, phTs, edges)
+    return conservative_fused_multi_T(thT, phTs, edges, reassociate=reassociate)
 
 
-def _cfmT_fwd(thT, phTs, edges):
-    return conservative_fused_multi_T(thT, phTs, edges), (thT, phTs, edges)
+def _cfmT_fwd(thT, phTs, edges, reassociate=False):
+    return (
+        conservative_fused_multi_T(thT, phTs, edges, reassociate=reassociate),
+        (thT, phTs, edges),
+    )
 
 
-def _cfmT_bwd(res, gs):
+def _cfmT_bwd(reassociate, res, gs):
     thT, phTs, edges = res
     from .transform import _conservative_rebin
 

