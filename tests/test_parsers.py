@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from xgcm_tpu import Dataset, Grid
-from xgcm_tpu.parsers import comodo, metadata, sgrid
+from xgcm_tpu.parsers import cf, comodo, metadata, sgrid
 
 
 def comodo_ds():
@@ -253,3 +253,134 @@ class TestSgrid3D:
     def test_grid_construction(self):
         grid = Grid(sgrid_3d_ds())
         assert set(grid.axes) == {"X", "Y", "Z"}
+
+
+# ---------------------------------------------------------------------------
+# CF-conventions fallback parser (beyond reference: the reference stubs
+# cf_parser, metadata_parsers.py:100-119, and never calls it)
+# ---------------------------------------------------------------------------
+
+
+def cf_ds():
+    """CMIP/NEMO-style dataset: CF attrs only, no COMODO attrs anywhere."""
+    nx, ny, nz = 6, 5, 4
+    return Dataset(
+        coords={
+            "lon": ("lon", np.linspace(0.5, 5.5, nx),
+                    {"standard_name": "longitude", "units": "degrees_east"}),
+            "lat": ("lat", np.linspace(-2, 2, ny),
+                    {"units": "degrees_north"}),
+            "depth": ("depth", np.arange(nz) + 0.5,
+                      {"units": "m", "positive": "down"}),
+            "depth_bnds": ("depth_bnds", np.arange(nz + 1) * 1.0,
+                           {"units": "m", "positive": "down"}),
+            "time": ("time", np.arange(3) * 1.0,
+                     {"units": "days since 2000-01-01"}),
+        },
+        data_vars={
+            "thetao": (("time", "depth", "lat", "lon"),
+                       np.zeros((3, nz, ny, nx))),
+        },
+    )
+
+
+class TestCFParser:
+    def test_get_all_axes(self):
+        assert cf.get_all_axes(cf_ds()) == {"X", "Y", "Z", "T"}
+
+    def test_standard_name_units_positive(self):
+        ds = cf_ds()
+        assert cf.get_axis_positions_and_coords(ds, "X") == {"center": "lon"}
+        assert cf.get_axis_positions_and_coords(ds, "Y") == {"center": "lat"}
+        assert cf.get_axis_positions_and_coords(ds, "T") == {"center": "time"}
+
+    def test_center_outer_from_lengths(self):
+        # depth (n, a data dim) + depth_bnds (n+1) -> center/outer
+        assert cf.get_axis_positions_and_coords(cf_ds(), "Z") == {
+            "center": "depth",
+            "outer": "depth_bnds",
+        }
+
+    def test_inner_when_longer_coord_is_data_dim(self):
+        ds = Dataset(
+            coords={
+                "z": ("z", np.arange(5) + 0.5, {"positive": "down"}),
+                "zi": ("zi", np.arange(4) + 1.0, {"positive": "down"}),
+            },
+            data_vars={"w": (("z",), np.zeros(5))},
+        )
+        assert cf.get_axis_positions_and_coords(ds, "Z") == {
+            "center": "z",
+            "inner": "zi",
+        }
+
+    def test_cartesian_axis_mom6_style(self):
+        ds = Dataset(
+            coords={"xh": ("xh", np.arange(4) + 0.5, {"cartesian_axis": "X"})}
+        )
+        assert cf.get_all_axes(ds) == {"X"}
+
+    def test_same_length_pair_is_ambiguous(self):
+        ds = Dataset(
+            coords={
+                "lonc": ("lonc", np.arange(4) + 0.5, {"units": "degrees_east"}),
+                "long": ("long", np.arange(4) * 1.0, {"units": "degrees_east"}),
+            }
+        )
+        with pytest.raises(ValueError, match="not expressible in CF"):
+            cf.get_axis_positions_and_coords(ds, "X")
+        # the fallback parser skips the undecidable axis instead of raising
+        _, kwargs = cf.cf_parser(ds)
+        assert kwargs == {"coords": {}}
+
+    def test_comodo_attrs_excluded(self):
+        # coordinates with COMODO attrs are NOT CF candidates
+        assert cf.get_all_axes(comodo_ds()) == set()
+
+    def test_grid_construction_end_to_end(self):
+        grid = Grid(cf_ds())
+        assert set(grid.axes) == {"X", "Y", "Z", "T"}
+        assert grid.axes["Z"].coords == {"center": "depth", "outer": "depth_bnds"}
+
+    def test_comodo_axis_wins_cf_adds_missing(self):
+        # X declared via COMODO, Y only via CF units: both parsed, COMODO
+        # version of X kept
+        ds = Dataset(
+            coords={
+                "XC": ("XC", np.arange(6) + 0.5, {"axis": "X"}),
+                "XG": ("XG", np.arange(6) * 1.0,
+                       {"axis": "X", "c_grid_axis_shift": -0.5}),
+                "lat": ("lat", np.arange(5) * 1.0, {"units": "degrees_north"}),
+            }
+        )
+        _, kwargs = metadata.parse_metadata(ds)
+        assert kwargs["coords"]["X"] == {"center": "XC", "left": "XG"}
+        assert kwargs["coords"]["Y"] == {"center": "lat"}
+
+    def test_cf_never_overrides_claimed_dim(self):
+        # a dim already claimed by a COMODO axis cannot be re-used by CF
+        # even under a different axis letter
+        ds = Dataset(
+            coords={
+                "XC": ("XC", np.arange(6) + 0.5,
+                       {"axis": "W", "standard_name": "longitude"}),
+            }
+        )
+        _, kwargs = metadata.parse_metadata(ds)
+        assert set(kwargs["coords"]) == {"W"}
+
+    def test_transform_on_cf_grid(self):
+        # the autoparsed CF grid drives a real op end to end
+        from xgcm_tpu import GriddedArray
+
+        ds = cf_ds()
+        grid = Grid(ds, periodic=False, autoparse_metadata=True)
+        q = GriddedArray(np.arange(4) * 1.0 + 1.0, ("depth",), name="q")
+        sig = GriddedArray(np.linspace(20, 30, 5), ("depth_bnds",), name="s")
+        out = grid.transform(
+            q, "Z", np.linspace(19, 31, 7), target_data=sig,
+            method="conservative",
+        )
+        np.testing.assert_allclose(
+            np.nansum(np.asarray(out.data)), float(np.sum(q.data))
+        )

@@ -1,21 +1,38 @@
 """Convention-dispatch for automatic grid construction.
 
 Hierarchy (reference ``metadata_parsers.py:4-45``): SGRID when the dataset
-declares it, otherwise COMODO.  A CF-conventions hook is stubbed for future
-expansion, mirroring the reference placeholder.
+declares it, otherwise COMODO — plus a CF-conventions FALLBACK that the
+reference only stubbed (``metadata_parsers.py:100-119``, upstream #568):
+axes COMODO could not find may be added from CF ``standard_name`` /
+``units`` / ``positive`` metadata (see :mod:`.cf`), but never override a
+COMODO axis or touch a dimension one already claimed.
 """
 
 from __future__ import annotations
 
 from ..core.dataset import Dataset
 from . import comodo, sgrid
+from .cf import cf_parser  # noqa: F401  (re-exported; reference parity name)
 
 
 def parse_metadata(ds: Dataset):
     """Returns (ds, grid_kwargs) extracted from dataset metadata."""
     if sgrid.assert_valid_sgrid(ds):
         return parse_sgrid(ds)
-    return parse_comodo(ds)
+    ds, grid_kwargs = parse_comodo(ds)
+    ds, cf_kwargs = cf_parser(ds)
+    claimed = {
+        dim
+        for positions in grid_kwargs["coords"].values()
+        for dim in positions.values()
+    }
+    for ax_name, positions in cf_kwargs["coords"].items():
+        if ax_name in grid_kwargs["coords"]:
+            continue
+        if any(d in claimed for d in positions.values()):
+            continue
+        grid_kwargs["coords"][ax_name] = positions
+    return ds, grid_kwargs
 
 
 def parse_sgrid(ds: Dataset):
@@ -35,7 +52,3 @@ def parse_comodo(ds: Dataset):
     return ds, {"coords": parsed_coords}
 
 
-def cf_parser(ds: Dataset):
-    """Placeholder for CF-conventions parsing (reference
-    metadata_parsers.py:100-119)."""
-    return ds, {}
