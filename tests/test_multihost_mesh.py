@@ -1,0 +1,78 @@
+"""Multi-host mesh helpers: ICI-topology-aware mesh construction and the
+jax.distributed bootstrap wrapper.
+
+Real multi-host cannot run in CI; what CAN be pinned is the single-process
+contract (``init_distributed`` is a safe no-op), that
+``make_multihost_mesh`` builds a full-device mesh through
+``mesh_utils.create_device_mesh`` (the ICI-aware assignment), and that
+ops on such a mesh keep the sharded == single-device equivalence that
+every other mesh in the suite guarantees.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xgcm_tpu import Dataset, Grid, GriddedArray
+from xgcm_tpu.parallel import (
+    ShardedGrid,
+    init_distributed,
+    make_multihost_mesh,
+    shard_gridded,
+)
+
+pytestmark = pytest.mark.quick
+
+
+def test_init_distributed_single_process_noop():
+    # no coordinator derivable on a single-process CPU run: returns False
+    # instead of raising, so library code can call it unconditionally
+    assert init_distributed() is False
+
+
+def test_make_multihost_mesh_1d():
+    mesh = make_multihost_mesh({"x": 8})
+    assert mesh.axis_names == ("x",)
+    assert mesh.devices.shape == (8,)
+    assert set(mesh.devices.flat) == set(jax.devices())
+
+
+def test_make_multihost_mesh_2d():
+    mesh = make_multihost_mesh({"b": 2, "x": 4})
+    assert mesh.axis_names == ("b", "x")
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_make_multihost_mesh_must_span_all_devices():
+    with pytest.raises(ValueError, match="exactly the global device count"):
+        make_multihost_mesh({"x": 4})
+
+
+def test_dcn_axes_must_be_mesh_axes():
+    with pytest.raises(ValueError, match="not mesh axes"):
+        make_multihost_mesh({"x": 8}, dcn_axes={"y": 2})
+
+
+def test_sharded_op_on_multihost_mesh_matches_single_device():
+    nx, ny = 32, 16
+    ds = Dataset(
+        coords={
+            "xc": ("xc", np.arange(nx) + 0.5, {"axis": "X"}),
+            "xg": ("xg", np.arange(nx) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+            "yc": ("yc", np.arange(ny) + 0.5, {"axis": "Y"}),
+        }
+    )
+    grid = Grid(ds)
+    rng = np.random.default_rng(0)
+    da = GriddedArray(rng.random((ny, nx)), ("yc", "xc"))
+    expected = grid.diff(da, "X")
+
+    mesh = make_multihost_mesh({"x": 8})
+    sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+    da_s = shard_gridded(da, mesh, {"xc": "x"})
+    out = sgrid.diff(da_s, "X")
+    np.testing.assert_allclose(
+        np.asarray(jnp.asarray(out.data)), np.asarray(expected.data)
+    )

@@ -7,7 +7,14 @@ from .face_sharded import (  # noqa: F401
     sharded_face_op,
 )
 from .halo import ring_halo_pad, sharded_cumsum, sharded_op  # noqa: F401
-from .mesh import make_mesh, partition_spec, replicate, shard_gridded  # noqa: F401
+from .mesh import (  # noqa: F401
+    init_distributed,
+    make_mesh,
+    make_multihost_mesh,
+    partition_spec,
+    replicate,
+    shard_gridded,
+)
 from .sharded_grid import ShardedGrid  # noqa: F401
 from .diagnostics import sharded_cgrid_diagnostics  # noqa: F401
 from .sharded_ufunc import sharded_apply_as_grid_ufunc  # noqa: F401

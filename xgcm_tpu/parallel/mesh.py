@@ -21,7 +21,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..core.dataarray import GriddedArray
 
-__all__ = ["make_mesh", "partition_spec", "shard_gridded", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_multihost_mesh",
+    "init_distributed",
+    "partition_spec",
+    "shard_gridded",
+    "replicate",
+]
 
 
 def make_mesh(axes: Mapping[str, int], devices=None) -> Mesh:
@@ -39,6 +46,95 @@ def make_mesh(axes: Mapping[str, int], devices=None) -> Mesh:
             f"{len(devices)} available"
         )
     dev_array = np.array(devices[:size]).reshape(tuple(axes.values()))
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def init_distributed(**kwargs) -> bool:
+    """Initialize the JAX multi-process runtime (multi-host / multi-slice).
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``: on TPU
+    pods the coordinator address, process count, and process id are
+    auto-detected from the environment, so ``init_distributed()`` with no
+    arguments is the whole setup; elsewhere pass ``coordinator_address`` /
+    ``num_processes`` / ``process_id`` through.  Returns True when the
+    runtime was initialized by this call, False when it already was (or
+    when running single-process, where initialization is unnecessary).
+
+    This is the TPU-native analog of the reference's
+    ``dask.distributed.Client`` bootstrap (SURVEY.md §2 #19): after it,
+    ``jax.devices()`` is the GLOBAL device list and the meshes below span
+    all hosts — collectives ride ICI within a slice and DCN across
+    slices.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # already-initialized (idempotence) or single-process contexts
+        # where no coordinator can be inferred
+        if "already" in str(e).lower() or "must be" in str(e).lower():
+            return False
+        raise
+    except ValueError:
+        # no coordinator address derivable: single-process run
+        return False
+    return True
+
+
+def make_multihost_mesh(
+    axes: Mapping[str, int],
+    devices=None,
+    dcn_axes: "Mapping[str, int] | None" = None,
+) -> Mesh:
+    """Create a Mesh over ALL processes' devices, ICI-topology-aware.
+
+    Unlike :func:`make_mesh` (which reshapes the device list in order),
+    this uses ``jax.experimental.mesh_utils`` to assign devices so that
+    neighboring mesh coordinates are ICI neighbors — on a TPU slice the
+    halo ``ppermute`` rings then ride physical links instead of hopping
+    arbitrary devices.
+
+    For multi-slice (DCN-connected) jobs pass ``dcn_axes``: a mapping of
+    mesh-axis name -> number of slices for the axes that should span
+    slices (typically the batch/face axis; keep halo-exchange axes inside
+    a slice).  DCN-spanning axes are placed OUTERMOST, matching
+    ``mesh_utils.create_hybrid_device_mesh`` semantics.
+
+    Call :func:`init_distributed` first in multi-process jobs so
+    ``jax.devices()`` is global.
+    """
+    from jax.experimental import mesh_utils
+
+    if devices is None:
+        devices = jax.devices()
+    size = int(np.prod(list(axes.values())))
+    if dcn_axes:
+        unknown = set(dcn_axes) - set(axes)
+        if unknown:
+            raise ValueError(
+                f"dcn_axes {sorted(unknown)} are not mesh axes "
+                f"({sorted(axes)})"
+            )
+        # hybrid mesh: per-slice (ICI) shape x cross-slice (DCN) shape,
+        # DCN axes outermost in the same axis order
+        names = list(dcn_axes) + [a for a in axes if a not in dcn_axes]
+        ici_shape = [
+            axes[a] // dcn_axes[a] if a in dcn_axes else axes[a]
+            for a in names
+        ]
+        dcn_shape = [dcn_axes.get(a, 1) for a in names]
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices
+        )
+        return Mesh(dev_array, tuple(names))
+    if size != len(devices):
+        raise ValueError(
+            f"mesh {dict(axes)} needs exactly the global device count "
+            f"({len(devices)}); got {size} — make_multihost_mesh spans "
+            "every device (use make_mesh for partial meshes)"
+        )
+    dev_array = mesh_utils.create_device_mesh(
+        tuple(axes.values()), devices=np.asarray(devices)
+    )
     return Mesh(dev_array, tuple(axes.keys()))
 
 
