@@ -609,3 +609,69 @@ def test_autoparse_conflict():
     )
     with pytest.raises(ValueError, match=msg):
         Grid(ds_parsed, coords=grid_kwargs["coords"])
+
+
+@pytest.mark.parametrize("boundary", ["extend", "fill"])
+@pytest.mark.parametrize("variant", ["left", "right", "outer", "inner"])
+def test_cumsum(variant, boundary):
+    """Faithful port of the reference position-shift cumsum expectations
+    (reference test_grid.py:186-225): cumsum to the axis default shift,
+    with the boundary-dependent first element spelled out by hand for
+    every staggering variant."""
+    from .datasets import dataset_1d_inner, dataset_1d_outer
+
+    n = 100
+    if variant == "left":
+        ds = dataset_1d_left()
+    elif variant == "inner":
+        ds = dataset_1d_inner()
+    elif variant == "outer":
+        ds = dataset_1d_outer()
+    else:  # right: the one 1d staggering datasets.py has no builder for
+        ds = Dataset(
+            coords={
+                "XC": ("XC", np.arange(n) + 0.5, {"axis": "X"}),
+                "XG": ("XG", np.arange(1, n + 1) * 1.0,
+                       {"axis": "X", "c_grid_axis_shift": 0.5}),
+            },
+            data_vars={
+                "data_c": ("XC", np.random.rand(n)),
+                "data_g": ("XG", np.random.rand(n)),
+            },
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        grid = Grid(ds, boundary="periodic")
+
+    cumsum_g = grid.cumsum(ds["data_g"], axis="X", to="center", boundary=boundary)
+
+    to = grid.axes["X"].default_shifts["center"]
+    cumsum_c = grid.cumsum(ds["data_c"], axis="X", to=to, boundary=boundary)
+
+    cumsum_c_raw = np.cumsum(np.asarray(ds["data_c"].data))
+    cumsum_g_raw = np.cumsum(np.asarray(ds["data_g"].data))
+    got_c = np.asarray(cumsum_c.data)
+    got_g = np.asarray(cumsum_g.data)
+
+    if to == "right":
+        np.testing.assert_allclose(got_c, cumsum_c_raw)
+        fill_value = 0.0 if boundary == "fill" else cumsum_g_raw[0]
+        np.testing.assert_allclose(
+            got_g, np.hstack([fill_value, cumsum_g_raw[:-1]])
+        )
+    elif to == "left":
+        np.testing.assert_allclose(got_g, cumsum_g_raw)
+        fill_value = 0.0 if boundary == "fill" else cumsum_c_raw[0]
+        np.testing.assert_allclose(
+            got_c, np.hstack([fill_value, cumsum_c_raw[:-1]])
+        )
+    elif to == "inner":
+        np.testing.assert_allclose(got_c, cumsum_c_raw[:-1])
+        fill_value = 0.0 if boundary == "fill" else cumsum_g_raw[0]
+        np.testing.assert_allclose(got_g, np.hstack([fill_value, cumsum_g_raw]))
+    elif to == "outer":
+        np.testing.assert_allclose(got_g, cumsum_g_raw[:-1])
+        fill_value = 0.0 if boundary == "fill" else cumsum_c_raw[0]
+        np.testing.assert_allclose(got_c, np.hstack([fill_value, cumsum_c_raw]))
+    else:
+        raise AssertionError(f"unexpected default shift {to!r}")

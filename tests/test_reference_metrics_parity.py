@@ -187,7 +187,7 @@ def test_set_metric_key_errors(metric_axes, add_metric):
 
 @pytest.mark.parametrize("funcname", ["interp", "diff"])
 @pytest.mark.parametrize("grid_type", ["B", "C"])
-@pytest.mark.parametrize("variable", ["tracer", "u"])
+@pytest.mark.parametrize("variable", ["tracer", "u", "v"])
 @pytest.mark.parametrize(
     "metric_weighted", ["X", ("Y",), ("X", "Y"), ["X", "Y"]]
 )

@@ -111,7 +111,9 @@ class TestParseSignatureFromString:
     @pytest.mark.parametrize(
         "sig_str",
         [
+            "()->()",
             "(X:center)->()",
+            "()->(X:left)",
             "(X:center)->(X:left)",
             "(X:left)->(Y:center)",
             "(X:left),(X:right)->(Y:center)",
