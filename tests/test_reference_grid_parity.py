@@ -675,3 +675,27 @@ def test_cumsum(variant, boundary):
         np.testing.assert_allclose(got_c, np.hstack([fill_value, cumsum_c_raw]))
     else:
         raise AssertionError(f"unexpected default shift {to!r}")
+
+
+class TestConstructorDeprecations:
+    """Grid.__init__ forward-compat warnings (reference grid.py:185-207),
+    including the truthiness quirks: fill_value=0.0 and boundary=None do
+    not warn there either."""
+
+    def test_boundary_rename_warning(self):
+        with pytest.warns(DeprecationWarning, match="renamed\\s+to `padding`"):
+            Grid(dataset_1d_left(), boundary="fill")
+
+    def test_fill_value_nan_default_warning(self):
+        with pytest.warns(DeprecationWarning, match="changed to nan"):
+            Grid(dataset_1d_left(), fill_value=1.0)
+
+    def test_zero_fill_value_does_not_warn(self):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", DeprecationWarning)
+            Grid(dataset_1d_left(), fill_value=0.0)
+
+    def test_no_kwargs_no_deprecations(self):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", DeprecationWarning)
+            Grid(dataset_1d_left())

@@ -129,6 +129,25 @@ class Grid:
                     f"before calling Grid constructer."
                 )
 
+        # reference grid.py:185-207 forward-compat deprecations, truthiness
+        # quirks preserved (fill_value=0.0 / boundary="" do not warn there
+        # either); emitted BEFORE the coords check, like the reference
+        if boundary:
+            warnings.warn(
+                "The `boundary` argument will be renamed "
+                "to `padding` to better reflect the process "
+                "of array padding and avoid confusion with "
+                "physical boundary conditions (e.g. ocean land boundary).",
+                category=DeprecationWarning,
+            )
+        if fill_value:
+            warnings.warn(
+                "The default fill_value will be changed to nan (from 0.0 "
+                "previously) in future versions. Provide `fill_value=0.0` to "
+                "preserve previous behavior.",
+                category=DeprecationWarning,
+            )
+
         if coords is None:
             raise ValueError(
                 "Could not determine Axis names - please provide them in the "
