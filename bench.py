@@ -773,6 +773,31 @@ def main():
         _log(f"conservative bench failed: {e}")
         conservative_gps = None
 
+    # opt-in reassociated (telescoped-accumulator) variant: same op, f32
+    # sums reassociated (docs/performance.md); reported in detail only
+    @jax.jit
+    def cons_reassoc_chained(p, t):
+        def body(_, acc):
+            out = grid_z.transform(
+                xt.GriddedArray(p, ("zc", "col"), name="phi"),
+                "Z",
+                bins_j + jnp.float32(1e-12) * acc,
+                target_data=xt.GriddedArray(t, ("zo", "col"), name="theta"),
+                method="conservative",
+                reassociate=True,
+            ).data
+            return jnp.nansum(out[0:1, :])
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    _log("compiling chained conservative transform (reassociate=True)")
+    try:
+        t_cons_r = time_chained(cons_reassoc_chained, phiT, theta_bT,
+                                register="conservative_reassoc")
+        conservative_reassoc_gps = ncol * nz / t_cons_r
+    except Exception as e:
+        _log(f"reassociated conservative bench failed: {e}")
+        conservative_reassoc_gps = None
+
     # --- config 3: metric-weighted integrate THROUGH THE PUBLIC API:
     # grid.integrate resolves the ("X","Y") metric from the registry
     # (get_metric condition 1) and does the NaN-aware weighted reduce ---
@@ -979,6 +1004,8 @@ def main():
         transform_multi_gps = 4 * ncol * nz / _wt("transform_multi")
     if _wt("conservative"):
         conservative_gps = ncol * nz / _wt("conservative")
+    if _wt("conservative_reassoc"):
+        conservative_reassoc_gps = ncol * nz / _wt("conservative_reassoc")
     if _wt("integrate"):
         integrate_gps = ny * nx / _wt("integrate")
     if _wt("cs_diff"):
@@ -1118,6 +1145,7 @@ def main():
                 if transform_multi_gps else None
             ),
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,
+            "transform_conservative_reassoc_Ggps": round(conservative_reassoc_gps / 1e9, 3) if conservative_reassoc_gps else None,
             "integrate_Ggps": round(integrate_gps / 1e9, 3) if integrate_gps else None,
             "cubed_sphere_diff_Ggps": (
                 round(cs_gps / 1e9, 3) if cs_gps else None
