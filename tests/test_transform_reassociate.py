@@ -208,3 +208,49 @@ class TestReassociateAPI:
             grid.transform_multi(
                 [da, da], "Z", np.array([1.0, 2.0]), reassociate=True
             )
+
+
+def test_sharded_transform_accepts_flag():
+    """ShardedGrid.transform forwards reassociate; sharded == unsharded ==
+    exact on the CPU XLA path (the flag only changes the TPU kernel)."""
+    import jax
+
+    from xgcm_tpu.parallel import ShardedGrid, make_mesh, shard_gridded
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    ncol = 16
+    ds = Dataset(
+        coords={
+            "zc": ("zc", np.arange(NZ) + 0.5),
+            "zo": ("zo", np.arange(NZ + 1, dtype=float)),
+            "col": ("col", np.arange(ncol) * 1.0),
+        }
+    )
+    grid = Grid(
+        ds,
+        coords={"Z": {"center": "zc", "outer": "zo"}},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+    rng = np.random.default_rng(4)
+    da = GriddedArray(rng.random((NZ, ncol)), ("zc", "col"), name="q")
+    sig = GriddedArray(
+        np.sort(rng.random((NZ + 1, ncol)), axis=0) * 10, ("zo", "col"),
+        name="s",
+    )
+    bins = np.linspace(-1.0, 11.0, 7)
+
+    base = grid.transform(
+        da, "Z", bins, target_data=sig, method="conservative"
+    )
+    mesh = make_mesh({"m": min(8, len(jax.devices()))})
+    sgrid = ShardedGrid(grid, mesh, {"col": "m"})
+    out = sgrid.transform(
+        shard_gridded(da, mesh, {"col": "m"}), "Z", bins,
+        target_data=shard_gridded(sig, mesh, {"col": "m"}),
+        method="conservative", reassociate=True,
+    )
+    a, b = np.asarray(base.data), np.asarray(out.data)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b))
