@@ -761,6 +761,10 @@ def _check_other_dims(axis, da, target_da):
 def _parse_transform_target(
     grid, axis, da, target, target_dim, target_data_dim, target_data
 ):
+    # NOTE: the reference's "`target_dim` is not within the dimensions of
+    # the target" ValueError (transform.py:435-438) is dead code upstream —
+    # it sits under `if target_dim is None:` so its own condition can never
+    # hold, and no reference test exercises it.  Deliberately not ported.
     if target_data is None:
         target_data = grid._ds.coords.get(target_data_dim) or grid._ds[
             target_data_dim
