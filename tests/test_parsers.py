@@ -384,3 +384,71 @@ class TestCFParser:
         np.testing.assert_allclose(
             np.nansum(np.asarray(out.data)), float(np.sum(q.data))
         )
+
+
+class TestCFBoundsSynthesis:
+    """A CF `bounds` attribute pointing at a contiguous (n, 2) variable
+    synthesizes an (n+1,) outer coordinate — how CMIP output becomes
+    conservative-transform ready without explicit coords=."""
+
+    @staticmethod
+    def _cmip_ds(contiguous=True):
+        nz = 5
+        z_o = np.linspace(0.0, 100.0, nz + 1)
+        bnds = np.stack([z_o[:-1], z_o[1:]], axis=-1)
+        if not contiguous:
+            bnds[2, 0] += 1.0  # gap between cells 1 and 2
+        z_c = bnds.mean(axis=-1)
+        return Dataset(
+            coords={
+                "lev": ("lev", z_c,
+                        {"units": "m", "positive": "down",
+                         "bounds": "lev_bnds"}),
+            },
+            data_vars={
+                "lev_bnds": (("lev", "bnds"), bnds),
+                "thetao": (("lev",), np.arange(nz) * 1.0),
+            },
+        )
+
+    def test_outer_synthesized(self):
+        ds = self._cmip_ds()
+        _, kwargs = cf.cf_parser(ds)
+        assert kwargs["coords"]["Z"] == {"center": "lev", "outer": "lev_outer"}
+
+    def test_grid_carries_synthesized_coord(self):
+        grid = Grid(self._cmip_ds(), periodic=False)
+        assert grid.axes["Z"].coords == {"center": "lev", "outer": "lev_outer"}
+        edges = np.asarray(grid._ds.coords["lev_outer"].data)
+        np.testing.assert_allclose(edges, np.linspace(0.0, 100.0, 6))
+
+    def test_noncontiguous_bounds_skipped(self):
+        ds = self._cmip_ds(contiguous=False)
+        _, kwargs = cf.cf_parser(ds)
+        assert kwargs["coords"]["Z"] == {"center": "lev"}
+
+    def test_conservative_transform_on_cmip_grid(self):
+        from xgcm_tpu import GriddedArray
+
+        grid = Grid(self._cmip_ds(), periodic=False)
+        nz = 5
+        q = GriddedArray(np.arange(nz) * 1.0 + 1.0, ("lev",), name="q")
+        sig = GriddedArray(
+            np.linspace(24.0, 28.0, nz + 1), ("lev_outer",), name="sigma"
+        )
+        out = grid.transform(
+            q, "Z", np.linspace(23.5, 28.5, 6), target_data=sig,
+            method="conservative",
+        )
+        np.testing.assert_allclose(
+            np.nansum(np.asarray(out.data)), float(np.sum(q.data))
+        )
+
+    def test_outer_ops_on_cmip_grid(self):
+        from xgcm_tpu import GriddedArray
+
+        grid = Grid(self._cmip_ds(), periodic=False)
+        q = GriddedArray(np.arange(5) * 1.0, ("lev",), name="q")
+        out = grid.interp(q, "Z", to="outer", boundary="extend")
+        assert out.dims == ("lev_outer",)
+        assert out.shape == (6,)

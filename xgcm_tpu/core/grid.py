@@ -96,6 +96,12 @@ class Grid:
             from ..parsers import metadata
 
             ds, parsed_kwargs = metadata.parse_metadata(ds)
+            # parsers may RETURN an augmented dataset (the CF fallback
+            # synthesizes an outer coordinate from a CF `bounds` variable);
+            # adopt it so grid._ds lookups (coords_for, transform target
+            # resolution) see the new coordinate.  For COMODO/SGRID the
+            # parsers return the input unchanged, like the reference.
+            self._ds = ds
             user_kwargs = {
                 "coords": coords,
                 "fill_value": fill_value,

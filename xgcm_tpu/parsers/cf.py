@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import numpy as np
+
 from ..core.dataset import Dataset
 
 #: CF standard names that pin a coordinate to an axis (CF conventions
@@ -162,6 +164,36 @@ def get_axis_positions_and_coords(ds: Dataset, axis_name: str):
     return OrderedDict(center=short, outer=long_)
 
 
+def synthesize_outer_from_bounds(ds: Dataset, center_name: str):
+    """(n, 2) CF cell-bounds variable -> (n+1,) outer-coordinate values.
+
+    CMIP-archived output expresses staggering through the CF ``bounds``
+    attribute: a center coordinate ``lev`` points at a ``lev_bnds``
+    variable of shape (n, 2).  When those bounds are CONTIGUOUS
+    (``bnds[k, 1] == bnds[k+1, 0]``) and monotonic they are exactly an
+    ``outer`` coordinate, which is what conservative transforms and
+    outer-position ops need.  Returns the (n+1,) edge values, or None
+    when there is no usable bounds variable (missing, wrong shape,
+    non-contiguous — e.g. overlapping or gappy cells — or non-monotonic).
+    """
+    attrs = ds.coords[center_name].attrs
+    bname = attrs.get("bounds")
+    if not bname or bname not in ds:
+        return None
+    bvar = ds[bname]
+    n = ds.coords[center_name].shape[0]
+    if tuple(bvar.shape) != (n, 2):
+        return None
+    vals = np.asarray(bvar.data)
+    if not np.allclose(vals[1:, 0], vals[:-1, 1]):
+        return None
+    edges = np.concatenate([vals[:, 0], vals[-1:, 1]])
+    d = np.diff(edges)
+    if not (np.all(d > 0) or np.all(d < 0)):
+        return None
+    return edges
+
+
 def cf_parser(ds: Dataset):
     """Extract CF grid metadata: (ds, {"coords": {axis: {pos: dim}}}).
 
@@ -169,11 +201,31 @@ def cf_parser(ds: Dataset):
     Undecidable axes are skipped — this parser is a fallback, so a
     dataset that merely *contains* CF-ish attributes must never error
     during autoparse.
+
+    A center-only axis whose coordinate carries a usable CF ``bounds``
+    variable gains a synthesized ``outer`` coordinate named
+    ``<center>_outer`` (the returned dataset carries the new (n+1,)
+    dimension coordinate; the original (n, 2) bounds variable is left
+    untouched) — this is how CMIP output becomes conservative-transform
+    ready without explicit ``coords=``.
     """
     parsed_coords = {}
+    new_coords = {}
     for ax_name in sorted(get_all_axes(ds)):
         try:
-            parsed_coords[ax_name] = get_axis_positions_and_coords(ds, ax_name)
+            positions = get_axis_positions_and_coords(ds, ax_name)
         except ValueError:
             continue
+        if list(positions) == ["center"]:
+            center = positions["center"]
+            edges = synthesize_outer_from_bounds(ds, center)
+            # the (n, 2) bounds variable keeps its name; the synthesized
+            # (n+1,) dimension coordinate gets a collision-free one
+            oname = f"{center}_outer"
+            if edges is not None and oname not in ds.dims and oname not in ds:
+                new_coords[oname] = (oname, edges)
+                positions = OrderedDict(center=center, outer=oname)
+        parsed_coords[ax_name] = positions
+    if new_coords:
+        ds = ds.assign_coords(**new_coords)
     return ds, {"coords": parsed_coords}
