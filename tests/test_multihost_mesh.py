@@ -76,3 +76,57 @@ def test_sharded_op_on_multihost_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(jnp.asarray(out.data)), np.asarray(expected.data)
     )
+
+
+def test_init_distributed_misconfiguration_not_swallowed():
+    """A coordinator WITHOUT a process id is a misconfiguration, not a
+    single-process run — it must raise, not silently degrade the pod job
+    to per-host single-process mode."""
+    with pytest.raises(Exception):
+        init_distributed(
+            coordinator_address="127.0.0.1:65534", num_processes=2
+        )
+
+
+def test_dcn_axes_divisibility_checked():
+    with pytest.raises(ValueError, match="does not divide into"):
+        make_multihost_mesh({"face": 6, "x": 2}, dcn_axes={"face": 4})
+
+
+def test_internal_sharded_grid_reconstruction_emits_no_deprecations():
+    """The per-shard Grid reconstruction passes boundary/fill_value dicts
+    internally; the constructor's forward-compat DeprecationWarnings must
+    not reach users of sharded ops."""
+    import warnings
+
+    from xgcm_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    ds = Dataset(
+        coords={
+            "xc": ("xc", np.arange(16) + 0.5, {"axis": "X"}),
+            "xg": ("xg", np.arange(16) * 1.0,
+                   {"axis": "X", "c_grid_axis_shift": -0.5}),
+        }
+    )
+    grid = Grid(ds)
+    mesh = make_mesh({"x": min(8, len(jax.devices()))})
+    sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
+    da = shard_gridded(
+        GriddedArray(np.arange(16.0), ("xc",)), mesh, {"xc": "x"}
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        sgrid.diff(da, "X")
+
+
+def test_grid_factories_emit_no_deprecations():
+    import warnings
+
+    from xgcm_tpu.grids import llc_grid, mitgcm_c_grid
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        mitgcm_c_grid()
+        llc_grid(n=4)

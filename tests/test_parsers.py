@@ -452,3 +452,23 @@ class TestCFBoundsSynthesis:
         out = grid.interp(q, "Z", to="outer", boundary="extend")
         assert out.dims == ("lev_outer",)
         assert out.shape == (6,)
+
+    def test_datetime_bounds_do_not_crash_autoparse(self):
+        """Non-numeric (datetime64) bounds — the other common CMIP bounds
+        variable — must leave the axis center-only, not crash Grid()."""
+        nt = 4
+        t = np.arange("2000-01", "2000-05", dtype="datetime64[M]")
+        tb = np.stack(
+            [t, t + np.timedelta64(1, "M")], axis=-1
+        )
+        ds = Dataset(
+            coords={
+                "time": ("time", t,
+                         {"standard_name": "time", "bounds": "time_bnds"}),
+                "lev": ("lev", np.arange(3) + 0.5, {"positive": "down"}),
+            },
+            data_vars={"time_bnds": (("time", "bnds"), tb),
+                       "q": (("time", "lev"), np.zeros((nt, 3)))},
+        )
+        grid = Grid(ds, periodic=False)
+        assert grid.axes["T"].coords == {"center": "time"}

@@ -18,6 +18,7 @@ coordinates where meaningful so the metric-weighted ops work out of the box.
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -34,6 +35,15 @@ __all__ = [
 
 _R_EARTH = 6.371e6
 _DEG = np.pi / 180.0
+
+
+def _quiet_grid(*args, **kwargs) -> Grid:
+    """Internal Grid construction: the factory, not the user, chose the
+    boundary/fill_value kwargs, so the constructor's forward-compat
+    DeprecationWarnings must not reach the caller."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        return Grid(*args, **kwargs)
 
 
 def _latlon(nx: int, ny: int):
@@ -75,7 +85,7 @@ def mitgcm_c_grid(
             "drF": (("Z",), drf),
         }
     )
-    grid = Grid(
+    grid = _quiet_grid(
         ds,
         coords={
             "X": {"center": "XC", "left": "XG"},
@@ -119,7 +129,7 @@ def nemo_c_grid(nx: int = 90, ny: int = 40, nz: int = 15) -> Tuple[Dataset, Grid
             "e3t": (("z_c",), e3t),
         }
     )
-    grid = Grid(
+    grid = _quiet_grid(
         ds,
         coords={
             "X": {"center": "x_c", "right": "x_r"},
@@ -148,7 +158,7 @@ def mom6_symmetric_grid(nx: int = 90, ny: int = 40) -> Tuple[Dataset, Grid]:
             "yq": ("yq", lat_q, {"axis": "Y", "c_grid_axis_shift": -0.5}),
         }
     )
-    grid = Grid(
+    grid = _quiet_grid(
         ds,
         coords={
             "X": {"center": "xh", "outer": "xq"},
@@ -201,7 +211,7 @@ def cubed_sphere_grid(n: int = 48) -> Tuple[Dataset, Grid]:
             "face": ("face", np.arange(6)),
         }
     )
-    grid = Grid(
+    grid = _quiet_grid(
         ds,
         face_connections=CUBED_SPHERE_CONNECTIONS,
         periodic=False,
@@ -259,7 +269,7 @@ def llc_grid(n: int = 48) -> Tuple[Dataset, Grid]:
             "face": ("face", np.arange(13)),
         }
     )
-    grid = Grid(
+    grid = _quiet_grid(
         ds,
         face_connections=LLC_CONNECTIONS,
         periodic=False,

@@ -69,14 +69,29 @@ def init_distributed(**kwargs) -> bool:
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        # already-initialized (idempotence) or single-process contexts
-        # where no coordinator can be inferred
-        if "already" in str(e).lower() or "must be" in str(e).lower():
+        # already-initialized (idempotence): JAX raises
+        # "distributed.initialize should only be called once." on the
+        # second call
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
+            return False
+        # "must be called before any JAX calls": benign for the
+        # argument-less convenience call from a single-process program
+        # whose backend is already up (nothing to distribute) — but a
+        # caller who PASSED coordinator kwargs explicitly wanted
+        # multi-process, and silently skipping would degrade the pod
+        # job to per-host single-process mode: propagate there
+        if "must be called before" in msg and not kwargs:
             return False
         raise
-    except ValueError:
-        # no coordinator address derivable: single-process run
-        return False
+    except ValueError as e:
+        # ONLY the no-coordinator case means "single-process run";
+        # other ValueErrors (e.g. coordinator given but process_id
+        # missing) are misconfigurations that must not silently
+        # degrade a pod job to per-host single-process mode
+        if "coordinator_address" in str(e):
+            return False
+        raise
     return True
 
 
@@ -113,6 +128,17 @@ def make_multihost_mesh(
             raise ValueError(
                 f"dcn_axes {sorted(unknown)} are not mesh axes "
                 f"({sorted(axes)})"
+            )
+        for a, n_slices in dcn_axes.items():
+            if axes[a] % n_slices:
+                raise ValueError(
+                    f"dcn axis {a!r}: size {axes[a]} does not divide into "
+                    f"{n_slices} slices"
+                )
+        if size != len(devices):
+            raise ValueError(
+                f"mesh {dict(axes)} needs exactly the global device count "
+                f"({len(devices)}); got {size}"
             )
         # hybrid mesh: per-slice (ICI) shape x cross-slice (DCN) shape,
         # DCN axes outermost in the same axis order

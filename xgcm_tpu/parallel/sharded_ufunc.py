@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Callable, Mapping, Optional, Sequence, Tuple, Union
 
+import warnings
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,15 +133,19 @@ def _local_grid(
         )
         face_connections = grid._face_connections
     ds = Dataset(coords={d: (d, v) for d, v in ds_coords.items()})
-    return Grid(
-        ds,
-        coords=coords_spec,
-        boundary=boundary,
-        fill_value=fill_value,
-        default_shifts=default_shifts,
-        face_connections=face_connections,
-        autoparse_metadata=False,
-    )
+    # internal reconstruction: the user never passed these kwargs here, so
+    # the constructor's forward-compat DeprecationWarnings must not fire
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        return Grid(
+            ds,
+            coords=coords_spec,
+            boundary=boundary,
+            fill_value=fill_value,
+            default_shifts=default_shifts,
+            face_connections=face_connections,
+            autoparse_metadata=False,
+        )
 
 
 def _output_dims(arg_dims, in_core_dims, out_core_dims, sig):

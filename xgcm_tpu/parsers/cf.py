@@ -185,6 +185,12 @@ def synthesize_outer_from_bounds(ds: Dataset, center_name: str):
     if tuple(bvar.shape) != (n, 2):
         return None
     vals = np.asarray(bvar.data)
+    # only NUMERIC bounds are usable as a coordinate for grid ops;
+    # datetime64 / cftime-object time bounds (the other common CMIP
+    # bounds) must not crash autoparse — the axis simply stays
+    # center-only
+    if not np.issubdtype(vals.dtype, np.number):
+        return None
     if not np.allclose(vals[1:, 0], vals[:-1, 1]):
         return None
     edges = np.concatenate([vals[:, 0], vals[-1:, 1]])
@@ -218,7 +224,12 @@ def cf_parser(ds: Dataset):
             continue
         if list(positions) == ["center"]:
             center = positions["center"]
-            edges = synthesize_outer_from_bounds(ds, center)
+            try:
+                edges = synthesize_outer_from_bounds(ds, center)
+            except (TypeError, ValueError):
+                # exotic bounds contents must never break autoparse
+                # (this parser's "never error" fallback contract)
+                edges = None
             # the (n, 2) bounds variable keeps its name; the synthesized
             # (n+1,) dimension coordinate gets a collision-free one
             oname = f"{center}_outer"
