@@ -926,10 +926,11 @@ def main():
     # --- LLC (lat-lon-cap) 13-face topology: the BASELINE.json north-star
     # grid layout (LLC4320-class analysis); same fused face-shift path ---
     llc_gps = None
+    n_llc = 1024  # hoisted: the post-drift-guard rebind and the roofline
+    # accounting below must use the SAME size as the workload
     try:
         from xgcm_tpu.grids import llc_grid
 
-        n_llc = 1024
         ds_llc, grid_llc = llc_grid(n=n_llc)
         llc_data = jnp.asarray(
             rng.rand(13, n_llc, n_llc).astype(np.float32)
@@ -1011,7 +1012,7 @@ def main():
     if _wt("cs_diff"):
         cs_gps = 6 * nface * nface / _wt("cs_diff")
     if _wt("llc_diff"):
-        llc_gps = 13 * 1024 * 1024 / _wt("llc_diff")
+        llc_gps = 13 * n_llc * n_llc / _wt("llc_diff")
 
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; each
@@ -1054,7 +1055,7 @@ def main():
             "shifted_stream_f32_cs",
         ),
         "llc13_diff": _bw(
-            2 * 13 * 1024 * 1024 * 4, llc_gps, 13 * 1024 * 1024,
+            2 * 13 * n_llc * n_llc * 4, llc_gps, 13 * n_llc * n_llc,
             "shifted_stream_f32_llc",
         ),
     }

@@ -318,3 +318,43 @@ def test_to_xarray_reattaches_grid_coords(xds, xr):
     assert set(xvec) == {"X", "Y"}
     assert isinstance(xvec["X"], xr.DataArray)
     assert "XC" in xvec["X"].coords
+
+
+def test_transform_merges_target_data_coords(xr):
+    """Coordinates carried on an xarray target_data that live on dims the
+    output keeps are merged into the result (the reference's xr.apply_ufunc
+    merges coords from ALL inputs, transform.py:237-268) — with the data
+    variable's own coords winning on conflict (first-input-wins)."""
+    nz, nx = 6, 4
+    rs = np.random.RandomState(2)
+    ds = xr.Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    grid = Grid(
+        ds,
+        coords={"Z": {"center": "zc"}},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+    da = xr.DataArray(rs.rand(nz, nx), dims=("zc", "x"), name="temp")
+    sigma = xr.DataArray(
+        np.broadcast_to(np.linspace(20.0, 28.0, nz)[:, None], (nz, nx)).copy(),
+        dims=("zc", "x"),
+        name="s",
+        coords={"lon": ("x", np.linspace(0.0, 3.0, nx))},
+    )
+    target = np.linspace(21.0, 27.0, 4)
+
+    out = grid.transform(da, "Z", target, target_data=sigma)
+    assert "lon" in out.coords, "target_data's non-core coord was dropped"
+    np.testing.assert_allclose(
+        np.asarray(out.coords["lon"].data), np.linspace(0.0, 3.0, nx)
+    )
+
+    # first-input-wins: the data variable's own values beat target_data's
+    da2 = da.assign_coords({"lon": ("x", np.array([9.0, 9.0, 9.0, 9.0]))})
+    out2 = grid.transform(da2, "Z", target, target_data=sigma)
+    np.testing.assert_allclose(
+        np.asarray(out2.coords["lon"].data), 9.0 * np.ones(nx)
+    )
+
+    [outm] = grid.transform_multi([da], "Z", target, target_data=sigma)
+    assert "lon" in outm.coords

@@ -107,11 +107,20 @@ def reattach_coords(
             for k, v in result.items()
         }
 
+    # np.asarray forces a device->host copy; wrapping the jax array as a
+    # duck array would avoid it but behaves inconsistently across xarray
+    # versions (and this image cannot test against real xarray), so the
+    # xarray-out path deliberately pays the copy — it is an eager
+    # convenience surface, not the jit hot path (native GriddedArray
+    # results stay on device).
     res = xr.DataArray(
         np.asarray(result.data), dims=result.dims, name=result.name
     )
 
-    # grid._ds coords whose dims all appear in the result
+    # grid._ds coords whose dims all appear in the result.  (This "dims all
+    # present" rule intentionally also exists in Grid.coords_for and
+    # to_xarray — same contract, three call shapes; change all three
+    # together.)
     all_matching = {
         name: _grid_coord_to_xr(c)
         for name, c in grid._ds.coords.items()

@@ -1095,7 +1095,13 @@ class Grid:
         from ..adapters.xarray_adapter import as_native, collect_xr_inputs
         from ..ops.transform import transform
 
-        return_xr, xr_args = collect_xr_inputs([da])
+        # target_data participates in coord reattachment: the reference's
+        # xr.apply_ufunc merges coords from ALL inputs (transform.py:237-268),
+        # da first (first-input-wins); only an xarray `da` triggers the
+        # xarray round-trip
+        return_xr, xr_args = collect_xr_inputs(
+            [da, kwargs.get("target_data")]
+        )
         orig_target = target
         da = as_native(da)
         target = as_native(target)
@@ -1120,14 +1126,21 @@ class Grid:
 
         orig_das = list(das)
         orig_target = target
+        orig_target_data = kwargs.get("target_data")
         das = [as_native(d) for d in orig_das]
         target = as_native(target)
         if "target_data" in kwargs:
             kwargs["target_data"] = as_native(kwargs["target_data"])
         outs = transform_multi(self, axis, das, target, **kwargs)
         method = kwargs.get("method", "linear")
+        # each variable's coords win over target_data's (first-input-wins,
+        # mirroring Grid.transform)
         outs = [
-            self._transform_to_xarray(o, d, [orig], orig_target, method)
+            self._transform_to_xarray(
+                o, d,
+                [a for a in (orig, orig_target_data) if is_dataarray(a)],
+                orig_target, method,
+            )
             if is_dataarray(orig) else o
             for o, d, orig in zip(outs, das, orig_das)
         ]

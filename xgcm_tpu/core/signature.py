@@ -183,7 +183,14 @@ def _parse_annotations(annotations: List[str]) -> Tuple[AxPosList, AxPosList]:
         # test_invalid_return_arg_annotation (reference
         # test_grid_ufunc.py:155-186).  We raise instead, so those two
         # reference tests pass here without the xfail.
-        if not re.match(f"^{_PAIR_LIST}$", arg.replace(" ", "")):
+        # optional surrounding parentheses are accepted — users copying the
+        # string-signature spelling ("(X:center)") into a type hint parse
+        # fine in the reference's findall-based extractor, so rejecting
+        # them here would be a parity regression, not added strictness
+        bare = arg.replace(" ", "")
+        if bare.startswith("(") and bare.endswith(")"):
+            bare = bare[1:-1]
+        if not re.match(f"^{_PAIR_LIST}$", bare):
             raise ValueError(f"Not a valid grid ufunc signature annotation: {arg}")
         pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", arg)
         names.append(tuple(n for n, _ in pairs))
