@@ -59,8 +59,13 @@ class TestGridCreation:
         assert grid.axes["Y"].boundary == "fill"
 
     def test_periodic_false_means_fill(self):
+        # reference grid.py:195 gates the deprecation on truthiness, so
+        # periodic=False must NOT warn (and neither may anything else)
         ds = dataset_1d_left()
-        with pytest.warns(DeprecationWarning):
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
             grid = Grid(
                 ds,
                 coords={"X": {"center": "XC", "left": "XG"}},

@@ -548,10 +548,16 @@ def test_keep_coords(funcname, gridtype, xr):
         ("fill", {"X": "fill", "Y": "fill"}),
         ("extend", {"X": "extend", "Y": "extend"}),
         ({"X": "extend", "Y": "fill"}, {"X": "extend", "Y": "fill"}),
+        # The reference marks this param `xfail` non-strict (reference
+        # test_grid.py, id="boundary not equal to boundary_expected") —
+        # under it, X-only metrics (dx_t, tracer) xpass because the
+        # mismatched Y boundary is never exercised.  We encode the intent
+        # strictly in the test body instead: when the mismatch is material
+        # (a Y-dim change occurs) the results must DIFFER; when it is not,
+        # the ordinary equality assertions must hold.  No xpass either way.
         pytest.param(
             "fill",
             {"X": "fill", "Y": "extend"},
-            marks=pytest.mark.xfail,
             id="boundary not equal to boundary_expected",
         ),
     ],
@@ -591,9 +597,25 @@ def test_interp_like(
     else:
         expected_metric = ds[metric_name]
     assert interp_metric.dims == expected_metric.dims
-    np.testing.assert_allclose(
-        np.asarray(interp_metric.data), np.asarray(expected_metric.data)
+    boundary_map = (
+        boundary if isinstance(boundary, dict) else {"X": boundary, "Y": boundary}
     )
+    material_mismatch = [
+        ax
+        for ax in axes_with_dim_change
+        if boundary_map.get(ax) != boundary_expected.get(ax)
+    ]
+    if material_mismatch:
+        # strict replacement for the reference's non-strict xfail: a
+        # genuinely different boundary on an interpolated axis must change
+        # the result (fill vs extend disagree at the domain edge)
+        assert not np.allclose(
+            np.asarray(interp_metric.data), np.asarray(expected_metric.data)
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(interp_metric.data), np.asarray(expected_metric.data)
+        )
 
 
 def test_autoparse_conflict():

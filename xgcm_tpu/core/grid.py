@@ -146,6 +146,16 @@ class Grid:
                 "physical boundary conditions (e.g. ocean land boundary).",
                 category=DeprecationWarning,
             )
+        # reference grid.py:195-201 warns `if periodic:` (truthiness, so
+        # False / [] do not warn) between the boundary and fill_value
+        # warnings; our None default preserves legacy behavior silently
+        if periodic:
+            warnings.warn(
+                "The `periodic` argument will be deprecated. "
+                "To preserve previous behavior supply `boundary = 'periodic'.",
+                category=DeprecationWarning,
+            )
+
         if fill_value:
             warnings.warn(
                 "The default fill_value will be changed to nan (from 0.0 "
@@ -166,13 +176,7 @@ class Grid:
 
         # `periodic` survives for backwards compatibility; None = legacy
         # default True without triggering the deprecation path
-        # (reference grid.py:194-237).
-        if periodic is not None:
-            warnings.warn(
-                "The `periodic` argument will be deprecated. "
-                "To preserve previous behavior supply `boundary = 'periodic'.",
-                category=DeprecationWarning,
-            )
+        # (reference grid.py:194-237; warning emitted above, pre-coords-check).
         effective_periodic = True if periodic is None else periodic
         if isinstance(effective_periodic, list):
             periodic_dict: Dict[str, Any] = {ax: True for ax in effective_periodic}

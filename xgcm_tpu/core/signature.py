@@ -183,16 +183,20 @@ def _parse_annotations(annotations: List[str]) -> Tuple[AxPosList, AxPosList]:
         # test_invalid_return_arg_annotation (reference
         # test_grid_ufunc.py:155-186).  We raise instead, so those two
         # reference tests pass here without the xfail.
-        # optional surrounding parentheses are accepted — users copying the
-        # string-signature spelling ("(X:center)") into a type hint parse
-        # fine in the reference's findall-based extractor, so rejecting
-        # them here would be a parity regression, not added strictness
+        # parentheses are accepted anywhere (and at any nesting) — users
+        # copying the string-signature spelling ("(X:center)", "((X:center))",
+        # "(X:center),(Y:left)") into a type hint parse fine in the
+        # reference's findall-based extractor, so rejecting them here would
+        # be a parity regression, not added strictness.  An annotation is a
+        # single argument's pair list, so parens carry no meaning: require
+        # they balance, strip them, and validate the remaining pair list.
         bare = arg.replace(" ", "")
-        if bare.startswith("(") and bare.endswith(")"):
-            bare = bare[1:-1]
+        if bare.count("(") != bare.count(")"):
+            raise ValueError(f"Not a valid grid ufunc signature annotation: {arg}")
+        bare = bare.replace("(", "").replace(")", "")
         if not re.match(f"^{_PAIR_LIST}$", bare):
             raise ValueError(f"Not a valid grid ufunc signature annotation: {arg}")
-        pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", arg)
+        pairs = re.findall(f"({_AXIS_NAME}):({_AXIS_POSITION})", bare)
         names.append(tuple(n for n, _ in pairs))
         positions.append(tuple(p for _, p in pairs))
     return names, positions

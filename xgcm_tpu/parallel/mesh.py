@@ -82,6 +82,31 @@ def init_distributed(**kwargs) -> bool:
         # multi-process, and silently skipping would degrade the pod
         # job to per-host single-process mode: propagate there
         if "must be called before" in msg and not kwargs:
+            # The no-arg call is also the documented happy path ON A POD
+            # (auto-detection).  If the environment says this is a
+            # multi-process job, returning False here would silently run
+            # per-host single-process — make that loud.
+            import os
+            import warnings
+
+            _pod_markers = (
+                "COORDINATOR_ADDRESS",
+                "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES",
+                "TPU_PROCESS_ADDRESSES",
+            )
+            found = [m for m in _pod_markers if os.environ.get(m)]
+            if found:
+                warnings.warn(
+                    "init_distributed() was called after JAX was already "
+                    "used, so the multi-process runtime could NOT be "
+                    f"initialized — but the environment ({', '.join(found)})"
+                    " looks like a multi-host job. This process will run "
+                    "per-host single-process. Call init_distributed() "
+                    "before any other JAX API.",
+                    RuntimeWarning,
+                )
             return False
         raise
     except ValueError as e:

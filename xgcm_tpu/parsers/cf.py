@@ -215,8 +215,26 @@ def cf_parser(ds: Dataset):
     untouched) — this is how CMIP output becomes conservative-transform
     ready without explicit ``coords=``.
     """
-    parsed_coords = {}
+    parsed_coords, proposed = _cf_parse(ds)
     new_coords = {}
+    for ax_coords in proposed.values():
+        new_coords.update(ax_coords)
+    if new_coords:
+        ds = ds.assign_coords(**new_coords)
+    return ds, {"coords": parsed_coords}
+
+
+def _cf_parse(ds: Dataset):
+    """Parse without mutating ``ds``: (parsed_coords, proposed_new_coords).
+
+    ``proposed_new_coords`` maps axis name -> {coord_name: (dim, values)}
+    for the synthesized outer coordinates, so :func:`..metadata.parse_metadata`
+    can assign only the coordinates of axes it actually ACCEPTS — a CF axis
+    rejected there (name or dims already claimed by COMODO) must not leave
+    stray ``<center>_outer`` coordinates in the returned dataset.
+    """
+    parsed_coords = {}
+    proposed = {}
     for ax_name in sorted(get_all_axes(ds)):
         try:
             positions = get_axis_positions_and_coords(ds, ax_name)
@@ -234,9 +252,7 @@ def cf_parser(ds: Dataset):
             # (n+1,) dimension coordinate gets a collision-free one
             oname = f"{center}_outer"
             if edges is not None and oname not in ds.dims and oname not in ds:
-                new_coords[oname] = (oname, edges)
+                proposed[ax_name] = {oname: (oname, edges)}
                 positions = OrderedDict(center=center, outer=oname)
         parsed_coords[ax_name] = positions
-    if new_coords:
-        ds = ds.assign_coords(**new_coords)
-    return ds, {"coords": parsed_coords}
+    return parsed_coords, proposed

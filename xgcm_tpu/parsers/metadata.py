@@ -11,7 +11,7 @@ COMODO axis or touch a dimension one already claimed.
 from __future__ import annotations
 
 from ..core.dataset import Dataset
-from . import comodo, sgrid
+from . import cf, comodo, sgrid
 from .cf import cf_parser  # noqa: F401  (re-exported; reference parity name)
 
 
@@ -20,18 +20,24 @@ def parse_metadata(ds: Dataset):
     if sgrid.assert_valid_sgrid(ds):
         return parse_sgrid(ds)
     ds, grid_kwargs = parse_comodo(ds)
-    ds, cf_kwargs = cf_parser(ds)
+    cf_coords, cf_proposed = cf._cf_parse(ds)
     claimed = {
         dim
         for positions in grid_kwargs["coords"].values()
         for dim in positions.values()
     }
-    for ax_name, positions in cf_kwargs["coords"].items():
+    accepted_new_coords = {}
+    for ax_name, positions in cf_coords.items():
         if ax_name in grid_kwargs["coords"]:
             continue
         if any(d in claimed for d in positions.values()):
             continue
         grid_kwargs["coords"][ax_name] = positions
+        # synthesized outer coordinates are assigned only for ACCEPTED
+        # axes — a rejected CF axis must not leave stray coords in ds
+        accepted_new_coords.update(cf_proposed.get(ax_name, {}))
+    if accepted_new_coords:
+        ds = ds.assign_coords(**accepted_new_coords)
     return ds, grid_kwargs
 
 
