@@ -53,13 +53,34 @@ class DataArray:
     def sizes(self):
         return dict(zip(self.dims, self.data.shape))
 
-    def assign_coords(self, mapping):
+    def assign_coords(self, mapping=None, **kwargs):
+        # real xarray VALIDATES assigned coordinates against the array's
+        # dimension sizes and raises ValueError("conflicting sizes ...");
+        # the adapter's padding-hint rewrap (xarray_adapter.py:141-150 =
+        # reference grid_ufunc.py:1240-1248) catches exactly that message
+        # prefix, so the stub must reproduce the behaviour
+        mapping = dict(mapping or {})
+        mapping.update(kwargs)
         out = DataArray(
             self.data, dims=self.dims, name=self.name, attrs=self.attrs,
             coords=self.coords,
         )
+        sizes = self.sizes
         for k, v in mapping.items():
-            out.coords[k] = _coerce_variable(k, v)
+            var = _coerce_variable(k, v)
+            for d, n in zip(var.dims, var.data.shape):
+                if d not in sizes:
+                    raise ValueError(
+                        "cannot add coordinates with new dimensions to "
+                        f"a DataArray: {d!r}"
+                    )
+                if sizes[d] != n:
+                    raise ValueError(
+                        f"conflicting sizes for dimension {d!r}: length "
+                        f"{sizes[d]} on the data but length {n} on "
+                        f"coordinate {k!r}"
+                    )
+            out.coords[k] = var
         return out
 
     def copy(self):

@@ -168,3 +168,42 @@ def test_transform_xarray_out(xds):
     assert isinstance(out, xr.DataArray)
     assert out.dims == ("s",)
     np.testing.assert_allclose(out["s"].values, target)
+
+
+def test_untrimmed_ufunc_raises_trim_hint(xds):
+    """Twin of the stub-side test: an untrimmed grid ufunc raises the
+    reference's padding hint (reference grid_ufunc.py:1240-1248)."""
+    from xgcm_tpu import apply_as_grid_ufunc
+
+    grid = Grid(xds)
+
+    def no_trim(x):
+        return x
+
+    with pytest.raises(ValueError, match="correctly trim"):
+        apply_as_grid_ufunc(
+            no_trim, xds["temp"],
+            axis=[("X",)],
+            grid=grid,
+            signature="(X:center)->(X:center)",
+            boundary_width={"X": (1, 1)},
+        )
+
+
+def test_reattach_conflicting_sizes_rewrap(xds):
+    """Twin of the stub-side test: the adapter's rewrap branch against
+    REAL xarray's 'conflicting sizes' ValueError."""
+    from xgcm_tpu.adapters.xarray_adapter import reattach_coords
+
+    grid = Grid(xds)
+    bad = GriddedArray(np.zeros((N - 1, N)), ("YC", "XG"), name="z")
+    with pytest.raises(ValueError, match="correctly trim"):
+        reattach_coords(
+            bad, grid, input_args=(), out_core_dim_names={"XG"},
+            boundary_width={"X": (1, 1)},
+        )
+    with pytest.raises(ValueError, match="conflicting sizes"):
+        reattach_coords(
+            bad, grid, input_args=(), out_core_dim_names={"XG"},
+            boundary_width=None,
+        )

@@ -358,3 +358,87 @@ def test_transform_merges_target_data_coords(xr):
 
     [outm] = grid.transform_multi([da], "Z", target, target_data=sigma)
     assert "lon" in outm.coords
+
+
+def test_first_input_wins_coord_precedence(xds, xr):
+    """When several inputs carry the same non-core coord, the first
+    input's version wins (reference #719 convention; 1:1 twin of
+    test_xarray_adapter.py::test_first_input_wins_coord_precedence)."""
+    from xgcm_tpu import apply_as_grid_ufunc
+
+    grid = Grid(xds)
+    a = xds["temp"].assign_coords({"tag": ("YC", np.arange(N) * 1.0)})
+    b = xds["temp"].assign_coords({"tag": ("YC", np.arange(N) * 2.0)})
+
+    def add(x, y):
+        return x + y
+
+    out = apply_as_grid_ufunc(
+        add, a, b,
+        axis=[("X",), ("X",)],
+        grid=grid,
+        signature="(X:center),(X:center)->(X:center)",
+    )
+    assert isinstance(out, xr.DataArray)
+    np.testing.assert_allclose(
+        np.asarray(out.coords["tag"].data), np.arange(N) * 1.0
+    )
+
+
+def test_stub_assign_coords_matches_real_xarray_semantics(xr):
+    """The stub reproduces the two real-xarray assign_coords failure modes
+    the adapter depends on: ValueError starting with 'conflicting sizes'
+    on a size mismatch, and a ValueError on a brand-new dimension."""
+    da = xr.DataArray(np.zeros((3, 4)), dims=("y", "x"))
+    with pytest.raises(ValueError, match="^conflicting sizes"):
+        da.assign_coords({"x": ("x", np.arange(5.0))})
+    with pytest.raises(ValueError, match="new dimensions"):
+        da.assign_coords({"t": ("time", np.arange(2.0))})
+    # the happy paths: mapping and kwargs forms both work
+    ok = da.assign_coords({"x": ("x", np.arange(4.0))})
+    ok = ok.assign_coords(xlabel=("x", np.arange(4.0) + 10))
+    assert "xlabel" in ok.coords
+
+
+def test_untrimmed_ufunc_raises_trim_hint(xds, xr):
+    """A grid ufunc that fails to trim its padding raises the reference's
+    'does your grid ufunc correctly trim' hint (reference
+    grid_ufunc.py:1240-1248)."""
+    from xgcm_tpu import apply_as_grid_ufunc
+
+    grid = Grid(xds)
+
+    def no_trim(x):
+        return x  # keeps the 2 padded elements
+
+    with pytest.raises(ValueError, match="correctly trim"):
+        apply_as_grid_ufunc(
+            no_trim, xds["temp"],
+            axis=[("X",)],
+            grid=grid,
+            signature="(X:center)->(X:center)",
+            boundary_width={"X": (1, 1)},
+        )
+
+
+def test_reattach_conflicting_sizes_rewrap(xds, xr):
+    """The adapter's assign_coords rewrap branch
+    (xarray_adapter.py:141-150): a coord-size conflict with
+    boundary_width set gains the padding hint; without boundary_width the
+    original xarray error propagates unchanged."""
+    from xgcm_tpu.adapters.xarray_adapter import reattach_coords
+
+    grid = Grid(xds)
+    # non-core dim YC is one element short: the grid's YC coord (size N)
+    # conflicts at reattachment
+    bad = GriddedArray(np.zeros((N - 1, N)), ("YC", "XG"), name="z")
+    with pytest.raises(ValueError, match="correctly trim"):
+        reattach_coords(
+            bad, grid, input_args=(), out_core_dim_names={"XG"},
+            boundary_width={"X": (1, 1)},
+        )
+    with pytest.raises(ValueError, match="^conflicting sizes"):
+        reattach_coords(
+            bad, grid, input_args=(), out_core_dim_names={"XG"},
+            boundary_width=None,
+        )
