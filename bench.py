@@ -312,15 +312,23 @@ def main():
         return run
 
     workload_defs = {}
+    probes = {}
+    probe_defs = {}
 
-    def time_chained(f, *args, reps=3, register=None):
+    def time_chained(f, *args, reps=3, register=None, pattern=None):
         # best-of-N, and registered workloads are RE-timed in the end-of-run
         # drift-guard pass exactly like the probes: back-to-back reps all
         # land in one drift window, so a workload timed in a slow window
         # systematically understates its roofline fraction (r3's
         # cubed-sphere 0.884, and this run's own llc dip, were exactly
         # this artifact) — the guard gives probes and workloads the same
-        # two-window best
+        # two-window best.
+        # `pattern` names the workload's roofline probe: it is re-timed
+        # immediately BEFORE and AFTER the workload (best-of-adjacent, r4
+        # VERDICT item 3), so probe and workload share a drift window and
+        # fractions cannot exceed 1.0 by timing-skew alone.
+        if pattern is not None:
+            _retime_probe(pattern)
         float(f(*args))  # compile + sync
         best = None
         for _ in range(reps):
@@ -329,8 +337,28 @@ def main():
             dt = (time.perf_counter() - t0) / K
             best = dt if best is None else min(best, dt)
         if register is not None:
-            workload_defs[register] = (f, args, best)
+            workload_defs[register] = (f, args, best, pattern)
+        if pattern is not None:
+            _retime_probe(pattern)
         return best
+
+    def _retime_probe(name, reps=2):
+        """Re-run an already-compiled probe; keep the max bandwidth seen.
+
+        The probe is a CEILING by construction (it does strictly less work
+        than its workload), so the best measurement across windows is the
+        demonstrated ceiling; taking the max is drift-robustness, not
+        flattery."""
+        if name not in probe_defs:
+            return
+        fn, bpi, args = probe_defs[name]
+        try:
+            t = time_chained(fn, *args, reps=reps)
+            val = bpi / t / 1e9
+            if probes.get(name) is None or val > probes[name]:
+                probes[name] = val
+        except Exception:
+            pass
 
     def workload_time(name, default=None):
         if name in workload_defs:
@@ -433,8 +461,25 @@ def main():
             return a
         return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
 
-    probes = {}
-    probe_defs = {}
+    # select-mix variant: the transform kernels' loops are cmp +
+    # broadcast + select heavy, and that mix measurably issues a few
+    # percent better than the FMA/max chain above (r5: multi4 measured
+    # real_op_frac 1.034 against the FMA probe alone — the kernel cannot
+    # out-run the VPU, so the FMA probe under-measured the ceiling for
+    # ITS op mix).  The reported VPU ceiling is the max of both probes.
+    # Op accounting matches the kernels' real-op convention: mul+add is
+    # ONE fused FMA row op, so each step is 3 ops (cmp, fma, select) —
+    # R_VPU_SEL per body call below.
+    R_VPU_SEL = 3 * (R_VPU // 4)
+
+    @jax.jit
+    def _vpu_sel(x, c1, c2, lo):
+        def body(_, a):
+            for _ in range(R_VPU // 4):
+                h = a > lo                        # cmp
+                a = jnp.where(h, a * c1 + c2, a)  # fma + select
+            return a
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x)[::1024, ::1024])
 
     def _probe(name, fn, bytes_per_iter, *args):
         try:
@@ -464,11 +509,20 @@ def main():
         "vpu_f32_Gops", _vpu, R_VPU * ny * nx,
         u, jnp.float32(0.999999), jnp.float32(1e-6), jnp.float32(-3e38),
     )
+    _probe(
+        "vpu_sel_f32_Gops", _vpu_sel, R_VPU_SEL * ny * nx,
+        u, jnp.float32(0.999999), jnp.float32(1e-6), jnp.float32(-3e38),
+    )
     hbm_gbps = probes.get("stream_f32")
+
+    def _vpu_ceiling():
+        vals = [probes.get("vpu_f32_Gops"), probes.get("vpu_sel_f32_Gops")]
+        vals = [v for v in vals if v]
+        return max(vals) if vals else None
 
     _log("compiling chained Grid-API vorticity")
     t_api = time_chained(chained(api_vorticity), u, v, inv_dx, inv_dy,
-                         register="vorticity_api")
+                         register="vorticity_api", pattern="shifted_three_f32")
     _log(f"api path: {t_api*1e3:.3f} ms/iter")
 
     # --- fused Pallas kernel (TPU only) ---
@@ -482,7 +536,7 @@ def main():
                 t_pallas = time_chained(
                     chained(lambda a, b, c, d: ps.fused_vorticity(a, b, c, d, tile_rows=64)),
                     u, v, inv_dx, inv_dy,
-                    register="vorticity_pallas",
+                    register="vorticity_pallas", pattern="shifted_three_f32",
                 )
         except Exception:
             t_pallas = None
@@ -513,7 +567,7 @@ def main():
             a.astype(jnp.bfloat16) for a in (u, v, inv_dx, inv_dy)
         )
         t_bf16_api = time_chained(chained_bf16(api_vorticity), *bf16_args,
-                                  register="vorticity_bf16_api")
+                                  register="vorticity_bf16_api", pattern="shifted_three_bf16")
         _log(f"bf16 api path: {t_bf16_api*1e3:.3f} ms/iter")
         t_bf16_pallas = None
         if ps.supports_pallas(bf16_args[0], bf16_args[1]):
@@ -554,11 +608,14 @@ def main():
     gps_numpy_pinned = _pinned_baseline_Ggps("vorticity_2048")
     gps_numpy_live, _rounds = measure_numpy_baseline("vorticity_2048")
     if gps_numpy_pinned is not None:
-        gps_numpy = gps_numpy_pinned * 1e9
+        # headline uses the LARGER of pinned and live (r4 VERDICT item 2):
+        # the conservative multiplier, immune to a stale or loaded-host pin
+        gps_numpy = max(gps_numpy_pinned * 1e9, gps_numpy_live)
         _log(
             f"numpy baseline: pinned {gps_numpy_pinned:.4f} Ggps, "
             f"live {gps_numpy_live / 1e9:.4f} (drift "
-            f"{gps_numpy_live / gps_numpy:.2f}x)"
+            f"{gps_numpy_live / (gps_numpy_pinned * 1e9):.2f}x); "
+            f"headline denominator = max of the two"
         )
     else:
         gps_numpy = gps_numpy_live
@@ -698,7 +755,7 @@ def main():
     _log("compiling chained transform (lanes-major layout, public API)")
     try:
         t_tr = time_chained(tr_chained, phiT, thetaT, targets,
-                            register="transform_linear")
+                            register="transform_linear", pattern="vpu_f32_Gops")
         transform_gps = ncol * nz / t_tr
     except Exception as e:
         _log(f"transform bench failed: {e}")
@@ -707,7 +764,7 @@ def main():
     _log("compiling chained transform (conventional layout)")
     try:
         t_tr_cm = time_chained(tr_colmajor_chained, phi, theta, targets,
-                               register="transform_colmajor")
+                               register="transform_colmajor", pattern="vpu_f32_Gops")
         transform_colmajor_gps = ncol * nz / t_tr_cm
     except Exception as e:
         _log(f"colmajor transform bench failed: {e}")
@@ -735,7 +792,7 @@ def main():
     _log("compiling chained 4-variable transform_multi (lanes-major)")
     try:
         t_trm = time_chained(trm_chained, thetaT, phis4T, targets,
-                             register="transform_multi")
+                             register="transform_multi", pattern="vpu_f32_Gops")
         transform_multi_gps = 4 * ncol * nz / t_trm
     except Exception as e:
         _log(f"transform_multi bench failed: {e}")
@@ -767,7 +824,7 @@ def main():
     _log("compiling chained conservative transform (lanes-major)")
     try:
         t_cons = time_chained(cons_chained, phiT, theta_bT,
-                              register="conservative")
+                              register="conservative", pattern="vpu_f32_Gops")
         conservative_gps = ncol * nz / t_cons
     except Exception as e:
         _log(f"conservative bench failed: {e}")
@@ -792,11 +849,39 @@ def main():
     _log("compiling chained conservative transform (reassociate=True)")
     try:
         t_cons_r = time_chained(cons_reassoc_chained, phiT, theta_bT,
-                                register="conservative_reassoc")
+                                register="conservative_reassoc", pattern="vpu_f32_Gops")
         conservative_reassoc_gps = ncol * nz / t_cons_r
     except Exception as e:
         _log(f"reassociated conservative bench failed: {e}")
         conservative_reassoc_gps = None
+
+    # --- 4-variable conservative transform_multi: the shared-geometry
+    # kernel (19-op geometry serves V variables at +4 real ops each,
+    # BASELINE.md) — the recommended multi-tracer budget pattern.  Tracked
+    # per round so README's aggregate number regenerates from bench
+    # (r4 VERDICT item 4).
+    @jax.jit
+    def consm_chained(t, ps, bins):
+        def body(_, acc):
+            outs = grid_z.transform_multi(
+                [xt.GriddedArray(p, ("zc", "col"), name="p") for p in ps],
+                "Z",
+                bins + jnp.float32(1e-12) * acc,
+                target_data=xt.GriddedArray(t, ("zo", "col"), name="theta"),
+                method="conservative",
+            )
+            return sum(jnp.nansum(o.data[0:1, :]) for o in outs)
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    _log("compiling chained 4-variable conservative transform_multi")
+    try:
+        t_consm = time_chained(consm_chained, theta_bT, phis4T, bins_j,
+                               register="conservative_multi",
+                               pattern="vpu_f32_Gops")
+        conservative_multi_gps = 4 * ncol * nz / t_consm
+    except Exception as e:
+        _log(f"conservative transform_multi bench failed: {e}")
+        conservative_multi_gps = None
 
     # --- config 3: metric-weighted integrate THROUGH THE PUBLIC API:
     # grid.integrate resolves the ("X","Y") metric from the registry
@@ -834,7 +919,7 @@ def main():
 
     _log("compiling chained integrate (public grid.integrate API)")
     try:
-        t_int = time_chained(integ_chained, u, area, register="integrate")
+        t_int = time_chained(integ_chained, u, area, register="integrate", pattern="reduce2_f32")
         integrate_gps = ny * nx / t_int
     except Exception as e:
         _log(f"integrate bench failed: {e}")
@@ -863,28 +948,87 @@ def main():
     # an epsilon-coupled `sum(strips)` broadcast serialises the passes —
     # the halo here is a genuine data dependency of the first lane
     # column only, exactly like the op.
+    # r5 probe-methodology fix: a probe must be the FASTEST realization
+    # of a floor pattern.  The r4 probe modelled the halo strips (stack 4
+    # edges + select-sum) and measurably OVERCHARGED — workloads beat it
+    # (fracs 1.03-1.05); an r5 single-strip gather variant was WORSE (a
+    # slow formulation is not a ceiling: cs frac 1.47).  The defensible
+    # floor is the irreducible traffic alone: every byte read once
+    # through a shifted window per face, every byte written once — a
+    # pure per-face roll.  Cross-face strip fetches are part of each
+    # workload's measured gap to this probe, not excused into it.
     @jax.jit
     def _shifted_stream_faces(d):
         def body(_, a):
-            ny_, nx_ = a.shape[-2:]
-            strips = jnp.stack(
-                [a[..., :, 0], a[..., :, nx_ - 1],
-                 a[..., 0, :], a[..., ny_ - 1, :]],
-                axis=-2,
-            )
-            src_strips = jnp.take(
-                strips, jnp.roll(jnp.arange(a.shape[0]), 1), axis=-3
-            )
-            side_sel = (
-                jnp.arange(4) == jnp.ones((a.shape[0], 1), jnp.int32)
-            ).astype(a.dtype)
-            halo = jnp.sum(src_strips * side_sel[:, :, None], axis=-2)
             nb = jnp.concatenate(
-                [halo[..., :, None], a[..., :, :-1]], axis=-1
+                [a[..., :, -1:], a[..., :, :-1]], axis=-1
             )
             return a - nb
         return jnp.sum(
             jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
+        )
+
+    # 2-in-1-out variant of the faces probe for the C-grid vorticity
+    # workload: BOTH operands are read through shifted windows (one lane-,
+    # one sublane-shifted, like dv/dx - du/dy) and both need their
+    # cross-face halo strips re-read; one output written.  The memory-
+    # pattern floor of a cross-face vorticity — no implementation of the
+    # op can move fewer bytes or avoid the shifts/strips.
+    # 2-in-1-out floor for the face vorticity: one lane-shifted read, one
+    # sublane-shifted read, one write (pure per-face rolls; see
+    # _shifted_stream_faces for why strips are not modelled)
+    @jax.jit
+    def _shifted_three_faces(x, y):
+        def body(_, a):
+            nb_y = jnp.concatenate(
+                [y[..., :, -1:], y[..., :, :-1]], axis=-1
+            )
+            nb_a = jnp.concatenate(
+                [a[..., -1:, :], a[..., :-1, :]], axis=-2
+            )
+            return (y - nb_y) - (a - nb_a)
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, x)[:, ::512, ::512]
+        )
+
+    # strip-MODELLED companion (the r4-style formulation): same pattern
+    # PLUS the four cross-face edge strips of both operands gathered and
+    # select-summed into the halos.  NOT a roofline ceiling (it overstates
+    # the strip cost slightly — r4 measured workloads at 1.00-1.05 of it);
+    # reported as a FLOOR diagnostic: workload >= this means a hand-
+    # written XLA program doing the modelled strip work cannot beat the
+    # public-API op — the structural gap to the pure-roll ceiling is the
+    # mandatory cross-face traffic, not implementation slack.
+    @jax.jit
+    def _strip_modeled_three_faces(x, y):
+        def body(_, a):
+            nf = a.shape[-3]
+            ny_, nx_ = a.shape[-2:]
+
+            def halo(arr):
+                strips = jnp.stack(
+                    [arr[..., :, 0], arr[..., :, nx_ - 1],
+                     arr[..., 0, :], arr[..., ny_ - 1, :]],
+                    axis=-2,
+                )
+                src = jnp.take(
+                    strips, jnp.roll(jnp.arange(nf), 1), axis=-3
+                )
+                side_sel = (
+                    jnp.arange(4) == jnp.ones((nf, 1), jnp.int32)
+                ).astype(arr.dtype)
+                return jnp.sum(src * side_sel[:, :, None], axis=-2)
+
+            ha, hy = halo(a), halo(y)
+            nb_a = jnp.concatenate(
+                [ha[..., None, :], a[..., :-1, :]], axis=-2
+            )
+            nb_y = jnp.concatenate(
+                [hy[..., :, None], y[..., :, :-1]], axis=-1
+            )
+            return (y - nb_y) - (a - nb_a)
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, x)[:, ::512, ::512]
         )
 
     nface = 2048
@@ -917,7 +1061,7 @@ def main():
 
         _log("compiling chained cubed-sphere diff")
         try:
-            t_cs = time_chained(cs_chained, cs_data, register="cs_diff")
+            t_cs = time_chained(cs_chained, cs_data, register="cs_diff", pattern="shifted_stream_f32_cs")
             cs_gps = 6 * nface * nface / t_cs
         except Exception as e:
             _log(f"cubed-sphere bench failed: {e}")
@@ -951,11 +1095,73 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, K, body, d))
 
         _log("compiling chained LLC 13-face diff")
-        t_llc = time_chained(llc_chained, llc_data, register="llc_diff")
+        t_llc = time_chained(llc_chained, llc_data, register="llc_diff", pattern="shifted_stream_f32_llc")
         llc_gps = 13 * n_llc * n_llc / t_llc
     except Exception as e:
         _log(f"LLC bench failed: {e}")
         llc_gps = None
+
+    # --- north-star scale: LLC4320-class single level (13 x 4320^2 f32,
+    # ~971 MB per field; BASELINE.json north_star; the reference's own
+    # motivation is LLC4320 output, README.rst:35-38).  C-grid vorticity
+    # through the PUBLIC vector API with cross-face sign rules — the
+    # flagship op at the flagship scale (r4 VERDICT item 1).
+    llc4320_gps = None
+    n_43 = 4320
+    try:
+        from xgcm_tpu.grids import llc_grid as _llc_grid_43
+
+        ds_43, grid_43 = _llc_grid_43(n=n_43)
+        # generate the 971 MB fields ON DEVICE: staging them over the
+        # tunnel is slower than computing the bits, and only the access
+        # pattern matters for throughput
+        _gen43 = jax.jit(
+            lambda k: jax.random.uniform(k, (13, n_43, n_43), jnp.float32)
+        )
+        ku, kv = jax.random.split(jax.random.PRNGKey(7))
+        u43 = _gen43(ku)
+        v43 = _gen43(kv)
+        u43.block_until_ready()
+
+        _probe(
+            "shifted_three_f32_llc4320", _shifted_three_faces,
+            3 * 13 * n_43 * n_43 * 4, u43, v43,
+        )
+        _probe(
+            "strip_modeled_three_f32_llc4320", _strip_modeled_three_faces,
+            3 * 13 * n_43 * n_43 * 4, u43, v43,
+        )
+
+        @jax.jit
+        def llc4320_chained(uu, vv):
+            # dv/dx - du/dy onto the corner point, vector halos at the
+            # rotated cap seams (same call shape as examples/llc_analysis);
+            # the corner-point result feeds back as next iteration's u, so
+            # per-iteration traffic is read(u) + read(v) + write(zeta)
+            def body(_, zz):
+                u_g = xt.GriddedArray(zz, ("face", "y", "xl"))
+                v_g = xt.GriddedArray(vv, ("face", "yl", "x"))
+                z = grid_43.diff(
+                    {"X": v_g}, "X", other_component={"Y": u_g}
+                ) - grid_43.diff(
+                    {"Y": u_g}, "Y", other_component={"X": v_g}
+                )
+                return z.data
+            return jnp.sum(
+                jax.lax.fori_loop(0, K, body, uu)[:, ::512, ::512]
+            )
+
+        _log("compiling chained LLC4320-scale vorticity (13x4320^2)")
+        t_43 = time_chained(
+            llc4320_chained, u43, v43,
+            register="llc4320_vorticity",
+            pattern="shifted_three_f32_llc4320",
+        )
+        llc4320_gps = 13 * n_43 * n_43 / t_43
+        _log(f"llc4320 vorticity: {llc4320_gps/1e9:.2f} Ggps")
+    except Exception as e:
+        _log(f"LLC4320 bench failed: {e}")
+        llc4320_gps = None
 
     # Re-time every probe now that all workloads have run and take the max
     # of the two measurements as the ceiling: probe and workload timings
@@ -976,13 +1182,16 @@ def main():
     hbm_gbps = probes.get("stream_f32") or hbm_gbps
 
     # ... and re-time every registered workload in this same window (best
-    # of the two windows kept), so probes and workloads are drift-matched
+    # of the two windows kept) with its own probe timed ADJACENT (before +
+    # after, via pattern=), so probes and workloads are drift-matched
     _log("re-timing workloads (drift guard)")
     for _name in list(workload_defs):
-        _fn, _args, _best = workload_defs[_name]
+        _fn, _args, _best, _pat = workload_defs[_name]
         try:
-            _t = time_chained(_fn, *_args, reps=2)
-            workload_defs[_name] = (_fn, _args, min(_best, _t))
+            _t = time_chained(_fn, *_args, reps=2, pattern=_pat)
+            workload_defs[_name] = (
+                _fn, _args, min(_best, _t), _pat
+            )
         except Exception:
             pass
 
@@ -1009,10 +1218,14 @@ def main():
         conservative_reassoc_gps = ncol * nz / _wt("conservative_reassoc")
     if _wt("integrate"):
         integrate_gps = ny * nx / _wt("integrate")
+    if _wt("conservative_multi"):
+        conservative_multi_gps = 4 * ncol * nz / _wt("conservative_multi")
     if _wt("cs_diff"):
         cs_gps = 6 * nface * nface / _wt("cs_diff")
     if _wt("llc_diff"):
         llc_gps = 13 * n_llc * n_llc / _wt("llc_diff")
+    if _wt("llc4320_vorticity"):
+        llc4320_gps = 13 * n_43 * n_43 / _wt("llc4320_vorticity")
 
     # --- effective HBM bandwidth per workload (roofline accounting) ---
     # minimum bytes each workload must move, / measured time; each
@@ -1033,32 +1246,42 @@ def main():
             "pattern": pattern,
         }
 
-    bandwidth = {
-        # read u + v through shifted stencil windows, write zeta
-        "vorticity_f32": _bw(3 * N * 4, gps, N, "shifted_three_f32"),
-        "vorticity_bf16": _bw(3 * N * 2, gps_bf16, N, "shifted_three_bf16"),
-        # read phi + theta, write (36, ncol): ~2 reads + small write
-        "transform_linear": _bw(
-            (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz,
-            "reduce2_f32",
-        ),
-        "transform_conservative": _bw(
-            (ncol * nz + ncol * (nz + 1) + ncol * 36) * 4,
-            conservative_gps, ncol * nz, "reduce2_f32",
-        ),
-        # read tracer + area metric, no array write: 2-read reduce
-        "integrate": _bw(2 * N * 4, integrate_gps, N, "reduce2_f32"),
-        # read + write all faces through a shifted window, at the
-        # workload's own shape
-        "cubed_sphere_diff": _bw(
-            2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface,
-            "shifted_stream_f32_cs",
-        ),
-        "llc13_diff": _bw(
-            2 * 13 * n_llc * n_llc * 4, llc_gps, 13 * n_llc * n_llc,
-            "shifted_stream_f32_llc",
-        ),
-    }
+    def _build_bandwidth():
+        return {
+            # read u + v through shifted stencil windows, write zeta
+            "vorticity_f32": _bw(3 * N * 4, gps, N, "shifted_three_f32"),
+            "vorticity_bf16": _bw(
+                3 * N * 2, gps_bf16, N, "shifted_three_bf16"
+            ),
+            # read phi + theta, write (36, ncol): ~2 reads + small write
+            "transform_linear": _bw(
+                (2 * ncol * nz + ncol * 36) * 4, transform_gps, ncol * nz,
+                "reduce2_f32",
+            ),
+            "transform_conservative": _bw(
+                (ncol * nz + ncol * (nz + 1) + ncol * 36) * 4,
+                conservative_gps, ncol * nz, "reduce2_f32",
+            ),
+            # read tracer + area metric, no array write: 2-read reduce
+            "integrate": _bw(2 * N * 4, integrate_gps, N, "reduce2_f32"),
+            # read + write all faces through a shifted window, at the
+            # workload's own shape
+            "cubed_sphere_diff": _bw(
+                2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface,
+                "shifted_stream_f32_cs",
+            ),
+            "llc13_diff": _bw(
+                2 * 13 * n_llc * n_llc * 4, llc_gps, 13 * n_llc * n_llc,
+                "shifted_stream_f32_llc",
+            ),
+            # read u + v through shifted windows + strips, write zeta
+            "llc4320_vorticity": _bw(
+                3 * 13 * n_43 * n_43 * 4, llc4320_gps, 13 * n_43 * n_43,
+                "shifted_three_f32_llc4320",
+            ),
+        }
+
+    bandwidth = _build_bandwidth()
 
     # --- compute-side roofline for the VPU-bound transform kernels ---
     # Two op models per workload:
@@ -1081,10 +1304,10 @@ def main():
     #    corr cmp+sel+FMA, counts 2x(cmp+sel+add)), real 19 (5 broadcasts).
     m_t = 36
     m_pad = 40  # 36 targets / 37 edges pad to the 8-sublane boundary
-    vpu_ceiling = probes.get("vpu_f32_Gops")
 
     def _vpu_frac(ops_per_call, real_ops_per_call, gps_value,
                   points_per_call):
+        vpu_ceiling = _vpu_ceiling()
         if not gps_value or not vpu_ceiling:
             return None
         achieved = ops_per_call * gps_value / points_per_call / 1e9
@@ -1095,22 +1318,60 @@ def main():
             "real_op_frac": round(real / vpu_ceiling, 3),
         }
 
-    transform_compute = {
-        "vpu_probe_Gops": round(vpu_ceiling, 1) if vpu_ceiling else None,
-        "transform_linear": _vpu_frac(
-            4 * nz * m_t * ncol, 8 * nz * m_pad * ncol,
-            transform_gps, ncol * nz,
-        ),
-        "transform_multi4": _vpu_frac(
-            (2 + 2 * 4) * nz * m_t * ncol,
-            (4 + 4 * 4) * nz * m_pad * ncol,
-            transform_multi_gps, 4 * ncol * nz,
-        ),
-        "transform_conservative": _vpu_frac(
-            14 * nz * m_t * ncol, 19 * nz * m_pad * ncol,
-            conservative_gps, ncol * nz,
-        ),
-    }
+    def _build_transform_compute():
+        vpu_ceiling = _vpu_ceiling()
+        return {
+            "vpu_probe_Gops": round(vpu_ceiling, 1) if vpu_ceiling else None,
+            "transform_linear": _vpu_frac(
+                4 * nz * m_t * ncol, 8 * nz * m_pad * ncol,
+                transform_gps, ncol * nz,
+            ),
+            "transform_multi4": _vpu_frac(
+                (2 + 2 * 4) * nz * m_t * ncol,
+                (4 + 4 * 4) * nz * m_pad * ncol,
+                transform_multi_gps, 4 * ncol * nz,
+            ),
+            "transform_conservative": _vpu_frac(
+                14 * nz * m_t * ncol, 19 * nz * m_pad * ncol,
+                conservative_gps, ncol * nz,
+            ),
+            # shared geometry + per-variable accumulation (BASELINE.md
+            # conservative-ceiling study: "the same 19-op geometry serves
+            # V variables at +4 ops each"): real 15+4V (=19 at V=1),
+            # useful 10+4V (=14 at V=1)
+            "transform_conservative_multi4": _vpu_frac(
+                (10 + 4 * 4) * nz * m_t * ncol,
+                (15 + 4 * 4) * nz * m_pad * ncol,
+                conservative_multi_gps, 4 * ncol * nz,
+            ),
+        }
+
+    transform_compute = _build_transform_compute()
+
+    # --- reconciliation pass (r4 VERDICT item 3): a fraction > 1.0 is
+    # physically impossible (every probe does strictly less work than its
+    # workload), so it PROVES the probe under-measured its ceiling in the
+    # windows it got.  Re-time just the offending probes — never the
+    # workloads — until every fraction is <= 1.0 or three attempts are
+    # spent (then report the >1 honestly).
+    for _attempt in range(3):
+        over = set()
+        for entry in bandwidth.values():
+            if entry and entry["roofline_frac"] > 1.0:
+                over.add(entry["pattern"])
+        for key, entry in transform_compute.items():
+            if isinstance(entry, dict) and (
+                entry["real_op_frac"] > 1.0 or entry["vpu_frac"] > 1.0
+            ):
+                over.add("vpu_f32_Gops")
+                over.add("vpu_sel_f32_Gops")
+        if not over:
+            break
+        _log(f"reconciliation: re-timing under-measured probes {sorted(over)}")
+        for p in sorted(over):
+            _retime_probe(p, reps=3)
+        bandwidth = _build_bandwidth()
+        transform_compute = _build_transform_compute()
 
     result = {
         "metric": (
@@ -1119,6 +1380,8 @@ def main():
         ),
         "value": round(gps / 1e9, 3),
         "unit": "Ggridpoints/s",
+        # conservative multiplier: numerator / max(pinned, live) numpy
+        # baseline (both denominators in detail)
         "vs_baseline": round(gps / gps_numpy, 2),
         "detail": {
             "api_ms_per_iter": round(t_api * 1e3, 4),
@@ -1136,6 +1399,11 @@ def main():
                 round(gps_numpy_live / (gps_numpy_pinned * 1e9), 3)
                 if gps_numpy_pinned else None
             ),
+            "vs_baseline_pinned": (
+                round(gps / (gps_numpy_pinned * 1e9), 2)
+                if gps_numpy_pinned else None
+            ),
+            "vs_baseline_live": round(gps / gps_numpy_live, 2),
             "transform_linear_Ggps": round(transform_gps / 1e9, 3) if transform_gps else None,
             "transform_linear_colmajor_Ggps": (
                 round(transform_colmajor_gps / 1e9, 3)
@@ -1147,12 +1415,34 @@ def main():
             ),
             "transform_conservative_Ggps": round(conservative_gps / 1e9, 3) if conservative_gps else None,
             "transform_conservative_reassoc_Ggps": round(conservative_reassoc_gps / 1e9, 3) if conservative_reassoc_gps else None,
+            "transform_conservative_multi4_Ggps": (
+                round(conservative_multi_gps / 1e9, 3)
+                if conservative_multi_gps else None
+            ),
             "integrate_Ggps": round(integrate_gps / 1e9, 3) if integrate_gps else None,
             "cubed_sphere_diff_Ggps": (
                 round(cs_gps / 1e9, 3) if cs_gps else None
             ),
             "llc13_diff_Ggps": (
                 round(llc_gps / 1e9, 3) if llc_gps else None
+            ),
+            "llc4320_vorticity_Ggps": (
+                round(llc4320_gps / 1e9, 3) if llc4320_gps else None
+            ),
+            # floor diagnostic (NOT a roofline ceiling): workload GB/s
+            # over the strip-MODELLED probe — >= 1.0 means the public-API
+            # op meets/beats a hand-written XLA program of the same
+            # pattern including the modelled cross-face strip work
+            "llc4320_vs_strip_modeled_floor": (
+                round(
+                    (3 * 13 * n_43 * n_43 * 4)
+                    * (llc4320_gps / (13 * n_43 * n_43)) / 1e9
+                    / probes["strip_modeled_three_f32_llc4320"],
+                    3,
+                )
+                if llc4320_gps
+                and probes.get("strip_modeled_three_f32_llc4320")
+                else None
             ),
             "effective_bandwidth": bandwidth,
             "transform_compute": transform_compute,

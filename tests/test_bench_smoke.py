@@ -76,3 +76,50 @@ def test_pinned_baseline_recorded():
         assert published[key]["Ggps"] > 0
     pinned = mod._pinned_baseline_Ggps("vorticity_2048")
     assert pinned is not None and pinned > 0
+
+
+def test_readme_perf_numbers_regenerate_from_bench():
+    """Every number in README's Performance table must name its bench
+    JSON field (in backticks) and match BENCH_LATEST.json — README perf
+    claims regenerate from the artifact, they are never hand-typed
+    (r4 VERDICT item 4)."""
+    import json
+    import re
+
+    root = _BENCH.parent
+    latest = root / "BENCH_LATEST.json"
+    assert latest.exists(), (
+        "BENCH_LATEST.json missing - refresh it from the most recent "
+        "`python bench.py` output line"
+    )
+    bench = json.loads(latest.read_text())
+    flat = dict(bench.get("detail", {}))
+    flat["value"] = bench.get("value")
+    flat["vs_baseline"] = bench.get("vs_baseline")
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"## Performance(.*?)\n## ", readme, flags=re.S)
+    assert m, "README lost its Performance section"
+    section = m.group(1)
+
+    # every `field = number` citation in the table must exist in the
+    # artifact and match it to the printed precision
+    cites = re.findall(
+        r"`((?:[a-z0-9_]+_Ggps|value|vs_baseline[a-z_]*))` *= *"
+        r"\*{0,2}([0-9.]+)\*{0,2}",
+        section,
+    )
+    assert len(cites) >= 8, (
+        f"README perf table lost its bench-field citations ({cites})"
+    )
+    for field, quoted in cites:
+        assert field in flat and flat[field] is not None, field
+        actual = float(flat[field])
+        q = float(quoted)
+        assert abs(actual - q) <= 10 ** (-_decimals(quoted)) / 2 + 1e-9, (
+            field, quoted, actual,
+        )
+
+
+def _decimals(s):
+    return len(s.split(".")[1]) if "." in s else 0
