@@ -991,14 +991,39 @@ def main():
             jax.lax.fori_loop(0, K, body, x)[:, ::512, ::512]
         )
 
-    # strip-MODELLED companion (the r4-style formulation): same pattern
-    # PLUS the four cross-face edge strips of both operands gathered and
-    # select-summed into the halos.  NOT a roofline ceiling (it overstates
-    # the strip cost slightly — r4 measured workloads at 1.00-1.05 of it);
-    # reported as a FLOOR diagnostic: workload >= this means a hand-
+    # strip-MODELLED companions (the r4-style formulation): same pattern
+    # PLUS the four cross-face edge strips gathered and select-summed
+    # into the halos.  NOT roofline ceilings (they overstate the strip
+    # cost slightly — r4 measured workloads at 1.00-1.05 of them);
+    # reported as FLOOR diagnostics: workload >= floor means a hand-
     # written XLA program doing the modelled strip work cannot beat the
     # public-API op — the structural gap to the pure-roll ceiling is the
     # mandatory cross-face traffic, not implementation slack.
+    @jax.jit
+    def _strip_modeled_stream_faces(d):
+        def body(_, a):
+            nf = a.shape[-3]
+            ny_, nx_ = a.shape[-2:]
+            strips = jnp.stack(
+                [a[..., :, 0], a[..., :, nx_ - 1],
+                 a[..., 0, :], a[..., ny_ - 1, :]],
+                axis=-2,
+            )
+            src = jnp.take(
+                strips, jnp.roll(jnp.arange(nf), 1), axis=-3
+            )
+            side_sel = (
+                jnp.arange(4) == jnp.ones((nf, 1), jnp.int32)
+            ).astype(a.dtype)
+            halo = jnp.sum(src * side_sel[:, :, None], axis=-2)
+            nb = jnp.concatenate(
+                [halo[..., :, None], a[..., :, :-1]], axis=-1
+            )
+            return a - nb
+        return jnp.sum(
+            jax.lax.fori_loop(0, K, body, d)[:, ::512, ::512]
+        )
+
     @jax.jit
     def _strip_modeled_three_faces(x, y):
         def body(_, a):
@@ -1048,6 +1073,10 @@ def main():
             "shifted_stream_f32_cs", _shifted_stream_faces,
             2 * 6 * nface * nface * 4, cs_data,
         )
+        _probe(
+            "strip_modeled_stream_f32_cs", _strip_modeled_stream_faces,
+            2 * 6 * nface * nface * 4, cs_data,
+        )
 
         @jax.jit
         def cs_chained(d):
@@ -1082,6 +1111,10 @@ def main():
 
         _probe(
             "shifted_stream_f32_llc", _shifted_stream_faces,
+            2 * 13 * n_llc * n_llc * 4, llc_data,
+        )
+        _probe(
+            "strip_modeled_stream_f32_llc", _strip_modeled_stream_faces,
             2 * 13 * n_llc * n_llc * 4, llc_data,
         )
 
@@ -1429,10 +1462,30 @@ def main():
             "llc4320_vorticity_Ggps": (
                 round(llc4320_gps / 1e9, 3) if llc4320_gps else None
             ),
-            # floor diagnostic (NOT a roofline ceiling): workload GB/s
-            # over the strip-MODELLED probe — >= 1.0 means the public-API
-            # op meets/beats a hand-written XLA program of the same
-            # pattern including the modelled cross-face strip work
+            # floor diagnostics (NOT roofline ceilings): workload GB/s
+            # over the strip-MODELLED probes — >= 1.0 means the
+            # public-API op meets/beats a hand-written XLA program of
+            # the same pattern including the modelled cross-face strips
+            "cs_vs_strip_modeled_floor": (
+                round(
+                    (2 * 6 * nface * nface * 4)
+                    * (cs_gps / (6 * nface * nface)) / 1e9
+                    / probes["strip_modeled_stream_f32_cs"],
+                    3,
+                )
+                if cs_gps and probes.get("strip_modeled_stream_f32_cs")
+                else None
+            ),
+            "llc13_vs_strip_modeled_floor": (
+                round(
+                    (2 * 13 * n_llc * n_llc * 4)
+                    * (llc_gps / (13 * n_llc * n_llc)) / 1e9
+                    / probes["strip_modeled_stream_f32_llc"],
+                    3,
+                )
+                if llc_gps and probes.get("strip_modeled_stream_f32_llc")
+                else None
+            ),
             "llc4320_vs_strip_modeled_floor": (
                 round(
                     (3 * 13 * n_43 * n_43 * 4)

@@ -80,6 +80,7 @@ def reattach_coords(
     keep_coords: bool = True,
     boundary_width=None,
     extra_coords: Optional[Dict[str, Any]] = None,
+    skip_conflicting_sizes: bool = False,
 ):
     """Convert a native result back to an ``xr.DataArray``, applying the
     reference's coordinate-reattachment rules (grid_ufunc.py:1195-1266):
@@ -102,7 +103,7 @@ def reattach_coords(
         return {
             k: reattach_coords(
                 v, grid, input_args, out_core_dim_names, keep_coords,
-                boundary_width, extra_coords,
+                boundary_width, extra_coords, skip_conflicting_sizes,
             )
             for k, v in result.items()
         }
@@ -117,14 +118,27 @@ def reattach_coords(
         np.asarray(result.data), dims=result.dims, name=result.name
     )
 
-    # grid._ds coords whose dims all appear in the result.  (This "dims all
-    # present" rule intentionally also exists in Grid.coords_for and
+    # grid._ds coords whose dims all appear in the result.  (This "dims
+    # all present" rule intentionally also exists in Grid.coords_for and
     # to_xarray — same contract, three call shapes; change all three
-    # together.)
+    # together.)  With ``skip_conflicting_sizes`` (the transform path),
+    # coords whose SIZE no longer matches are excluded: transform's
+    # auto-naming reuses the source dim NAME at the target's size, and
+    # real xarray raises "conflicting sizes" if the stale full-length
+    # grid coordinate is assigned onto it (the transformed dim's
+    # coordinate comes from extra_coords instead).  Grid-ufunc callers
+    # keep the raise — there a mismatch means the ufunc failed to trim
+    # its padding, and the rewrap below adds that hint.
+    def _sizes_ok(dims, shape):
+        return not skip_conflicting_sizes or all(
+            res.sizes[d] == s for d, s in zip(dims, shape)
+        )
+
     all_matching = {
         name: _grid_coord_to_xr(c)
         for name, c in grid._ds.coords.items()
         if all(d in res.dims for d in c.dims)
+        and _sizes_ok(c.dims, np.shape(c.data))
     }
 
     # input coords on entirely-non-core dims take precedence, first input wins
@@ -135,7 +149,9 @@ def reattach_coords(
                 continue
             input_coords.setdefault(coord, da_coord)
     for coord, da_coord in input_coords.items():
-        if all(d in res.dims for d in da_coord.dims):
+        if all(d in res.dims for d in da_coord.dims) and _sizes_ok(
+            da_coord.dims, np.shape(da_coord.data)
+        ):
             all_matching[coord] = da_coord
 
     try:

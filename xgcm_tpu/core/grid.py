@@ -1077,7 +1077,18 @@ class Grid:
         reference transform.py:237-268)."""
         from ..adapters.xarray_adapter import is_dataarray, reattach_coords
 
+        # the transformed dim is either brand-new (named after target /
+        # target_data) or — in the auto-naming fallback with no
+        # target_data — the SOURCE dim name reused at the target's size
+        # (reference transform.py:1166-1191)
         new_dims = {d for d in out.dims if d not in da_native.dims}
+        if not new_dims:
+            new_dims = {
+                d
+                for d in out.dims
+                if d in da_native.dims
+                and out.sizes[d] != da_native.sizes[d]
+            }
         extra = {}
         if len(new_dims) == 1:
             (tdim,) = new_dims
@@ -1090,7 +1101,8 @@ class Grid:
                 if tvals.shape[0] == out.sizes[tdim]:
                     extra[tdim] = (tdim, np.asarray(tvals))
         return reattach_coords(
-            out, self, xr_args, new_dims, True, extra_coords=extra
+            out, self, xr_args, new_dims, True, extra_coords=extra,
+            skip_conflicting_sizes=True,
         )
 
     def transform(self, da, axis, target, **kwargs):
