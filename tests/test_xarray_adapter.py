@@ -170,6 +170,29 @@ def test_transform_xarray_out(xds):
     np.testing.assert_allclose(out["s"].values, target)
 
 
+def test_transform_auto_naming_fallback_coord_xarray(xds):
+    """Twin of the stub-side test: the no-target_data fallback reuses the
+    source dim name with the TARGET values as its coordinate, even when
+    target length == source length (reference transform.py:422-449)."""
+    nz = 6
+    rs = np.random.RandomState(3)
+    zds = xr.Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    grid = Grid(
+        zds, coords={"Z": {"center": "zc"}}, periodic=False,
+        autoparse_metadata=False,
+    )
+    da = xr.DataArray(np.sort(rs.rand(nz)), dims=("zc",), name="temp")
+
+    target_same = np.linspace(1.1, 4.9, nz)
+    out = grid.transform(da, "Z", target_same)
+    assert out.dims == ("zc",)
+    np.testing.assert_allclose(out["zc"].values, target_same)
+
+    target_dif = np.linspace(0.5, 5.5, 4)
+    out2 = grid.transform(da, "Z", target_dif)
+    np.testing.assert_allclose(out2["zc"].values, target_dif)
+
+
 def test_untrimmed_ufunc_raises_trim_hint(xds):
     """Twin of the stub-side test: an untrimmed grid ufunc raises the
     reference's padding hint (reference grid_ufunc.py:1240-1248)."""

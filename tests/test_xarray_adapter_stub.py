@@ -274,6 +274,46 @@ def test_transform_accepts_dataarrays(xr):
     )
 
 
+def test_transform_auto_naming_fallback_coord(xr):
+    """transform WITHOUT target_data reuses the source dim name and must
+    attach the TARGET values as its coordinate (reference
+    transform.py:422-449: target_dim defaults to target_data.name = the
+    axis coordinate's own name) — including when the target happens to
+    have the SAME length as the source, where a size-mismatch heuristic
+    would silently keep the stale grid coordinate instead."""
+    nz = 6
+    rs = np.random.RandomState(3)
+    ds = xr.Dataset(coords={"zc": ("zc", np.arange(nz) + 0.5)})
+    grid = Grid(
+        ds,
+        coords={"Z": {"center": "zc"}},
+        periodic=False,
+        autoparse_metadata=False,
+    )
+    da = xr.DataArray(np.sort(rs.rand(nz)), dims=("zc",), name="temp")
+
+    # same length as the source, different values
+    target_same = np.linspace(1.1, 4.9, nz)
+    out = grid.transform(da, "Z", target_same)
+    assert out.dims == ("zc",)
+    np.testing.assert_allclose(
+        np.asarray(out.coords["zc"].data), target_same
+    )
+
+    # shorter target: the dim is resized AND carries the target values
+    target_dif = np.linspace(0.5, 5.5, 4)
+    out2 = grid.transform(da, "Z", target_dif)
+    np.testing.assert_allclose(
+        np.asarray(out2.coords["zc"].data), target_dif
+    )
+
+    # transform_multi routes through the same reattachment
+    [om] = grid.transform_multi([da], "Z", target_same)
+    np.testing.assert_allclose(
+        np.asarray(om.coords["zc"].data), target_same
+    )
+
+
 def test_sharded_grid_accepts_dataarrays(xds, xr):
     import jax
 

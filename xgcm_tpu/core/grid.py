@@ -1069,7 +1069,9 @@ class Grid:
         return out
 
     # ----------------------------------------------------------- transform
-    def _transform_to_xarray(self, out, da_native, xr_args, target, method):
+    def _transform_to_xarray(
+        self, out, da_native, xr_args, target, method, axis=None
+    ):
         """Round-trip a native transform result to xarray: the new target
         dim gets the target values as its coordinate (bin midpoints for
         conservative, matching reference transform.py:270-272); input
@@ -1080,15 +1082,16 @@ class Grid:
         # the transformed dim is either brand-new (named after target /
         # target_data) or — in the auto-naming fallback with no
         # target_data — the SOURCE dim name reused at the target's size
-        # (reference transform.py:1166-1191)
+        # (reference transform.py:422-449: target_dim defaults to
+        # target_data.name = the axis coordinate's own name).  The reused
+        # name is resolved from the axis, NOT from a size mismatch: a
+        # target with the same length as the source must still get the
+        # target values as its coordinate, not the stale grid coordinate.
         new_dims = {d for d in out.dims if d not in da_native.dims}
-        if not new_dims:
-            new_dims = {
-                d
-                for d in out.dims
-                if d in da_native.dims
-                and out.sizes[d] != da_native.sizes[d]
-            }
+        if not new_dims and axis is not None:
+            _, src_dim = self.axes[axis]._get_position_name(da_native)
+            if src_dim in out.dims:
+                new_dims = {src_dim}
         extra = {}
         if len(new_dims) == 1:
             (tdim,) = new_dims
@@ -1126,7 +1129,8 @@ class Grid:
         out = transform(self, axis, da, target, **kwargs)
         if return_xr:
             out = self._transform_to_xarray(
-                out, da, xr_args, orig_target, kwargs.get("method", "linear")
+                out, da, xr_args, orig_target,
+                kwargs.get("method", "linear"), axis=axis,
             )
         return out
 
@@ -1155,7 +1159,7 @@ class Grid:
             self._transform_to_xarray(
                 o, d,
                 [a for a in (orig, orig_target_data) if is_dataarray(a)],
-                orig_target, method,
+                orig_target, method, axis=axis,
             )
             if is_dataarray(orig) else o
             for o, d, orig in zip(outs, das, orig_das)
