@@ -13,6 +13,8 @@ random cumsum      15..215 (200)      0..15
 cubed-sphere       6..46 (40)         0..6
 cubed-sphere vec   4..44 (40)         0..4
 LLC dispatch       3..43 (40)         0..3
+adapter op         30015..30115       30000..30015
+adapter transform  31015..31115       31000..31015
 ================  =================  ======================
 
 Deliberately DISJOINT from (and contiguous with) the per-commit ranges, so
@@ -26,9 +28,15 @@ with::
 the base files, so most of the cost is trace/execute, not compile.)
 """
 
+import numpy as np
 import pytest
 
 # aliased so pytest does not re-collect the imported test functions here
+from tests.test_fuzz_adapter import (  # noqa: F401  (xr fixture registers)
+    _op_case,
+    _transform_case,
+    xr,
+)
 from tests.test_fuzz_faces import (
     test_fuzz_cubed_sphere_dispatch as _cubed_sphere_trial,
     test_fuzz_cubed_sphere_vector_dispatch as _cubed_sphere_vector_trial,
@@ -65,3 +73,13 @@ def test_extended_cubed_sphere_vector(seed):
 @pytest.mark.parametrize("seed", range(3, 43))
 def test_extended_llc(seed):
     _llc_trial(seed)
+
+
+@pytest.mark.parametrize("seed", range(30_015, 30_115))
+def test_extended_adapter_op(xr, seed):
+    _op_case(xr, np.random.RandomState(seed), seed_note=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(31_015, 31_115))
+def test_extended_adapter_transform(xr, seed):
+    _transform_case(xr, np.random.RandomState(seed), seed_note=f"seed {seed}")
