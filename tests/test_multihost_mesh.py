@@ -130,3 +130,41 @@ def test_grid_factories_emit_no_deprecations():
         warnings.simplefilter("error", DeprecationWarning)
         mitgcm_c_grid()
         llc_grid(n=4)
+
+
+def test_init_distributed_pod_marker_warns(monkeypatch):
+    """ADVICE r4: the no-arg call on a host whose env says multi-process
+    (coordinator markers set) must warn loudly when jax.distributed can no
+    longer initialize, instead of silently degrading the pod job to
+    per-host single-process mode."""
+    import warnings
+
+    def _too_late(**kwargs):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before "
+            "any JAX computations are executed."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", _too_late)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    with pytest.warns(RuntimeWarning, match="multi-host"):
+        assert init_distributed() is False
+
+    # without pod markers the same failure is benign: False, no warning
+    # (this image's TPU tunnel exports some markers — clear them all)
+    for marker in (
+        "COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",
+        "TPU_PROCESS_ADDRESSES",
+    ):
+        monkeypatch.delenv(marker, raising=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert init_distributed() is False
+
+    # a caller who PASSED kwargs explicitly wanted multi-process:
+    # the too-late error must propagate, not be swallowed
+    with pytest.raises(RuntimeError, match="must be called before"):
+        init_distributed(coordinator_address="10.0.0.1:8476")

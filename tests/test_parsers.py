@@ -472,3 +472,32 @@ class TestCFBoundsSynthesis:
         )
         grid = Grid(ds, periodic=False)
         assert grid.axes["T"].coords == {"center": "time"}
+
+    def test_rejected_cf_axis_leaves_no_stray_outer_coord(self):
+        """ADVICE r4: when parse_metadata REJECTS a CF axis (its name is
+        already claimed by COMODO), the outer coordinate the CF parser
+        synthesized from the bounds variable must NOT leak into the
+        returned dataset — only accepted axes may assign new coords."""
+        base = self._cmip_ds()
+        ds = Dataset(
+            coords={
+                # COMODO claims axis "Z" first: CF's Z (from `lev`) loses
+                "ZC": ("ZC", np.arange(4) + 0.5, {"axis": "Z"}),
+                **{k: (v.dims[0], v.data, v.attrs)
+                   for k, v in base.coords.items()},
+            },
+            data_vars={k: (v.dims, v.data, v.attrs)
+                       for k, v in base.data_vars.items()},
+        )
+        out_ds, kwargs = metadata.parse_metadata(ds)
+        assert kwargs["coords"]["Z"] == {"center": "ZC"}
+        assert "lev_outer" not in out_ds.coords
+        # the standalone CF parser (public parity name) still synthesizes:
+        cf_ds_out, cf_kwargs = cf.cf_parser(base)
+        assert "lev_outer" in cf_ds_out.coords
+
+    def test_accepted_cf_axis_still_gets_outer_coord(self):
+        # the fix must not break the accept path: no COMODO competition
+        out_ds, kwargs = metadata.parse_metadata(self._cmip_ds())
+        assert kwargs["coords"]["Z"] == {"center": "lev", "outer": "lev_outer"}
+        assert "lev_outer" in out_ds.coords

@@ -133,3 +133,26 @@ class TestParseFromTypeHints:
             @as_grid_ufunc()
             def diff(a):
                 return a
+
+    def test_nested_and_multigroup_parentheses_accepted(self):
+        # ADVICE r4: the reference's findall-based extractor
+        # (reference grid_ufunc.py:340-352) tolerates any paren nesting
+        # around the pair list — "((X:center))" and "(X:center),(Y:left)"
+        # must parse identically to the bare spelling
+        @as_grid_ufunc()
+        def f(
+            a: Annotated[np.ndarray, "((X:center))"],
+            b: Annotated[np.ndarray, "(X:left),(Y:left)"],
+        ) -> Annotated[np.ndarray, "(X:left)"]:
+            return a
+
+        assert str(f.signature) == "(X:center),(X:left,Y:left)->(X:left)"
+
+    def test_unbalanced_parentheses_rejected(self):
+        with pytest.raises(ValueError, match="signature annotation"):
+
+            @as_grid_ufunc()
+            def f(
+                a: Annotated[np.ndarray, "(X:center"],
+            ) -> Annotated[np.ndarray, "X:left"]:
+                return a
