@@ -16,7 +16,7 @@ from .core.grid import Grid
 from .core.grid_ufunc import GridUFunc, apply_as_grid_ufunc, as_grid_ufunc
 from .core.signature import GridUFuncSignature
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Axis",
