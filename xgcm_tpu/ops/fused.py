@@ -83,6 +83,59 @@ def _apply_pair(op: str, direction: str, x, nb):
     return apply_pair(op, x, nb)
 
 
+def _column_as_row(x: jnp.ndarray, col: int) -> jnp.ndarray:
+    """Lane-major (..., ny) copy of column ``col`` of ``x`` (..., ny, nx).
+
+    ``x[..., :, col]`` looks free but is a layout change: on TPU, XLA's
+    layout assignment gives the strip a lanes-major layout and then sinks
+    the transpose into the PARENT array — a full {1,2,0}-relayout copy of
+    the whole field (observed in the LLC4320 vorticity HLO: a 1.94 GB
+    read+write per loop iteration to extract 450 KB of column).  Instead,
+    slice the one 128-lane tile block containing the column and contract it
+    with a one-hot over the lanes: the reduce performs the reorientation,
+    no transpose exists for layout assignment to sink, and the pass reads
+    ~nx/128th of the array.  Exact: every masked addend is 0.0 in x.dtype.
+    """
+    nx = x.shape[-1]
+    if nx < 128:
+        return x[..., :, col]  # sub-tile arrays: nothing to win
+    start = min(col - col % 128, nx - 128)
+    blk = x[..., :, start : start + 128]
+    onehot = (jnp.arange(128) == (col - start)).astype(x.dtype)
+    return jnp.sum(blk * onehot, axis=-1)
+
+
+def _edge_strips(x: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:
+    """Lane-major (..., face, 4, L) table of the four one-wide edge strips
+    (X-left, X-right, Y-left, Y-right), tangential in increasing
+    coordinate.  Column strips go through :func:`_column_as_row`."""
+    if ny != nx:
+        # mixed strip lengths cannot form one table; callers fall back to
+        # the generic engine (same contract as the jnp.stack this replaces)
+        raise ValueError("edge-strip table requires square faces")
+    return jnp.stack(
+        [
+            _column_as_row(x, 0),
+            _column_as_row(x, nx - 1),
+            x[..., 0, :],
+            x[..., ny - 1, :],
+        ],
+        axis=-2,
+    )
+
+
+def _inward_line(x: jnp.ndarray, side: int, ny: int, nx: int) -> jnp.ndarray:
+    """The one-inward line of ``side`` as a lane-major (..., face, L)
+    strip (columns via :func:`_column_as_row`)."""
+    if side == 0:
+        return _column_as_row(x, 1)
+    if side == 1:
+        return _column_as_row(x, nx - 2)
+    if side == 2:
+        return x[..., 1, :]
+    return x[..., ny - 2, :]
+
+
 def fused_face_shift_op(
     x: jnp.ndarray,
     plan,
@@ -120,10 +173,7 @@ def fused_face_shift_op(
 
     if _np.any(plan.swap) and ny != nx:
         raise ValueError("cross-axis face connections require square faces")
-    strips = jnp.stack(
-        [x[..., :, 0], x[..., :, nx - 1], x[..., 0, :], x[..., ny - 1, :]],
-        axis=-2,
-    )  # (..., face, 4, L)
+    strips = _edge_strips(x, ny, nx)  # (..., face, 4, L)
 
     # which side of THIS face needs a halo, and the roll axis
     if axis_is_x:
@@ -145,15 +195,7 @@ def fused_face_shift_op(
     src_strips = jnp.take(strips, src_face, axis=-3)
     if partner is not None:
         # axis-swapping connections read the PARTNER component's edge
-        strips_p = jnp.stack(
-            [
-                partner[..., :, 0],
-                partner[..., :, nx - 1],
-                partner[..., 0, :],
-                partner[..., ny - 1, :],
-            ],
-            axis=-2,
-        )
+        strips_p = _edge_strips(partner, ny, nx)
         src_strips_p = jnp.take(strips_p, src_face, axis=-3)
         swap_side = jnp.asarray(plan.swap[:, side])  # (F,)
         src_strips = jnp.where(
@@ -180,10 +222,7 @@ def fused_face_shift_op(
     elif boundary == "extend":
         basic = strips[..., side, :]
     elif boundary == "extrapolate":
-        inward = {
-            0: x[..., :, 1], 1: x[..., :, nx - 2],
-            2: x[..., 1, :], 3: x[..., ny - 2, :],
-        }[side]
+        inward = _inward_line(x, side, ny, nx)
         basic = 2.0 * strips[..., side, :] - inward
     else:
         raise ValueError(f"unknown boundary {boundary!r}")
