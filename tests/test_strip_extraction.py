@@ -1,0 +1,108 @@
+"""The lane-major column-strip extraction helpers must be value-identical
+to the plain column slice they replace.
+
+``x[..., :, col]`` into a lanes-major strip table lets XLA's layout
+assignment relayout the whole parent array (a full-size {1,2,0} copy per op
+call, observed in the LLC4320 vorticity HLO); the helpers extract the same
+values by slicing one 128-lane tile block and contracting with a one-hot
+(exact: every masked addend is 0.0 in the array dtype).  These tests pin
+the value contract for every shape class the dispatch distinguishes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xgcm_tpu.ops.fused import _column_as_row, _edge_strips, _inward_line
+
+pytestmark = pytest.mark.quick
+
+
+@pytest.mark.parametrize("nx", [8, 100, 128, 200, 256, 540, 4320 // 8])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, jnp.bfloat16])
+def test_column_as_row_matches_slice(nx, dtype):
+    rng = np.random.RandomState(int(nx))
+    x = jnp.asarray(rng.rand(3, 16, nx)).astype(dtype)
+    for col in {0, 1, nx // 2, nx - 2, nx - 1}:
+        got = _column_as_row(x, col)
+        want = x[..., :, col]
+        assert got.dtype == x.dtype
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float64), np.asarray(want, np.float64)
+        )
+
+
+def test_column_as_row_batched_and_integer():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 5, 12, 300).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(_column_as_row(x, 299)), np.asarray(x[..., :, 299])
+    )
+    xi = jnp.asarray(rng.randint(-50, 50, (3, 8, 256)))
+    np.testing.assert_array_equal(
+        np.asarray(_column_as_row(xi, 7)), np.asarray(xi[..., :, 7])
+    )
+
+
+@pytest.mark.parametrize("n", [6, 128, 384])
+def test_edge_strips_match_naive_stack(n):
+    rng = np.random.RandomState(n)
+    x = jnp.asarray(rng.rand(4, n, n).astype(np.float32))
+    got = _edge_strips(x, n, n)
+    want = jnp.stack(
+        [x[..., :, 0], x[..., :, n - 1], x[..., 0, :], x[..., n - 1, :]],
+        axis=-2,
+    )
+    assert got.shape == (4, 4, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_edge_strips_rejects_rectangular_faces():
+    x = jnp.zeros((2, 8, 16), jnp.float32)
+    with pytest.raises(ValueError):
+        _edge_strips(x, 8, 16)
+
+
+@pytest.mark.parametrize("side", [0, 1, 2, 3])
+@pytest.mark.parametrize("n", [6, 256])
+def test_inward_line_matches_slices(side, n):
+    rng = np.random.RandomState(side)
+    x = jnp.asarray(rng.rand(3, n, n).astype(np.float32))
+    want = {
+        0: x[..., :, 1], 1: x[..., :, n - 2],
+        2: x[..., 1, :], 3: x[..., n - 2, :],
+    }[side]
+    np.testing.assert_array_equal(
+        np.asarray(_inward_line(x, side, n, n)), np.asarray(want)
+    )
+
+
+def test_sharded_cols_lane_major_matches_take():
+    """The face_sharded twin: windowed one-hot extraction == take+swapaxes
+    for contiguous ascending and descending index bundles; out-of-range
+    indices (other shards' columns, masked by the caller) come back as
+    exact zeros."""
+    from xgcm_tpu.parallel.face_sharded import _cols_lane_major
+
+    rng = np.random.RandomState(7)
+    for nxl in (300, 100):
+        x = jnp.asarray(rng.rand(3, 40, nxl).astype(np.float32))
+        for idx in ([0, 1, 2], [nxl - 1, nxl - 2, nxl - 3], [nxl // 2]):
+            lidx = jnp.asarray(idx)
+            want = jnp.swapaxes(jnp.take(x, lidx, axis=-1), -1, -2)
+            got = _cols_lane_major(x, lidx)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # out-of-range bundles reduce to exact zeros
+        for idx in ([-2, -1, 0], [nxl - 1, nxl, nxl + 1]):
+            lidx = jnp.asarray(idx)
+            got = np.asarray(_cols_lane_major(x, lidx))
+            ok = [0 <= i < nxl for i in idx]
+            for k, inr in enumerate(ok):
+                if inr:
+                    np.testing.assert_array_equal(
+                        got[..., k, :], np.asarray(x[..., :, idx[k]])
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        got[..., k, :], np.zeros_like(got[..., k, :])
+                    )

@@ -211,6 +211,38 @@ def compile_face_plan(
     return plan
 
 
+def _cols_lane_major(block: jax.Array, lidx: jax.Array) -> jax.Array:
+    """block[..., :, lidx] as a lane-major (..., w, ny) strip bundle.
+
+    ``jnp.take`` on the lane axis + ``swapaxes`` looks free but lets XLA's
+    layout assignment sink the strip transpose into the PARENT block — a
+    full relayout copy of the whole local field per op call (see
+    ops/fused._column_as_row for the single-chip measurement).  Instead
+    slice the one 128-lane window containing all w (contiguous) indices and
+    contract each column with a one-hot over the window: the reduce
+    performs the reorientation, nothing big is relaid out.  Out-of-window
+    indices (other shards' columns, pre-masked by the caller) reduce to
+    exact 0.0; in-range clipped-take semantics are preserved only within
+    the window, which the callers' masking makes sufficient."""
+    ww = lidx.shape[0]
+    nxl = block.shape[-1]
+    if ww > 128 or not jnp.issubdtype(block.dtype, jnp.inexact):
+        cols = jnp.take(block, jnp.clip(lidx, 0, nxl - 1), axis=-1)
+        return jnp.swapaxes(cols, -1, -2)
+    if nxl <= 128:
+        win, off = block, 0
+    else:
+        off = jnp.clip(jnp.min(lidx), 0, nxl - 128)
+        win = lax.dynamic_slice_in_dim(block, off, 128, axis=-1)
+    rel = lidx - off
+    iota = jnp.arange(win.shape[-1])
+    rows = [
+        jnp.sum(win * (iota == rel[k]).astype(block.dtype), axis=-1)
+        for k in range(ww)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
 def _merge_face_pool(gathered: jax.Array) -> jax.Array:
     """(n_dev, ..., fpd, 4, w, L) -> (..., n_dev*fpd, 4, w, L).
 
@@ -319,15 +351,13 @@ def face_halo_pad_widths(
         def cols_from(gidx):
             # columns of the face-global strip this shard owns
             if Q == 1:
-                cols = jnp.take(block, gidx, axis=-1)
-            else:
-                lidx = gidx - q_idx * nx_loc
-                ok = (lidx >= 0) & (lidx < nx_loc)
-                cols = jnp.take(
-                    block, jnp.clip(lidx, 0, nx_loc - 1), axis=-1
-                )
-                cols = jnp.where(ok, cols, jnp.zeros_like(cols))
-            return jnp.swapaxes(cols, -1, -2)  # (..., fpd, w, ny_loc)
+                return _cols_lane_major(block, gidx)
+            lidx = gidx - q_idx * nx_loc
+            ok = (lidx >= 0) & (lidx < nx_loc)
+            cols_t = _cols_lane_major(block, lidx)
+            return jnp.where(
+                ok[:, None], cols_t, jnp.zeros_like(cols_t)
+            )  # (..., fpd, w, ny_loc)
 
         xl = cols_from(kg)
         xr = cols_from(nx - 1 - kg)
