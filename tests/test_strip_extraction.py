@@ -32,6 +32,62 @@ def test_column_as_row_matches_slice(nx, dtype):
         )
 
 
+def test_column_as_row_nonfinite_neighbours_do_not_leak():
+    """NaN/inf anywhere in the 128-lane window must NOT poison the
+    extracted column (0*NaN = NaN killed the multiply-by-one-hot
+    formulation); NaN AT the column must come through.  (Documented
+    caveat: a selected -0.0 returns as the value-equal +0.0.)"""
+    rng = np.random.RandomState(1)
+    nx = 300
+    x = rng.rand(2, 16, nx).astype(np.float32)
+    x[0, 3, 5] = np.nan       # near column 0, same window
+    x[1, 7, 1] = np.inf
+    x[0, 9, nx - 4] = -np.inf  # near column nx-1, same window
+    x[1, 2, 0] = np.nan        # AT column 0
+    x[0, 5, 0] = -0.0          # comes back +0.0 (value-equal)
+    xj = jnp.asarray(x)
+    for col in (0, nx - 1):
+        got = np.asarray(_column_as_row(xj, col))
+        want = x[..., :, col]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
+    """End-to-end: an interior NaN (land-mask style) 5 cells from a face
+    edge must produce exactly the NaN footprint of the generic engine —
+    not a whole NaN halo column on the neighbouring face."""
+    from xgcm_tpu import Grid, GriddedArray
+
+    from .datasets import cubed_sphere_dataset
+
+    ds, fc = cubed_sphere_dataset(n=16)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    a = np.random.RandomState(2).rand(6, 16, 16)
+    a[0, 10, 5] = np.nan
+    da = GriddedArray(a, ("face", "y", "x"))
+    fused = grid.diff(da, "X", to="left", boundary="fill")
+    from xgcm_tpu.core import gridops
+
+    generic = gridops.diff_center_to_left(
+        grid, da, axis=[("X",)], boundary="fill"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.data), np.asarray(generic.data)
+    )
+    assert int(np.isnan(np.asarray(fused.data)).sum()) == 2
+
+
+def test_sharded_cols_lane_major_nonfinite():
+    from xgcm_tpu.parallel.face_sharded import _cols_lane_major
+
+    x = np.random.RandomState(3).rand(3, 12, 260).astype(np.float32)
+    x[0, 3, 5] = np.nan   # in window of column 0, not selected
+    x[1, 4, 0] = np.inf   # at column 0
+    got = np.asarray(_cols_lane_major(jnp.asarray(x), jnp.asarray([0, 1])))
+    want = np.swapaxes(x[..., :, [0, 1]], -1, -2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_column_as_row_batched_and_integer():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(2, 5, 12, 300).astype(np.float32))

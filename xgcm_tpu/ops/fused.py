@@ -91,18 +91,24 @@ def _column_as_row(x: jnp.ndarray, col: int) -> jnp.ndarray:
     the transpose into the PARENT array — a full {1,2,0}-relayout copy of
     the whole field (observed in the LLC4320 vorticity HLO: a 1.94 GB
     read+write per loop iteration to extract 450 KB of column).  Instead,
-    slice the one 128-lane tile block containing the column and contract it
+    slice the one 128-lane tile block containing the column and select it
     with a one-hot over the lanes: the reduce performs the reorientation,
     no transpose exists for layout assignment to sink, and the pass reads
-    ~nx/128th of the array.  Exact: every masked addend is 0.0 in x.dtype.
-    """
+    ~nx/128th of the array.  Exact for every value including NaN/inf:
+    unselected lanes are REPLACED by 0.0 before the reduce, never
+    multiplied (``0.0 * NaN`` would poison the sum through any non-finite
+    value sharing the 128-lane window, and NaN land masks are routine in
+    this domain).  Sole caveat: a selected ``-0.0`` comes back as ``+0.0``
+    (value-equal; XLA's reduce does not preserve the sign of zero)."""
     nx = x.shape[-1]
-    if nx < 128:
-        return x[..., :, col]  # sub-tile arrays: nothing to win
+    if nx < 128 or not jnp.issubdtype(x.dtype, jnp.inexact):
+        # sub-tile arrays: nothing to win; integer/bool: jnp.sum would
+        # promote the dtype (the sharded twin keeps the same guard)
+        return x[..., :, col]
     start = min(col - col % 128, nx - 128)
     blk = x[..., :, start : start + 128]
-    onehot = (jnp.arange(128) == (col - start)).astype(x.dtype)
-    return jnp.sum(blk * onehot, axis=-1)
+    onehot = jnp.arange(128) == (col - start)
+    return jnp.sum(jnp.where(onehot, blk, jnp.asarray(0.0, x.dtype)), axis=-1)
 
 
 def _edge_strips(x: jnp.ndarray, ny: int, nx: int) -> jnp.ndarray:

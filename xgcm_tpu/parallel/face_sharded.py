@@ -219,8 +219,12 @@ def _cols_lane_major(block: jax.Array, lidx: jax.Array) -> jax.Array:
     full relayout copy of the whole local field per op call (see
     ops/fused._column_as_row for the single-chip measurement).  Instead
     slice the one 128-lane window containing all w (contiguous) indices and
-    contract each column with a one-hot over the window: the reduce
-    performs the reorientation, nothing big is relaid out.  Out-of-window
+    select each column with a one-hot over the window: the reduce performs
+    the reorientation, nothing big is relaid out.  Unselected lanes are
+    REPLACED by 0.0 before the reduce, never multiplied (``0.0 * NaN``
+    would poison the sum through any non-finite value in the window, and
+    NaN land masks are routine); exact for every value, except that a
+    selected ``-0.0`` comes back as ``+0.0`` (value-equal).  Out-of-window
     indices (other shards' columns, pre-masked by the caller) reduce to
     exact 0.0; in-range clipped-take semantics are preserved only within
     the window, which the callers' masking makes sufficient."""
@@ -236,8 +240,9 @@ def _cols_lane_major(block: jax.Array, lidx: jax.Array) -> jax.Array:
         win = lax.dynamic_slice_in_dim(block, off, 128, axis=-1)
     rel = lidx - off
     iota = jnp.arange(win.shape[-1])
+    zero = jnp.asarray(0.0, block.dtype)
     rows = [
-        jnp.sum(win * (iota == rel[k]).astype(block.dtype), axis=-1)
+        jnp.sum(jnp.where(iota == rel[k], win, zero), axis=-1)
         for k in range(ww)
     ]
     return jnp.stack(rows, axis=-2)
