@@ -62,12 +62,13 @@ def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
 
     ds, fc = cubed_sphere_dataset(n=16)
     grid = Grid(ds, face_connections=fc, periodic=False)
+    from xgcm_tpu.core import gridops
+
+    # interior NaN near the left edge: shares column 0's 128-lane window
     a = np.random.RandomState(2).rand(6, 16, 16)
     a[0, 10, 5] = np.nan
     da = GriddedArray(a, ("face", "y", "x"))
     fused = grid.diff(da, "X", to="left", boundary="fill")
-    from xgcm_tpu.core import gridops
-
     generic = gridops.diff_center_to_left(
         grid, da, axis=[("X",)], boundary="fill"
     )
@@ -75,6 +76,63 @@ def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
         np.asarray(fused.data), np.asarray(generic.data)
     )
     assert int(np.isnan(np.asarray(fused.data)).sum()) == 2
+
+    # NaN ON an edge whose face sources halos from a DIFFERENT side: the
+    # side-selection one-hot must not leak it into the picked strip
+    b = np.random.RandomState(3).rand(6, 16, 16)
+    b[0, 0, 7] = np.nan  # Y-left edge row of face 0
+    db = GriddedArray(b, ("face", "y", "x"))
+    fused_b = grid.diff(db, "X", to="left", boundary="fill")
+    generic_b = gridops.diff_center_to_left(
+        grid, db, axis=[("X",)], boundary="fill"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused_b.data), np.asarray(generic_b.data)
+    )
+    # every axis/direction, both ops, with edge NaNs on several faces
+    c = np.random.RandomState(4).rand(6, 16, 16)
+    c[1, 0, 3] = np.nan
+    c[2, 15, 9] = np.nan
+    c[3, 4, 0] = np.nan
+    c[4, 8, 15] = np.nan
+    dc = GriddedArray(c, ("face", "y", "x"))
+    for op, fn in (("diff", gridops.diff_center_to_left),
+                   ("interp", gridops.interp_center_to_left)):
+        for ax in ("X", "Y"):
+            got = getattr(grid, op)(dc, ax, to="left", boundary="extend")
+            want = fn(grid, dc, axis=[(ax,)], boundary="extend")
+            np.testing.assert_array_equal(
+                np.asarray(got.data), np.asarray(want.data)
+            )
+
+
+def test_sharded_face_halo_unpoisoned_by_edge_nan():
+    """Sharded == single-device with NaNs ON face edges: the windowed
+    one-hot strip pool and the per-edge plan must reproduce the exact
+    NaN footprint of the eager path."""
+    import jax
+
+    from xgcm_tpu import Grid, GriddedArray
+    from xgcm_tpu.parallel import make_mesh, shard_gridded, sharded_face_op
+
+    from .datasets import cubed_sphere_dataset
+
+    ds, fc = cubed_sphere_dataset(n=16)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    a = np.random.RandomState(5).rand(6, 16, 16)
+    a[0, 0, 7] = np.nan    # Y-left edge
+    a[1, 3, 0] = np.nan    # X-left edge
+    a[2, 15, 2] = np.nan   # Y-right edge
+    da = GriddedArray(a, ("face", "y", "x"))
+    n_dev = min(6, len(jax.devices()))
+    mesh = make_mesh({"f": n_dev}, devices=jax.devices()[:n_dev])
+    sh = shard_gridded(da, mesh, {"face": "f"}, uneven_ok=("face",))
+    s = sharded_face_op(
+        grid, "diff", sh, "X", mesh, "f", "X", "Y", boundary="fill"
+    )
+    e = grid.diff(da, "X", boundary="fill")
+    assert s.dims == e.dims
+    np.testing.assert_array_equal(np.asarray(s.data), np.asarray(e.data))
 
 
 def test_sharded_cols_lane_major_nonfinite():

@@ -207,8 +207,16 @@ def fused_face_shift_op(
         src_strips = jnp.where(
             swap_side[:, None, None], src_strips_p, src_strips
         )
-    side_sel = (jnp.arange(4) == src_side[:, None]).astype(x.dtype)  # (F, 4)
-    picked = jnp.sum(src_strips * side_sel[:, :, None], axis=-2)
+    # SELECT the source side, never multiply by a 0/1 one-hot: a NaN on a
+    # non-selected edge of the source face would poison the sum (0*NaN),
+    # diverging from the generic engine's exact NaN footprint
+    side_sel = jnp.arange(4) == src_side[:, None]  # (F, 4) bool
+    picked = jnp.sum(
+        jnp.where(
+            side_sel[:, :, None], src_strips, jnp.asarray(0.0, x.dtype)
+        ),
+        axis=-2,
+    ).astype(x.dtype)  # undo jnp.sum's small-int promotion
     picked = jnp.where(tang_flip[:, None], picked[..., ::-1], picked)
     if vector_axis_code is not None:
         # sides 0/1 are x-axis halos, 2/3 y-axis halos
