@@ -60,12 +60,14 @@ def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
 
     from .datasets import cubed_sphere_dataset
 
-    ds, fc = cubed_sphere_dataset(n=16)
+    # n >= 128 so the windowed one-hot path (not the small-array slice
+    # fallback) is the one driven end-to-end
+    ds, fc = cubed_sphere_dataset(n=256)
     grid = Grid(ds, face_connections=fc, periodic=False)
     from xgcm_tpu.core import gridops
 
     # interior NaN near the left edge: shares column 0's 128-lane window
-    a = np.random.RandomState(2).rand(6, 16, 16)
+    a = np.random.RandomState(2).rand(6, 256, 256)
     a[0, 10, 5] = np.nan
     da = GriddedArray(a, ("face", "y", "x"))
     fused = grid.diff(da, "X", to="left", boundary="fill")
@@ -79,7 +81,7 @@ def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
 
     # NaN ON an edge whose face sources halos from a DIFFERENT side: the
     # side-selection one-hot must not leak it into the picked strip
-    b = np.random.RandomState(3).rand(6, 16, 16)
+    b = np.random.RandomState(3).rand(6, 256, 256)
     b[0, 0, 7] = np.nan  # Y-left edge row of face 0
     db = GriddedArray(b, ("face", "y", "x"))
     fused_b = grid.diff(db, "X", to="left", boundary="fill")
@@ -90,11 +92,11 @@ def test_cubed_sphere_halo_unpoisoned_by_interior_nan():
         np.asarray(fused_b.data), np.asarray(generic_b.data)
     )
     # every axis/direction, both ops, with edge NaNs on several faces
-    c = np.random.RandomState(4).rand(6, 16, 16)
+    c = np.random.RandomState(4).rand(6, 256, 256)
     c[1, 0, 3] = np.nan
-    c[2, 15, 9] = np.nan
+    c[2, 255, 9] = np.nan
     c[3, 4, 0] = np.nan
-    c[4, 8, 15] = np.nan
+    c[4, 8, 255] = np.nan
     dc = GriddedArray(c, ("face", "y", "x"))
     for op, fn in (("diff", gridops.diff_center_to_left),
                    ("interp", gridops.interp_center_to_left)):
@@ -117,12 +119,12 @@ def test_sharded_face_halo_unpoisoned_by_edge_nan():
 
     from .datasets import cubed_sphere_dataset
 
-    ds, fc = cubed_sphere_dataset(n=16)
+    ds, fc = cubed_sphere_dataset(n=144)  # >= 128: windowed one-hot path
     grid = Grid(ds, face_connections=fc, periodic=False)
-    a = np.random.RandomState(5).rand(6, 16, 16)
+    a = np.random.RandomState(5).rand(6, 144, 144)
     a[0, 0, 7] = np.nan    # Y-left edge
     a[1, 3, 0] = np.nan    # X-left edge
-    a[2, 15, 2] = np.nan   # Y-right edge
+    a[2, 143, 2] = np.nan  # Y-right edge
     da = GriddedArray(a, ("face", "y", "x"))
     n_dev = min(6, len(jax.devices()))
     mesh = make_mesh({"f": n_dev}, devices=jax.devices()[:n_dev])
