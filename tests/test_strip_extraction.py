@@ -4,9 +4,11 @@ to the plain column slice they replace.
 ``x[..., :, col]`` into a lanes-major strip table lets XLA's layout
 assignment relayout the whole parent array (a full-size {1,2,0} copy per op
 call, observed in the LLC4320 vorticity HLO); the helpers extract the same
-values by slicing one 128-lane tile block and contracting with a one-hot
-(exact: every masked addend is 0.0 in the array dtype).  These tests pin
-the value contract for every shape class the dispatch distinguishes."""
+values by slicing one 128-lane tile block and one-hot-SELECTING it before
+the reduce (never multiplying — 0*NaN would poison the strip through any
+non-finite value sharing the window).  These tests pin the value contract
+for every shape class the dispatch distinguishes, including non-finite
+data and the end-to-end NaN footprint of face halos."""
 
 import numpy as np
 import pytest
