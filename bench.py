@@ -991,31 +991,47 @@ def main():
             jax.lax.fori_loop(0, K, body, x)[:, ::512, ::512]
         )
 
-    # strip-MODELLED companions (the r4-style formulation): same pattern
-    # PLUS the four cross-face edge strips gathered and select-summed
-    # into the halos.  NOT roofline ceilings (they overstate the strip
-    # cost slightly — r4 measured workloads at 1.00-1.05 of them);
-    # reported as FLOOR diagnostics: workload >= floor means a hand-
-    # written XLA program doing the modelled strip work cannot beat the
-    # public-API op — the structural gap to the pure-roll ceiling is the
-    # mandatory cross-face traffic, not implementation slack.
+    # strip-MODELLED companions: same pattern PLUS the four cross-face
+    # edge strips built the way the shipped op builds them (windowed
+    # one-hot SELECT for columns — round 5 replaced the r4 stack
+    # formulation, whose column slices paid a full-field relayout copy —
+    # then a per-face take + side select into the halos).  NOT roofline
+    # ceilings; reported as FLOOR diagnostics: workload >= floor means a
+    # hand-written XLA program doing the modelled strip work cannot beat
+    # the public-API op.
+    def _modeled_strips(arr):
+        ny_, nx_ = arr.shape[-2:]
+
+        def col(c):
+            start = min(c - c % 128, nx_ - 128)
+            onehot = jnp.arange(128) == (c - start)
+            blk = arr[..., :, start : start + 128]
+            return jnp.sum(
+                jnp.where(onehot, blk, jnp.asarray(0.0, arr.dtype)), axis=-1
+            )
+
+        return jnp.stack(
+            [col(0), col(nx_ - 1), arr[..., 0, :], arr[..., ny_ - 1, :]],
+            axis=-2,
+        )
+
+    def _modeled_halo(arr):
+        nf = arr.shape[-3]
+        src = jnp.take(
+            _modeled_strips(arr), jnp.roll(jnp.arange(nf), 1), axis=-3
+        )
+        side_sel = jnp.arange(4) == jnp.ones((nf, 1), jnp.int32)
+        return jnp.sum(
+            jnp.where(
+                side_sel[:, :, None], src, jnp.asarray(0.0, arr.dtype)
+            ),
+            axis=-2,
+        )
+
     @jax.jit
     def _strip_modeled_stream_faces(d):
         def body(_, a):
-            nf = a.shape[-3]
-            ny_, nx_ = a.shape[-2:]
-            strips = jnp.stack(
-                [a[..., :, 0], a[..., :, nx_ - 1],
-                 a[..., 0, :], a[..., ny_ - 1, :]],
-                axis=-2,
-            )
-            src = jnp.take(
-                strips, jnp.roll(jnp.arange(nf), 1), axis=-3
-            )
-            side_sel = (
-                jnp.arange(4) == jnp.ones((nf, 1), jnp.int32)
-            ).astype(a.dtype)
-            halo = jnp.sum(src * side_sel[:, :, None], axis=-2)
+            halo = _modeled_halo(a)
             nb = jnp.concatenate(
                 [halo[..., :, None], a[..., :, :-1]], axis=-1
             )
@@ -1027,24 +1043,7 @@ def main():
     @jax.jit
     def _strip_modeled_three_faces(x, y):
         def body(_, a):
-            nf = a.shape[-3]
-            ny_, nx_ = a.shape[-2:]
-
-            def halo(arr):
-                strips = jnp.stack(
-                    [arr[..., :, 0], arr[..., :, nx_ - 1],
-                     arr[..., 0, :], arr[..., ny_ - 1, :]],
-                    axis=-2,
-                )
-                src = jnp.take(
-                    strips, jnp.roll(jnp.arange(nf), 1), axis=-3
-                )
-                side_sel = (
-                    jnp.arange(4) == jnp.ones((nf, 1), jnp.int32)
-                ).astype(arr.dtype)
-                return jnp.sum(src * side_sel[:, :, None], axis=-2)
-
-            ha, hy = halo(a), halo(y)
+            ha, hy = _modeled_halo(a), _modeled_halo(y)
             nb_a = jnp.concatenate(
                 [ha[..., None, :], a[..., :-1, :]], axis=-2
             )
