@@ -102,3 +102,86 @@ def test_fuzz_llc_dispatch(seed):
         np.asarray(fused.data), np.asarray(generic.data),
         err_msg=f"LLC {op} {axis} {boundary}",
     )
+
+
+def _sprinkle_nonfinite(rng, a):
+    """Place NaN/inf at random positions, biased toward face edges (the
+    halo sources): 0*NaN-style mask arithmetic anywhere in the halo
+    machinery shows up as a fused-vs-generic NaN-footprint divergence."""
+    flat = a.reshape(-1, *a.shape[-2:])
+    ny, nx = a.shape[-2:]
+    for _ in range(int(rng.randint(1, 5))):
+        b = rng.randint(flat.shape[0])
+        val = float(rng.choice([np.nan, np.inf, -np.inf]))
+        if rng.rand() < 0.7:  # on an edge line
+            side = rng.randint(4)
+            if side == 0:
+                flat[b, rng.randint(ny), 0] = val
+            elif side == 1:
+                flat[b, rng.randint(ny), nx - 1] = val
+            elif side == 2:
+                flat[b, 0, rng.randint(nx)] = val
+            else:
+                flat[b, ny - 1, rng.randint(nx)] = val
+        else:
+            flat[b, rng.randint(ny), rng.randint(nx)] = val
+    return a
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_cubed_sphere_nonfinite(seed):
+    """Fused == generic NaN/inf footprint, exactly — both at the small-n
+    slice-fallback sizes and past the 128-lane windowed-extraction
+    threshold (the bug class that survived until round 5: mask
+    MULTIPLIES poison halos through 0*NaN)."""
+    rng = np.random.RandomState(500 + seed)
+    n = int(rng.choice([6, 8, 144, 160]))
+    ds, fc = cubed_sphere_dataset(n=n)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    op = str(rng.choice(["diff", "interp"]))
+    axis = str(rng.choice(["X", "Y"]))
+    boundary = str(rng.choice(["periodic", "fill", "extend", "extrapolate"]))
+    a = _sprinkle_nonfinite(rng, rng.rand(6, n, n))
+    da = GriddedArray(a, ("face", "y", "x"))
+    fused = getattr(grid, op)(da, axis, to="left", boundary=boundary)
+    generic = GENERIC[op](grid, da, axis=[(axis,)], boundary=boundary)
+    assert fused.dims == generic.dims
+    np.testing.assert_array_equal(
+        np.asarray(fused.data), np.asarray(generic.data),
+        err_msg=f"{op} {axis} {boundary} n={n}",
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_vector_nonfinite(seed):
+    """Vector components: non-finite values on PARTNER edges must follow
+    the generic engine's footprint through swapped/signed connections."""
+    rng = np.random.RandomState(600 + seed)
+    n = int(rng.choice([6, 144]))
+    ds, fc = cubed_sphere_dataset(n=n)
+    grid = Grid(ds, face_connections=fc, periodic=False)
+    op = str(rng.choice(["diff", "interp"]))
+    axis = str(rng.choice(["X", "Y"]))
+    vec_axis = str(rng.choice(["X", "Y"]))
+    other_ax = "Y" if vec_axis == "X" else "X"
+    arr = GriddedArray(
+        _sprinkle_nonfinite(rng, rng.rand(6, n, n)), ("face", "y", "x"),
+        name="a",
+    )
+    partner = GriddedArray(
+        _sprinkle_nonfinite(rng, rng.rand(6, n, n)), ("face", "y", "x"),
+        name="b",
+    )
+    fused = getattr(grid, op)(
+        {vec_axis: arr}, axis, to="left", boundary="fill",
+        other_component={other_ax: partner},
+    )
+    generic = GENERIC[op](
+        grid, {vec_axis: arr}, axis=[(axis,)], boundary="fill",
+        other_component={other_ax: partner},
+    )
+    assert fused.dims == generic.dims
+    np.testing.assert_array_equal(
+        np.asarray(fused.data), np.asarray(generic.data),
+        err_msg=f"{op} {vec_axis}-comp along {axis} n={n}",
+    )
