@@ -224,3 +224,32 @@ def test_sharded_cols_lane_major_matches_take():
                     np.testing.assert_array_equal(
                         got[..., k, :], np.zeros_like(got[..., k, :])
                     )
+
+
+def test_sharded_cumsum_nan_propagates_forward_only():
+    """Distributed cumsum: a NaN on a LATER shard must not leak backward
+    into earlier shards' offsets (the prefix totals are selected, not
+    multiplied by a 0/1 rank mask — 0*NaN would flow backward on TPU)."""
+    import jax
+
+    import xgcm_tpu as xt
+    from xgcm_tpu.parallel import ShardedGrid
+    from jax.sharding import Mesh
+
+    n1 = 64
+    ds1 = xt.Dataset(coords={
+        "XC": ("XC", np.arange(n1) + 0.5, {"axis": "X"}),
+        "XG": ("XG", np.arange(n1) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+    })
+    g1 = xt.Grid(ds1, periodic=["X"])
+    a_np = np.random.RandomState(0).rand(n1)
+    a_np[60] = np.nan  # lands on the LAST of 8 shards
+    a = xt.GriddedArray(a_np, ("XC",))
+    n_dev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sg = ShardedGrid(g1, mesh, {"X": "x"})
+    e = np.asarray(g1.cumsum(a, "X").data)
+    s = np.asarray(sg.cumsum(a, "X").data)
+    np.testing.assert_array_equal(s, e)
+    assert int(np.isnan(s).sum()) == n1 - 60

@@ -371,8 +371,14 @@ def sharded_cumsum(
         )
         totals = lax.all_gather(total, mesh_axis)  # (n, ..., 1, ...)
         ranks = jnp.arange(n)
-        mask = (ranks < idx).astype(block.dtype)
-        offset = jnp.tensordot(mask, totals, axes=(0, 0))
+        # SELECT the earlier shards' totals, never multiply by a 0/1 mask:
+        # a NaN in a LATER shard's total would propagate backward through
+        # 0*NaN, where real cumsum only propagates NaN forward (CPU dot
+        # happens to elide it; the MXU would not)
+        mask = (ranks < idx).reshape((n,) + (1,) * (totals.ndim - 1))
+        offset = jnp.sum(
+            jnp.where(mask, totals, jnp.asarray(0, block.dtype)), axis=0
+        ).astype(block.dtype)  # undo jnp.sum's small-int promotion
         data = local_cs + offset
         if shift:
             # result = [bc-element, global_cumsum[:-1]]: shift right by one
