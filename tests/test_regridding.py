@@ -71,3 +71,22 @@ def test_total_conserved():
         "z",
     )
     np.testing.assert_allclose(float(np.sum(np.asarray(out.data))), q.sum())
+
+
+def test_regrid_vertical_nan_confined_to_own_bin():
+    """A NaN tracer value must reach only ITS bin (np.bincount semantics,
+    reference regridding.py:33-74) — a one-hot einsum would spread it to
+    every bin through 0*NaN."""
+    import numpy as np
+
+    from xgcm_tpu.ops.regridding import _regrid_vertical
+
+    rng = np.random.RandomState(0)
+    q = rng.rand(4, 10)
+    tr = np.sort(rng.rand(4, 10), axis=-1)
+    q[1, 3] = np.nan
+    levs = np.linspace(0.0, 1.0, 6)
+    out = np.asarray(_regrid_vertical(q, tr, levs, axis=-1))
+    nan_cols = np.isnan(out).sum(axis=-1)
+    assert nan_cols[1] == 1     # exactly the bin holding tr[1, 3]
+    assert (nan_cols[[0, 2, 3]] == 0).all()

@@ -37,9 +37,16 @@ def _regrid_vertical(q, tr, trlevs, axis=0):
     idx = jnp.searchsorted(trlevs, tr, side="right") - 1
     idx = jnp.clip(idx, 0, nbins - 1)
 
-    # one-hot accumulate: out[..., b] = sum_k q[..., k] * [idx[..., k] == b]
-    onehot = (idx[..., None] == jnp.arange(nbins)).astype(q.dtype)
-    out = jnp.einsum("...k,...kb->...b", q, onehot)
+    # one-hot accumulate: out[..., b] = sum_k q[..., k] * [idx[..., k] == b],
+    # realised as select-then-sum: an einsum against a 0/1 one-hot would
+    # (a) spread a NaN q value into EVERY bin via 0*NaN where the
+    # reference's np.bincount confines it to its own bin
+    # (regridding.py:33-74), and (b) ride the MXU, whose default f32
+    # precision is a single bf16 pass on TPU
+    member = idx[..., None] == jnp.arange(nbins)
+    out = jnp.sum(
+        jnp.where(member, q[..., None], jnp.asarray(0, q.dtype)), axis=-2
+    ).astype(q.dtype)
     return jnp.moveaxis(out, -1, axis)
 
 

@@ -725,8 +725,15 @@ def sharded_face_cumsum(
             totals = lax.all_gather(total, op_mesh_axis)
             idx = lax.axis_index(op_mesh_axis)
             nsh = lax.axis_size(op_mesh_axis)
-            mask = (jnp.arange(nsh) < idx).astype(block.dtype)
-            cs = cs + jnp.tensordot(mask, totals, axes=(0, 0))
+            # SELECT earlier shards' totals (0*NaN in a mask-multiply
+            # would flow a later shard's NaN backward; see parallel/halo)
+            mask = (jnp.arange(nsh) < idx).reshape(
+                (nsh,) + (1,) * (totals.ndim - 1)
+            )
+            cs = cs + jnp.sum(
+                jnp.where(mask, totals, jnp.asarray(0, block.dtype)),
+                axis=0,
+            ).astype(block.dtype)
         if not shift:
             return cs
         # emulate the reference's pre-pad trim: the last GLOBAL element is
