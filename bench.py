@@ -1000,18 +1000,19 @@ def main():
     # hand-written XLA program doing the modelled strip work cannot beat
     # the public-API op.
     def _modeled_strips(arr):
+        # the shipped extraction itself, so the floor stays definitionally
+        # in sync with the op (hand-copying it is how the r4 floor went
+        # stale when the formulation changed)
+        from xgcm_tpu.ops.fused import _column_as_row
+
         ny_, nx_ = arr.shape[-2:]
-
-        def col(c):
-            start = min(c - c % 128, nx_ - 128)
-            onehot = jnp.arange(128) == (c - start)
-            blk = arr[..., :, start : start + 128]
-            return jnp.sum(
-                jnp.where(onehot, blk, jnp.asarray(0.0, arr.dtype)), axis=-1
-            )
-
         return jnp.stack(
-            [col(0), col(nx_ - 1), arr[..., 0, :], arr[..., ny_ - 1, :]],
+            [
+                _column_as_row(arr, 0),
+                _column_as_row(arr, nx_ - 1),
+                arr[..., 0, :],
+                arr[..., ny_ - 1, :],
+            ],
             axis=-2,
         )
 

@@ -229,7 +229,55 @@ def test_sharded_cols_lane_major_matches_take():
 def test_sharded_cumsum_nan_propagates_forward_only():
     """Distributed cumsum: a NaN on a LATER shard must not leak backward
     into earlier shards' offsets (the prefix totals are selected, not
-    multiplied by a 0/1 rank mask — 0*NaN would flow backward on TPU)."""
+    multiplied by a 0/1 rank mask — 0*NaN would flow backward on TPU).
+    The mapping is dim-keyed so the explicit sharded_cumsum engine (not
+    the GSPMD fallback) is the path under test, asserted by a spy."""
+    import jax
+
+    import xgcm_tpu as xt
+    from xgcm_tpu.parallel import ShardedGrid
+    from xgcm_tpu.parallel import sharded_grid as sg_mod
+    from jax.sharding import Mesh
+
+    n1 = 64
+    ds1 = xt.Dataset(coords={
+        "XC": ("XC", np.arange(n1) + 0.5, {"axis": "X"}),
+        "XG": ("XG", np.arange(n1) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+    })
+    g1 = xt.Grid(ds1, periodic=["X"])
+    n_dev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sg = ShardedGrid(g1, mesh, {"XC": "x", "XG": "x"})
+
+    calls = []
+    orig = sg_mod.sharded_cumsum
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    sg_mod.sharded_cumsum = spy
+    try:
+        a_np = np.random.RandomState(0).rand(n1)
+        a_np[60] = np.nan  # lands on the LAST of 8 shards
+        a = xt.GriddedArray(a_np, ("XC",))
+        e = np.asarray(g1.cumsum(a, "X").data)
+        s = np.asarray(sg.cumsum(a, "X").data)
+    finally:
+        sg_mod.sharded_cumsum = orig
+    assert calls, "mapping did not route through sharded_cumsum"
+    # exact NaN footprint (forward-only), values to distributed-sum
+    # associativity
+    np.testing.assert_array_equal(np.isnan(s), np.isnan(e))
+    assert int(np.isnan(s).sum()) == n1 - 60
+    np.testing.assert_allclose(s, e, rtol=1e-12)
+
+
+def test_sharded_cumsum_bool_matches_single_device():
+    """Bool cumsum counts (land-mask style): the distributed prefix
+    offset must keep the CUMSUM's int dtype — casting it back to the
+    BLOCK's bool dtype clamps every cross-shard offset to 0/1."""
     import jax
 
     import xgcm_tpu as xt
@@ -243,13 +291,41 @@ def test_sharded_cumsum_nan_propagates_forward_only():
                {"axis": "X", "c_grid_axis_shift": -0.5}),
     })
     g1 = xt.Grid(ds1, periodic=["X"])
-    a_np = np.random.RandomState(0).rand(n1)
-    a_np[60] = np.nan  # lands on the LAST of 8 shards
-    a = xt.GriddedArray(a_np, ("XC",))
+    n_dev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sg = ShardedGrid(g1, mesh, {"XC": "x", "XG": "x"})
+    a = xt.GriddedArray(
+        np.random.RandomState(1).rand(n1) > 0.3, ("XC",)
+    )
+    e = np.asarray(g1.cumsum(a, "X").data)
+    s = np.asarray(sg.cumsum(a, "X").data)
+    assert s.dtype == e.dtype
+    np.testing.assert_array_equal(s, e)
+
+
+def test_sharded_grid_accepts_axis_name_keys():
+    """An axis-name key ("X") must expand to the axis's dims and route
+    through the explicit sharded engine, not silently shard nothing."""
+    import jax
+
+    import xgcm_tpu as xt
+    from xgcm_tpu.parallel import ShardedGrid
+    from jax.sharding import Mesh
+
+    n1 = 32
+    ds1 = xt.Dataset(coords={
+        "XC": ("XC", np.arange(n1) + 0.5, {"axis": "X"}),
+        "XG": ("XG", np.arange(n1) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+    })
+    g1 = xt.Grid(ds1, periodic=["X"])
     n_dev = min(8, len(jax.devices()))
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
     sg = ShardedGrid(g1, mesh, {"X": "x"})
-    e = np.asarray(g1.cumsum(a, "X").data)
-    s = np.asarray(sg.cumsum(a, "X").data)
-    np.testing.assert_array_equal(s, e)
-    assert int(np.isnan(s).sum()) == n1 - 60
+    assert sg.dim_to_mesh_axis == {"XC": "x", "XG": "x"}
+    a = xt.GriddedArray(np.random.RandomState(2).rand(n1), ("XC",))
+    np.testing.assert_allclose(
+        np.asarray(sg.diff(a, "X").data),
+        np.asarray(g1.diff(a, "X").data),
+        rtol=1e-12,
+    )

@@ -731,9 +731,10 @@ def sharded_face_cumsum(
                 (nsh,) + (1,) * (totals.ndim - 1)
             )
             cs = cs + jnp.sum(
-                jnp.where(mask, totals, jnp.asarray(0, block.dtype)),
+                jnp.where(mask, totals, jnp.asarray(0, totals.dtype)),
                 axis=0,
-            ).astype(block.dtype)
+            ).astype(totals.dtype)  # cumsum dtype, NOT block dtype: bool
+            # blocks cumsum to int32, and a bool cast clamps the offset
         if not shift:
             return cs
         # emulate the reference's pre-pad trim: the last GLOBAL element is

@@ -377,8 +377,10 @@ def sharded_cumsum(
         # happens to elide it; the MXU would not)
         mask = (ranks < idx).reshape((n,) + (1,) * (totals.ndim - 1))
         offset = jnp.sum(
-            jnp.where(mask, totals, jnp.asarray(0, block.dtype)), axis=0
-        ).astype(block.dtype)  # undo jnp.sum's small-int promotion
+            jnp.where(mask, totals, jnp.asarray(0, totals.dtype)), axis=0
+        ).astype(totals.dtype)  # totals.dtype == the CUMSUM's dtype: bool
+        # input cumsums are int32, and casting the summed prefix back to
+        # block.dtype would clamp every offset to 0/1
         data = local_cs + offset
         if shift:
             # result = [bc-element, global_cumsum[:-1]]: shift right by one

@@ -40,6 +40,12 @@ class ShardedGrid:
 
     >>> sgrid = ShardedGrid(grid, mesh, {"xc": "x", "xg": "x"})
     >>> zeta = sgrid.diff(v, "X") - sgrid.diff(u, "Y")
+
+    Keys may also name GRID AXES ("X") instead of dims; an axis-name key
+    expands to every coordinate dim of that axis.  Without the expansion
+    an axis-keyed mapping silently sharded nothing — every op still
+    produced correct results through the GSPMD fallback, but never
+    through the explicit-collective engine the mapping asked for.
     """
 
     def __init__(
@@ -47,7 +53,19 @@ class ShardedGrid:
     ):
         self.grid = grid
         self.mesh = mesh
-        self.dim_to_mesh_axis = dict(dim_to_mesh_axis)
+        expanded = {}
+        for key, mesh_ax in dict(dim_to_mesh_axis).items():
+            ax = grid.axes.get(key)
+            if ax is not None and not any(
+                key in getattr(a, "coords", {}).values()
+                for a in grid.axes.values()
+            ):
+                for dim in ax.coords.values():
+                    if dim is not None:
+                        expanded[dim] = mesh_ax
+            else:
+                expanded[key] = mesh_ax
+        self.dim_to_mesh_axis = expanded
 
     @property
     def axes(self):
