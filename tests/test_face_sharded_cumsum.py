@@ -98,6 +98,28 @@ class TestFaceShardedCumsum:
         e = grid.cumsum(da, axis, to="left", boundary="fill")
         _match(s, e)
 
+    def test_interior_sharded_bool(self):
+        """Bool cumsum (land-mask counting) with the SUMMED dim sharded:
+        the cross-shard prefix offset must keep the cumsum's int dtype —
+        casting it to the block's bool dtype clamps every offset to 0/1.
+        Only this configuration reaches the offset path (the face-only
+        tests never set interior_mesh_axis), so it pins the face twin of
+        the halo.py fix."""
+        grid, _ = _ring()
+        da = GriddedArray(
+            np.random.RandomState(7).rand(4, 8, 12) > 0.4,
+            ("face", "y", "x"), name="m",
+        )
+        mesh = make_mesh({"f": 4, "r": 2}, devices=jax.devices()[:8])
+        sh = shard_gridded(da, mesh, {"face": "f", "y": "r"})
+        s = sharded_face_cumsum(
+            grid, sh, "Y", mesh, "f", "X", "Y", to="left",
+            boundary="fill", interior_mesh_axis="r",
+        )
+        e = grid.cumsum(da, "Y", to="left", boundary="fill")
+        assert np.asarray(s.data).dtype == np.asarray(e.data).dtype
+        _match(s, e)
+
     def test_noshift_pair(self):
         """left -> center needs no pad at all (reference grid.py:1131)."""
         grid, _ = _ring()

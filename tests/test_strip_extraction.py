@@ -329,3 +329,13 @@ def test_sharded_grid_accepts_axis_name_keys():
         np.asarray(g1.diff(a, "X").data),
         rtol=1e-12,
     )
+    # explicit dim keys beat axis expansions regardless of mapping order
+    for m in ({"XG": None, "X": "x"}, {"X": "x", "XG": None}):
+        assert ShardedGrid(g1, mesh, m).dim_to_mesh_axis == {
+            "XC": "x", "XG": None,
+        }
+    # mesh-axis VALUES are validated (a typo'd value is a silent
+    # GSPMD-fallback perf bug otherwise)
+    import pytest
+    with pytest.raises(ValueError, match="mesh axis"):
+        ShardedGrid(g1, mesh, {"XC": "nope"})

@@ -46,6 +46,11 @@ class ShardedGrid:
     an axis-keyed mapping silently sharded nothing — every op still
     produced correct results through the GSPMD fallback, but never
     through the explicit-collective engine the mapping asked for.
+    An explicit dim key always overrides an axis expansion regardless of
+    mapping order, so ``{"X": "x", "xg": None}`` keeps ``xg`` replicated.
+    Keys that match neither an axis nor any dim of an operand are inert
+    (they may name batch dims of arrays not seen yet, so they cannot be
+    rejected at construction time); mesh-axis VALUES are validated here.
     """
 
     def __init__(
@@ -53,17 +58,30 @@ class ShardedGrid:
     ):
         self.grid = grid
         self.mesh = mesh
+        bad = {
+            v for v in dict(dim_to_mesh_axis).values()
+            if v is not None and v not in mesh.axis_names
+        }
+        if bad:
+            raise ValueError(
+                f"mesh axis names {sorted(bad)} not in mesh "
+                f"{tuple(mesh.axis_names)}"
+            )
+        # two passes so explicit dim keys win over axis expansions
+        # independent of mapping order (a key that is BOTH an axis name
+        # and a dim somewhere is treated as the dim)
+        dim_names = {
+            d for a in grid.axes.values()
+            for d in getattr(a, "coords", {}).values()
+        }
         expanded = {}
         for key, mesh_ax in dict(dim_to_mesh_axis).items():
             ax = grid.axes.get(key)
-            if ax is not None and not any(
-                key in getattr(a, "coords", {}).values()
-                for a in grid.axes.values()
-            ):
+            if ax is not None and key not in dim_names:
                 for dim in ax.coords.values():
-                    if dim is not None:
-                        expanded[dim] = mesh_ax
-            else:
+                    expanded[dim] = mesh_ax
+        for key, mesh_ax in dict(dim_to_mesh_axis).items():
+            if not (grid.axes.get(key) is not None and key not in dim_names):
                 expanded[key] = mesh_ax
         self.dim_to_mesh_axis = expanded
 
