@@ -303,6 +303,36 @@ def test_sharded_cumsum_bool_matches_single_device():
     np.testing.assert_array_equal(s, e)
 
 
+def test_sharded_cumsum_int_dtypes_match_single_device():
+    """Small-int cumsum keeps the input dtype like single-device: the
+    periodic-wrap total (jnp.sum promotes small ints to the widest int)
+    must be cast back or the promotion spreads to the whole output."""
+    import jax
+
+    import xgcm_tpu as xt
+    from xgcm_tpu.parallel import ShardedGrid
+    from jax.sharding import Mesh
+
+    n1 = 64
+    ds1 = xt.Dataset(coords={
+        "XC": ("XC", np.arange(n1) + 0.5, {"axis": "X"}),
+        "XG": ("XG", np.arange(n1) * 1.0,
+               {"axis": "X", "c_grid_axis_shift": -0.5}),
+    })
+    g1 = xt.Grid(ds1, periodic=["X"])
+    n_dev = min(8, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("x",))
+    sg = ShardedGrid(g1, mesh, {"X": "x"})
+    for dt in (np.int8, np.int16, np.int32):
+        a = xt.GriddedArray(
+            (np.random.RandomState(3).rand(n1) * 3).astype(dt), ("XC",)
+        )
+        e = np.asarray(g1.cumsum(a, "X").data)
+        s = np.asarray(sg.cumsum(a, "X").data)
+        assert s.dtype == e.dtype, (dt, s.dtype, e.dtype)
+        np.testing.assert_array_equal(s, e)
+
+
 def test_sharded_grid_accepts_axis_name_keys():
     """An axis-name key ("X") must expand to the axis's dims and route
     through the explicit sharded engine, not silently shard nothing."""

@@ -397,7 +397,12 @@ def sharded_cumsum(
                     ),
                     mesh_axis,
                 )[-1]
-                wrap = jnp.sum(totals, axis=0) - last_in
+                # cast back: jnp.sum promotes small ints to the widest
+                # int, which would spread through where/concatenate and
+                # return int64 where single-device keeps the cumsum dtype
+                wrap = (jnp.sum(totals, axis=0) - last_in).astype(
+                    totals.dtype
+                )
                 halo = lax.slice_in_dim(padded, 0, 1, axis=axis_num)
                 halo = jnp.where(idx == 0, wrap, halo)
                 padded = jnp.concatenate(
