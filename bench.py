@@ -1381,12 +1381,37 @@ def main():
 
     transform_compute = _build_transform_compute()
 
+    # floor-diagnostic specs (bytes, gps, points, pattern); shared by the
+    # reconciliation pass and the result dict so both see the same numbers
+    _floor_specs = {
+        "cs_vs_strip_modeled_floor": (
+            2 * 6 * nface * nface * 4, cs_gps, 6 * nface * nface,
+            "strip_modeled_stream_f32_cs",
+        ),
+        "llc13_vs_strip_modeled_floor": (
+            2 * 13 * n_llc * n_llc * 4, llc_gps, 13 * n_llc * n_llc,
+            "strip_modeled_stream_f32_llc",
+        ),
+        "llc4320_vs_strip_modeled_floor": (
+            3 * 13 * n_43 * n_43 * 4, llc4320_gps, 13 * n_43 * n_43,
+            "strip_modeled_three_f32_llc4320",
+        ),
+    }
+
+    def _floor_frac(bytes_moved, gps_value, points, pattern):
+        if not gps_value or not probes.get(pattern):
+            return None
+        return bytes_moved * (gps_value / points) / 1e9 / probes[pattern]
+
     # --- reconciliation pass (r4 VERDICT item 3): a fraction > 1.0 is
     # physically impossible (every probe does strictly less work than its
     # workload), so it PROVES the probe under-measured its ceiling in the
     # windows it got.  Re-time just the offending probes — never the
     # workloads — until every fraction is <= 1.0 or three attempts are
-    # spent (then report the >1 honestly).
+    # spent (then report the >1 honestly).  Floor fractions are included:
+    # >1 there is merely POSSIBLE (the op can genuinely beat the modelled
+    # program) but is usually the floor probe catching a slow window, so
+    # re-time it too — a genuine beat survives the re-timing.
     for _attempt in range(3):
         over = set()
         for entry in bandwidth.values():
@@ -1398,6 +1423,10 @@ def main():
             ):
                 over.add("vpu_f32_Gops")
                 over.add("vpu_sel_f32_Gops")
+        for spec in _floor_specs.values():
+            fr = _floor_frac(*spec)
+            if fr is not None and fr > 1.0:
+                over.add(spec[3])
         if not over:
             break
         _log(f"reconciliation: re-timing under-measured probes {sorted(over)}")
@@ -1466,37 +1495,13 @@ def main():
             # over the strip-MODELLED probes — >= 1.0 means the
             # public-API op meets/beats a hand-written XLA program of
             # the same pattern including the modelled cross-face strips
-            "cs_vs_strip_modeled_floor": (
-                round(
-                    (2 * 6 * nface * nface * 4)
-                    * (cs_gps / (6 * nface * nface)) / 1e9
-                    / probes["strip_modeled_stream_f32_cs"],
-                    3,
+            **{
+                name: (
+                    round(_floor_frac(*spec), 3)
+                    if _floor_frac(*spec) is not None else None
                 )
-                if cs_gps and probes.get("strip_modeled_stream_f32_cs")
-                else None
-            ),
-            "llc13_vs_strip_modeled_floor": (
-                round(
-                    (2 * 13 * n_llc * n_llc * 4)
-                    * (llc_gps / (13 * n_llc * n_llc)) / 1e9
-                    / probes["strip_modeled_stream_f32_llc"],
-                    3,
-                )
-                if llc_gps and probes.get("strip_modeled_stream_f32_llc")
-                else None
-            ),
-            "llc4320_vs_strip_modeled_floor": (
-                round(
-                    (3 * 13 * n_43 * n_43 * 4)
-                    * (llc4320_gps / (13 * n_43 * n_43)) / 1e9
-                    / probes["strip_modeled_three_f32_llc4320"],
-                    3,
-                )
-                if llc4320_gps
-                and probes.get("strip_modeled_three_f32_llc4320")
-                else None
-            ),
+                for name, spec in _floor_specs.items()
+            },
             "effective_bandwidth": bandwidth,
             "transform_compute": transform_compute,
             "measured_stream_GBps": round(hbm_gbps, 1) if hbm_gbps else None,
