@@ -345,10 +345,13 @@ def main():
     def _retime_probe(name, reps=2):
         """Re-run an already-compiled probe; keep the max bandwidth seen.
 
-        The probe is a CEILING by construction (it does strictly less work
-        than its workload), so the best measurement across windows is the
-        demonstrated ceiling; taking the max is drift-robustness, not
-        flattery."""
+        Roofline probes are CEILINGS by construction (strictly less work
+        than their workload), so the best measurement across windows is
+        the demonstrated ceiling; taking the max is drift-robustness, not
+        flattery.  Strip-modelled FLOOR probes also come through here: for
+        those the max tightens the floor measurement, and a fraction that
+        stays >1 after re-timing means the op genuinely beats the modelled
+        program (possible and reported honestly), not probe error."""
         if name not in probe_defs:
             return
         fn, bpi, args = probe_defs[name]
@@ -1496,11 +1499,9 @@ def main():
             # public-API op meets/beats a hand-written XLA program of
             # the same pattern including the modelled cross-face strips
             **{
-                name: (
-                    round(_floor_frac(*spec), 3)
-                    if _floor_frac(*spec) is not None else None
-                )
+                name: (round(fr, 3) if fr is not None else None)
                 for name, spec in _floor_specs.items()
+                for fr in (_floor_frac(*spec),)
             },
             "effective_bandwidth": bandwidth,
             "transform_compute": transform_compute,

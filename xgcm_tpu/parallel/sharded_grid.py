@@ -70,18 +70,21 @@ class ShardedGrid:
         # two passes so explicit dim keys win over axis expansions
         # independent of mapping order (a key that is BOTH an axis name
         # and a dim somewhere is treated as the dim)
+        mapping = dict(dim_to_mesh_axis)
         dim_names = {
             d for a in grid.axes.values()
             for d in getattr(a, "coords", {}).values()
         }
+        axis_keys = {
+            k for k in mapping
+            if grid.axes.get(k) is not None and k not in dim_names
+        }
         expanded = {}
-        for key, mesh_ax in dict(dim_to_mesh_axis).items():
-            ax = grid.axes.get(key)
-            if ax is not None and key not in dim_names:
-                for dim in ax.coords.values():
-                    expanded[dim] = mesh_ax
-        for key, mesh_ax in dict(dim_to_mesh_axis).items():
-            if not (grid.axes.get(key) is not None and key not in dim_names):
+        for key in axis_keys:
+            for dim in grid.axes[key].coords.values():
+                expanded[dim] = mapping[key]
+        for key, mesh_ax in mapping.items():
+            if key not in axis_keys:
                 expanded[key] = mesh_ax
         self.dim_to_mesh_axis = expanded
 
